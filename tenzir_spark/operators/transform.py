@@ -1,0 +1,199 @@
+"""Row-shaping operators: where / select / drop / put / extend / replace /
+rename / flatten / unflatten / enumerate / hash.
+
+All are thin, declarative DataFrame transforms — Catalyst handles pushdown
+and column pruning, so e.g. ``select`` here directly shrinks the parquet
+``ReadSchema`` at scan time.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tenzir_spark.expr import compile_expression, leaf_paths, _suffix_matches
+
+
+def where(df: DataFrame, expr: str | Column, type_hints: dict[str, str] | None = None) -> DataFrame:
+    """Filter rows by a TQL-ish expression or a Column.
+
+    Reference: libtenzir/builtins/operators/where.cpp:53 (expression is
+    tailored per schema, then rows filtered); pushdown (where.cpp:109-117)
+    is Catalyst's job here.
+    """
+    return df.filter(compile_expression(expr, df, type_hints=type_hints))
+
+
+def _match_paths(df: DataFrame, extractors: Iterable[str]) -> list[str]:
+    leaves = leaf_paths(df.schema)
+    out: list[str] = []
+    for ex in extractors:
+        for p, _ in leaves:
+            if _suffix_matches(p, ex) and p not in out:
+                out.append(p)
+    return out
+
+
+def _rebuild(schema: T.StructType, keep: set[str], prefix: str = "") -> list[Column]:
+    """Rebuild (possibly nested) columns keeping only leaf paths in ``keep``."""
+    cols: list[Column] = []
+    for field in schema.fields:
+        path = f"{prefix}{field.name}"
+        if isinstance(field.dataType, T.StructType):
+            sub = _rebuild(field.dataType, keep, path + ".")
+            if sub:
+                cols.append(F.struct(*sub).alias(field.name))
+        elif path in keep:
+            cols.append(F.col(path).alias(field.name))
+    return cols
+
+
+def select(df: DataFrame, *extractors: str) -> DataFrame:
+    """Keep only fields matching the extractors (suffix semantics), preserving
+    nesting. Reference: select.cpp:48 (resolution at :58-67)."""
+    keep = set(_match_paths(df, extractors))
+    cols = _rebuild(df.schema, keep)
+    return df.select(*cols)
+
+
+def drop(df: DataFrame, *extractors: str) -> DataFrame:
+    """Remove fields matching the extractors. Reference: drop.cpp:51."""
+    victims = set(_match_paths(df, extractors))
+    keep = {p for p, _ in leaf_paths(df.schema)} - victims
+    cols = _rebuild(df.schema, keep)
+    return df.select(*cols)
+
+
+def put(df: DataFrame, **fields: Column | str) -> DataFrame:
+    """Keep ONLY the listed fields, each optionally computed; a bare string
+    value is treated as a source column name, missing columns become null.
+    Reference: put_extend_replace.cpp:121 (mode::put at :142-157)."""
+    existing = {p for p, _ in leaf_paths(df.schema)}
+    cols = []
+    for name, v in fields.items():
+        if isinstance(v, Column):
+            cols.append(v.alias(name))
+        elif isinstance(v, str) and v in existing:
+            cols.append(F.col(v).alias(name))
+        elif isinstance(v, str):
+            cols.append(F.lit(v).alias(name))
+        else:
+            cols.append(F.lit(v).alias(name))
+    return df.select(*cols)
+
+
+def extend(df: DataFrame, **fields: Column) -> DataFrame:
+    """Append new fields; never touches existing ones (errors if clashing).
+    Reference: put_extend_replace.cpp mode::extend at :158-173."""
+    for name in fields:
+        if name in df.columns:
+            raise ValueError(f"extend: field {name!r} already exists")
+    return df.withColumns({n: (c if isinstance(c, Column) else F.lit(c)) for n, c in fields.items()})
+
+
+def replace(df: DataFrame, **fields: Column) -> DataFrame:
+    """Overwrite existing fields. Reference: put_extend_replace.cpp
+    mode::replace at :174-207."""
+    for name in fields:
+        if name not in df.columns:
+            raise ValueError(f"replace: field {name!r} does not exist")
+    return df.withColumns({n: (c if isinstance(c, Column) else F.lit(c)) for n, c in fields.items()})
+
+
+def rename(df: DataFrame, **mapping: str) -> DataFrame:
+    """rename(new=old, ...) — metadata-only rename. Reference: rename.cpp:75."""
+    out = df
+    for new, old in mapping.items():
+        out = out.withColumnRenamed(old, new)
+    return out
+
+
+def flatten(df: DataFrame, sep: str = ".") -> DataFrame:
+    """Flatten nested records into ``a.b``-named top-level columns.
+    Lists are kept as-is (the reference also keeps lists, merging nested
+    list-of-record layers). Reference: flatten.cpp:26."""
+    cols = []
+    for p, _ in leaf_paths(df.schema):
+        cols.append(F.col(p).alias(p.replace(".", sep)))
+    return df.select(*cols)
+
+
+def unflatten(df: DataFrame, sep: str = ".") -> DataFrame:
+    """Rebuild nested records from separator-joined column names.
+    Reference: unflatten.cpp:27."""
+    tree: dict = {}
+    for name in df.columns:
+        parts = name.split(sep)
+        node = tree
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = F.col(f"`{name}`")
+
+    def build(node) -> Column | dict:
+        if isinstance(node, Column):
+            return node
+        return F.struct(*[
+            (build(v)).alias(k) for k, v in node.items()
+        ])
+
+    cols = []
+    for k, v in tree.items():
+        if isinstance(v, Column):
+            cols.append(v.alias(k))
+        else:
+            cols.append(build(v).alias(k))
+    return df.select(*cols)
+
+
+def enumerate_rows(df: DataFrame, field: str = "#", order_by: str | Column | None = None,
+                   per_schema_col: str | None = None) -> DataFrame:
+    """Prepend a 0-based row number. The reference counts per schema
+    (enumerate.cpp:31); distributed Spark needs an explicit order — pass
+    ``order_by``. Without one, falls back to a partition-monotonic id
+    (stable but not dense across partitions — documented divergence).
+    """
+    name = "idx" if field == "#" else field
+    if order_by is not None:
+        w = Window.orderBy(order_by)
+        if per_schema_col:
+            w = Window.partitionBy(per_schema_col).orderBy(order_by)
+        out = df.withColumn(name, F.row_number().over(w) - 1)
+    else:
+        out = df.withColumn(name, F.monotonically_increasing_id())
+    return out.select(name, *[c for c in df.columns])
+
+
+def hash_column(df: DataFrame, field: str, salt: str | None = None, out: str | None = None) -> DataFrame:
+    """Append a SHA-256 hex digest of a field (optionally salted).
+    Reference: hash.cpp:54 (appends ``<field>_hashed``)."""
+    target = out or f"{field}_hashed"
+    col = F.col(field).cast("string")
+    if salt:
+        col = F.concat(col, F.lit(salt))
+    return df.withColumn(target, F.sha2(col, 256))
+
+
+def pass_(df: DataFrame) -> DataFrame:
+    """Identity. Reference: pass.cpp:24."""
+    return df
+
+
+def batch(df: DataFrame, limit: int = 65536) -> DataFrame:
+    """Re-batching is an Arrow-boundary knob in the reference
+    (batch.cpp:24); in Spark the analog is partition sizing."""
+    return df
+
+
+def repeat(df: DataFrame, n: int = 2) -> DataFrame:
+    """Repeat the input n times. Reference: repeat.cpp:31. Caches the
+    input so upstream work runs once."""
+    if n <= 1:
+        return df
+    df = df.cache()
+    out = df
+    for _ in range(n - 1):
+        out = out.unionAll(df)
+    return out

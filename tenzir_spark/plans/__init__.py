@@ -1,0 +1,3 @@
+from tenzir_spark.plans.pipeline import Pipeline
+
+__all__ = ["Pipeline"]

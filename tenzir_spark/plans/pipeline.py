@@ -1,0 +1,133 @@
+"""Pipeline — a TQL-flavored fluent facade over the operator library.
+
+The reference composes operators with ``op1 | op2 | ...`` (TQL;
+libtenzir/src/tql/parser.cpp:310-402, pipeline.hpp:401-414, where the IR
+*is* the operator list). Here a Pipeline wraps a lazy DataFrame and each
+method appends a transform; ``.df`` hands the composed plan to Catalyst —
+which does the optimization passes the reference hand-rolls
+(pipeline.cpp:245-275 pushdown walk).
+
+Example::
+
+    Pipeline.read_parquet(spark, path).where("l_quantity > 40") \
+        .summarize(["sum_qty=sum(l_quantity)"], by=["l_returnflag"]) \
+        .sort("l_returnflag").df
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from tenzir_spark import operators as ops
+
+
+class Pipeline:
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    # -- sources ------------------------------------------------------------
+
+    @classmethod
+    def from_df(cls, df: DataFrame) -> "Pipeline":
+        return cls(df)
+
+    @classmethod
+    def read_parquet(cls, spark: SparkSession, path: str) -> "Pipeline":
+        return cls(spark.read.parquet(path))
+
+    @classmethod
+    def read_json(cls, spark: SparkSession, path: str, **options) -> "Pipeline":
+        return cls(spark.read.json(path, **options))
+
+    @classmethod
+    def read_csv(cls, spark: SparkSession, path: str, **options) -> "Pipeline":
+        options.setdefault("header", True)
+        options.setdefault("inferSchema", True)
+        return cls(spark.read.csv(path, **options))
+
+    # -- operator chain -----------------------------------------------------
+
+    def where(self, expr, **kw) -> "Pipeline":
+        return Pipeline(ops.where(self._df, expr, **kw))
+
+    def select(self, *extractors: str) -> "Pipeline":
+        return Pipeline(ops.select(self._df, *extractors))
+
+    def drop(self, *extractors: str) -> "Pipeline":
+        return Pipeline(ops.drop(self._df, *extractors))
+
+    def put(self, **fields) -> "Pipeline":
+        return Pipeline(ops.put(self._df, **fields))
+
+    def extend(self, **fields) -> "Pipeline":
+        return Pipeline(ops.extend(self._df, **fields))
+
+    def replace(self, **fields) -> "Pipeline":
+        return Pipeline(ops.replace(self._df, **fields))
+
+    def rename(self, **mapping) -> "Pipeline":
+        return Pipeline(ops.rename(self._df, **mapping))
+
+    def summarize(self, aggs: Sequence, by: Sequence = (), **kw) -> "Pipeline":
+        return Pipeline(ops.summarize(self._df, aggs, by, **kw))
+
+    def sort(self, field, **kw) -> "Pipeline":
+        return Pipeline(ops.sort(self._df, field, **kw))
+
+    def head(self, n: int = 10, **kw) -> "Pipeline":
+        return Pipeline(ops.head(self._df, n, **kw))
+
+    def tail(self, n: int = 10, **kw) -> "Pipeline":
+        return Pipeline(ops.tail(self._df, n, **kw))
+
+    def taste(self, n: int = 10, **kw) -> "Pipeline":
+        return Pipeline(ops.taste(self._df, n, **kw))
+
+    def unique(self, **kw) -> "Pipeline":
+        return Pipeline(ops.unique(self._df, **kw))
+
+    def deduplicate(self, key, order_col, **kw) -> "Pipeline":
+        return Pipeline(ops.deduplicate(self._df, key, order_col, **kw))
+
+    def top(self, field: str, **kw) -> "Pipeline":
+        return Pipeline(ops.top(self._df, field, **kw))
+
+    def rare(self, field: str, **kw) -> "Pipeline":
+        return Pipeline(ops.rare(self._df, field, **kw))
+
+    def flatten(self, sep: str = ".") -> "Pipeline":
+        return Pipeline(ops.flatten(self._df, sep))
+
+    def unflatten(self, sep: str = ".") -> "Pipeline":
+        return Pipeline(ops.unflatten(self._df, sep))
+
+    def enumerate(self, **kw) -> "Pipeline":
+        return Pipeline(ops.enumerate_rows(self._df, **kw))
+
+    def hash(self, field: str, **kw) -> "Pipeline":
+        return Pipeline(ops.hash_column(self._df, field, **kw))
+
+    def measure(self, **kw) -> "Pipeline":
+        return Pipeline(ops.measure(self._df, **kw))
+
+    def apply(self, fn) -> "Pipeline":
+        """Escape hatch: fn(DataFrame) -> DataFrame."""
+        return Pipeline(fn(self._df))
+
+    # -- sinks --------------------------------------------------------------
+
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    def to_parquet(self, path: str, mode: str = "overwrite", partition_by: list[str] | None = None):
+        w = self._df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+
+    def discard(self):
+        """Consume and drop (benchmark sink). Reference: discard.cpp:16."""
+        self._df.write.format("noop").mode("overwrite").save()

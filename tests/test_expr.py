@@ -1,0 +1,107 @@
+"""Expression compiler unit tests (reference semantics:
+libtenzir/test/expression_evaluation.cpp, web/docs/language/expressions.md)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from tenzir_spark.expr import (
+    Binder,
+    FieldExtractor,
+    Predicate,
+    compile_expression,
+    parse_expression,
+)
+
+
+@pytest.fixture(scope="module")
+def conn(spark):
+    rows = [
+        Row(ts="2024-01-01", uid="C1", id=Row(orig_h="10.0.0.1", orig_p=1234, resp_h="192.168.1.5", resp_p=80),
+            proto="tcp", service="http", orig_bytes=100),
+        Row(ts="2024-01-02", uid="C2", id=Row(orig_h="10.0.0.2", orig_p=999, resp_h="8.8.8.8", resp_p=53),
+            proto="udp", service="dns", orig_bytes=200),
+        Row(ts="2024-01-03", uid="C3", id=Row(orig_h="172.16.0.9", orig_p=22, resp_h="10.0.0.1", resp_p=22),
+            proto="tcp", service=None, orig_bytes=None),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_parse_shapes():
+    ast = parse_expression('proto == "tcp" && orig_bytes > 50')
+    assert ast.__class__.__name__ == "Conjunction"
+    pred = parse_expression("orig_h")
+    assert isinstance(pred, Predicate) and isinstance(pred.lhs, FieldExtractor)
+
+
+def test_suffix_field_match(conn):
+    # orig_h is a suffix of id.orig_h → matches the nested column
+    out = conn.filter(compile_expression('orig_h == "10.0.0.1"', conn))
+    assert [r.uid for r in out.collect()] == ["C1"]
+
+
+def test_disjunction_over_matches(conn):
+    # resp_p matches only id.resp_p; equality on 22 hits C3
+    out = conn.filter(compile_expression("resp_p == 22", conn))
+    assert [r.uid for r in out.collect()] == ["C3"]
+
+
+def test_bare_field_means_not_null(conn):
+    out = conn.filter(compile_expression("service", conn))
+    assert sorted(r.uid for r in out.collect()) == ["C1", "C2"]
+
+
+def test_null_compare(conn):
+    out = conn.filter(compile_expression("service == null", conn))
+    assert [r.uid for r in out.collect()] == ["C3"]
+
+
+def test_conjunction_disjunction_negation(conn):
+    out = conn.filter(compile_expression('proto == "tcp" && ! (service == "http")', conn))
+    assert [r.uid for r in out.collect()] == ["C3"]
+    out2 = conn.filter(compile_expression('uid == "C1" || uid == "C2"', conn))
+    assert sorted(r.uid for r in out2.collect()) == ["C1", "C2"]
+
+
+def test_in_list(conn):
+    out = conn.filter(compile_expression('proto in ["udp", "icmp"]', conn))
+    assert [r.uid for r in out.collect()] == ["C2"]
+
+
+def test_substring_in(conn):
+    # "x ni y" : x contains y
+    out = conn.filter(compile_expression('service ni "tt"', conn))
+    assert [r.uid for r in out.collect()] == ["C1"]
+
+
+def test_subnet_containment(conn):
+    out = conn.filter(compile_expression("orig_h in 10.0.0.0/8", conn))
+    assert sorted(r.uid for r in out.collect()) == ["C1", "C2"]
+
+
+def test_type_extractor_with_hints(conn):
+    binder_expr = compile_expression(
+        ":ip == 8.8.8.8", conn,
+        type_hints={"id.orig_h": "ip", "id.resp_h": "ip"},
+    )
+    out = conn.filter(binder_expr)
+    assert [r.uid for r in out.collect()] == ["C2"]
+
+
+def test_type_extractor_int(conn):
+    # :int64 > 500 matches any integer column (ports, bytes)
+    out = conn.filter(compile_expression(":int64 > 500", conn))
+    assert sorted(r.uid for r in out.collect()) == ["C1", "C2"]
+
+
+def test_unresolvable_is_false(conn):
+    out = conn.filter(compile_expression('no_such_field == 1', conn))
+    assert out.count() == 0
+
+
+def test_bare_literal_type_sugar(conn):
+    # bare "dns" means :string == "dns" — any string field equals it
+    out = conn.filter(compile_expression('"dns"', conn))
+    assert [r.uid for r in out.collect()] == ["C2"]
