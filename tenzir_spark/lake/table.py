@@ -1,0 +1,402 @@
+"""LakeTable — bucketed copy-on-write table with MERGE, schema evolution,
+and an exactly-once epoch ledger. See format.py for the on-disk layout.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tenzir_spark.lake.format import (
+    DATA_DIR,
+    CommitConflict,
+    DataFile,
+    Snapshot,
+    bucket_expr,
+    latest_snapshot,
+    write_snapshot_atomic,
+)
+
+try:
+    import pyarrow.parquet as pq
+except ImportError:  # pragma: no cover
+    pq = None
+
+CHECKPOINT_DIR = "_checkpoints"
+
+_WIDEN_OK = {
+    ("int", "bigint"), ("int", "double"), ("bigint", "double"),
+    ("float", "double"), ("int", "decimal(20,0)"), ("bigint", "decimal(20,0)"),
+    ("string", "string"),
+}
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, root: str, snapshot: Snapshot):
+        self.spark = spark
+        self.root = root
+        self.snapshot = snapshot
+
+    # ------------------------------------------------------------------ ctor
+
+    @classmethod
+    def create(cls, spark: SparkSession, root: str, schema: T.StructType,
+               key_col: str, num_buckets: int = 16) -> "LakeTable":
+        os.makedirs(os.path.join(root, "_meta"), exist_ok=True)
+        os.makedirs(os.path.join(root, DATA_DIR), exist_ok=True)
+        if key_col not in schema.fieldNames():
+            raise ValueError(f"key column {key_col!r} not in schema")
+        snap = Snapshot(
+            version=1, schema_json=schema.jsonValue(), schema_log=[],
+            files=[], num_buckets=num_buckets, key_col=key_col, ledger={},
+            properties={"created_at": str(time.time())},
+        )
+        write_snapshot_atomic(root, snap)
+        return cls(spark, root, snap)
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "LakeTable":
+        snap = latest_snapshot(root)
+        if snap is None:
+            raise FileNotFoundError(f"no lake table at {root}")
+        return cls(spark, root, snap)
+
+    def refresh(self) -> "LakeTable":
+        self.snapshot = latest_snapshot(self.root)
+        return self
+
+    # ------------------------------------------------------------------ read
+
+    def _align(self, df: DataFrame, schema_epoch: int) -> DataFrame:
+        """Bring a file written at ``schema_epoch`` up to the current
+        schema: replay renames recorded after it, add missing columns as
+        typed nulls, cast widened columns.
+
+        This is the reference's record-cast lattice (new fields -> null,
+        widening casts; libtenzir/include/tenzir/cast.hpp:387-499) applied
+        lazily at read time — the Iceberg read-with-current-schema model.
+        """
+        for op in self.snapshot.schema_log[schema_epoch:]:
+            if op["op"] == "rename" and op["from"] in df.columns:
+                df = df.withColumnRenamed(op["from"], op["to"])
+        cur = self.snapshot.schema
+        cols = []
+        for fld in cur.fields:
+            if fld.name in df.columns:
+                cols.append(F.col(fld.name).cast(fld.dataType).alias(fld.name))
+            else:
+                cols.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+        return df.select(*cols)
+
+    def read(self, buckets: list[int] | None = None,
+             key_range: tuple | None = None) -> DataFrame:
+        """Scan the table at the current snapshot.
+
+        ``buckets`` restricts to the given bucket ids (metadata-only file
+        pruning, zero I/O for the rest — the catalog-synopsis behavior of
+        export.cpp:56-107). ``key_range=(lo,hi)`` additionally prunes by
+        per-file key min/max stats.
+        """
+        files = self.snapshot.files
+        if buckets is not None:
+            bset = set(buckets)
+            files = [f for f in files if f.bucket in bset]
+        if key_range is not None:
+            lo, hi = key_range
+            kc = self.snapshot.key_col
+            kept = []
+            for f in files:
+                st = f.stats.get(kc)
+                if st is None or st.get("min") is None:
+                    kept.append(f)
+                elif not (hi < st["min"] or lo > st["max"]):
+                    kept.append(f)
+            files = kept
+        cur = self.snapshot.schema
+        if not files:
+            return self.spark.createDataFrame([], cur)
+        by_epoch: dict[int, list[str]] = {}
+        for f in files:
+            by_epoch.setdefault(f.schema_epoch, []).append(os.path.join(self.root, f.path))
+        parts = []
+        for epoch, paths in sorted(by_epoch.items()):
+            parts.append(self._align(self.spark.read.parquet(*paths), epoch))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def row_count(self) -> int:
+        return sum(f.rows for f in self.snapshot.files)
+
+    # --------------------------------------------------------- schema change
+
+    def alter(self, ops: list[dict]) -> None:
+        """Transactional schema evolution: add / rename / widen.
+
+        ops like ``{"op":"add","name":"tags","type":"string"}``,
+        ``{"op":"rename","from":"lang","to":"language"}``,
+        ``{"op":"widen","name":"n","type":"bigint"}``. Metadata-only —
+        existing files are re-interpreted at read time via _align().
+        """
+        snap = self.snapshot
+        fields = {f.name: f for f in snap.schema.fields}
+        new_fields = list(snap.schema.fields)
+        applied = []
+        for op in ops:
+            if op["op"] == "add":
+                if op["name"] in fields:
+                    continue  # idempotent re-apply
+                dt = _parse_type(op["type"])
+                new_fields.append(T.StructField(op["name"], dt, True))
+                fields[op["name"]] = new_fields[-1]
+            elif op["op"] == "rename":
+                if op["from"] not in fields:
+                    if op["to"] in fields:
+                        continue  # already applied
+                    raise ValueError(f"rename: unknown column {op['from']!r}")
+                new_fields = [
+                    T.StructField(op["to"], f.dataType, f.nullable)
+                    if f.name == op["from"] else f for f in new_fields
+                ]
+                fields = {f.name: f for f in new_fields}
+            elif op["op"] == "widen":
+                old = fields[op["name"]].dataType.simpleString()
+                new = op["type"]
+                if old != new and (old, new) not in _WIDEN_OK:
+                    raise ValueError(f"illegal widen {old} -> {new} for {op['name']}")
+                dt = _parse_type(new)
+                new_fields = [
+                    T.StructField(f.name, dt, f.nullable)
+                    if f.name == op["name"] else f for f in new_fields
+                ]
+                fields = {f.name: f for f in new_fields}
+            else:
+                raise ValueError(f"unknown schema op {op!r}")
+            applied.append(op)
+        if not applied:
+            return
+        new_snap = Snapshot(
+            version=snap.version + 1,
+            schema_json=T.StructType(new_fields).jsonValue(),
+            schema_log=snap.schema_log + applied,
+            files=snap.files, num_buckets=snap.num_buckets,
+            key_col=snap.key_col, ledger=snap.ledger,
+            properties=snap.properties,
+        )
+        write_snapshot_atomic(self.root, new_snap)
+        self.snapshot = new_snap
+
+    # ------------------------------------------------------------------ write
+
+    def append(self, df: DataFrame) -> None:
+        """Bulk load (initial snapshot population)."""
+        self._commit_files(self._write_bucketed(df), replace_buckets=None, epoch=None,
+                           epoch_stats=None)
+
+    def merge(self, changes: DataFrame, epoch: int | str,
+              op_col: str = "op", lsn_col: str = "lsn") -> dict:
+        """MERGE INTO under the exactly-once protocol.
+
+        ``changes`` must hold one row per key (pre-deduplicated, e.g. by
+        operators.deduplicate max-lsn) with columns: key, ``op_col`` in
+        insert|update|delete|upsert, ``lsn_col``, plus the current table
+        payload columns. Copy-on-write at bucket granularity: only buckets
+        containing changed keys are rewritten; files of untouched buckets
+        carry over by reference.
+
+        Returns the ledger entry. If ``epoch`` is already in the ledger the
+        call is a no-op (idempotent replay — the north rule's
+        (checkpoint_epoch, partition_id) convergence quarantee comes from
+        the ledger plus the atomic snapshot swap).
+        """
+        key = self.snapshot.key_col
+        ek = str(epoch)
+        if ek in self.snapshot.ledger:
+            return {**self.snapshot.ledger[ek], "skipped": True}
+
+        nb = self.snapshot.num_buckets
+        changes = changes.withColumn("__bucket", bucket_expr(key, nb))
+        # small collect: epoch-level apply stats + touched bucket ids
+        agg = changes.groupBy().agg(
+            F.collect_set("__bucket").alias("buckets"),
+            F.count(F.lit(1)).alias("rows"),
+            F.max(lsn_col).alias("watermark"),
+        ).collect()[0]
+        touched = sorted(agg["buckets"] or [])
+        if not touched:
+            entry = {"rows_applied": 0, "lsn_watermark": None,
+                     "committed_at": time.time()}
+            self._commit_files([], replace_buckets=[], epoch=ek, epoch_stats=entry)
+            return entry
+
+        payload_cols = [f.name for f in self.snapshot.schema.fields]
+        target = self.read(buckets=touched)
+
+        ch = changes.select(
+            F.col(key).alias("__k"),
+            F.col(op_col).alias("__op"),
+            *[F.col(c).alias(f"__c_{c}") for c in payload_cols if c != key],
+        )
+        joined = target.join(ch, target[key] == ch["__k"], "full_outer")
+        is_change = F.col("__k").isNotNull()
+        is_delete = is_change & (F.col("__op") == "delete")
+        merged = joined.filter(~F.coalesce(is_delete, F.lit(False))).select(
+            F.when(is_change, F.col("__k")).otherwise(F.col(key)).alias(key),
+            *[
+                F.when(is_change, F.col(f"__c_{c}")).otherwise(F.col(c)).alias(c)
+                for c in payload_cols if c != key
+            ],
+        )
+        new_files = self._write_bucketed(merged, only_buckets=touched)
+        entry = {"rows_applied": int(agg["rows"]),
+                 "lsn_watermark": int(agg["watermark"]) if agg["watermark"] is not None else None,
+                 "committed_at": time.time()}
+        self._commit_files(new_files, replace_buckets=touched, epoch=ek, epoch_stats=entry)
+        self._write_checkpoints(ek, new_files, entry)
+        return entry
+
+    # ------------------------------------------------------------- internals
+
+    def _write_bucketed(self, df: DataFrame, only_buckets: list[int] | None = None) -> list[DataFile]:
+        """Write rows as one parquet file per bucket under a fresh commit
+        dir; returns DataFile entries with footer-accurate stats."""
+        key = self.snapshot.key_col
+        nb = self.snapshot.num_buckets
+        commit = f"commit-{uuid.uuid4().hex[:12]}"
+        out_dir = os.path.join(self.root, DATA_DIR, commit)
+        df = df.withColumn("__b", bucket_expr(key, nb))
+        if only_buckets is not None:
+            df = df.filter(F.col("__b").isin([int(b) for b in only_buckets]))
+        # repartition by bucket -> partitionBy writes ~1 file per bucket dir
+        (df.repartition(nb, "__b")
+           .write.mode("overwrite").partitionBy("__b").parquet(out_dir))
+        files: list[DataFile] = []
+        schema_epoch = len(self.snapshot.schema_log)
+        for bdir in sorted(os.listdir(out_dir)):
+            if not bdir.startswith("__b="):
+                continue
+            bucket = int(bdir.split("=")[1])
+            for name in sorted(os.listdir(os.path.join(out_dir, bdir))):
+                if not name.endswith(".parquet"):
+                    continue
+                fpath = os.path.join(out_dir, bdir, name)
+                rel = os.path.relpath(fpath, self.root)
+                rows, stats = _footer_stats(fpath, [key])
+                files.append(DataFile(rel, bucket, rows, schema_epoch, stats))
+        return files
+
+    def _commit_files(self, new_files: list[DataFile], replace_buckets: list[int] | None,
+                      epoch: str | None, epoch_stats: dict | None,
+                      max_retries: int = 20) -> None:
+        for _ in range(max_retries):
+            snap = latest_snapshot(self.root)
+            if epoch is not None and epoch in snap.ledger:
+                self.snapshot = snap
+                return  # someone else applied this epoch — converged
+            if replace_buckets is None:
+                files = snap.files + new_files
+            else:
+                rb = set(replace_buckets)
+                files = [f for f in snap.files if f.bucket not in rb] + new_files
+            ledger = dict(snap.ledger)
+            if epoch is not None:
+                ledger[epoch] = epoch_stats
+            new_snap = Snapshot(
+                version=snap.version + 1, schema_json=snap.schema_json,
+                schema_log=snap.schema_log, files=files,
+                num_buckets=snap.num_buckets, key_col=snap.key_col,
+                ledger=ledger, properties=snap.properties,
+            )
+            try:
+                write_snapshot_atomic(self.root, new_snap)
+                self.snapshot = new_snap
+                return
+            except CommitConflict:
+                continue
+        raise CommitConflict("exhausted snapshot commit retries")
+
+    def _write_checkpoints(self, epoch: str, files: list[DataFile], entry: dict) -> None:
+        """Per-partition lineage/metrics rows (north rule A3 table)."""
+        rows = [
+            (int(epoch) if epoch.isdigit() else -1, f.bucket, f.rows,
+             entry.get("lsn_watermark"), float(entry["committed_at"]))
+            for f in files
+        ] or [(int(epoch) if epoch.isdigit() else -1, -1, 0,
+               entry.get("lsn_watermark"), float(entry["committed_at"]))]
+        schema = T.StructType([
+            T.StructField("checkpoint_epoch", T.LongType()),
+            T.StructField("partition_id", T.IntegerType()),
+            T.StructField("rows_applied", T.LongType()),
+            T.StructField("lsn_watermark", T.LongType()),
+            T.StructField("commit_epoch", T.DoubleType()),
+        ])
+        (self.spark.createDataFrame(rows, schema)
+         .coalesce(1).write.mode("append")
+         .parquet(os.path.join(self.root, CHECKPOINT_DIR)))
+
+    def checkpoints(self) -> DataFrame:
+        path = os.path.join(self.root, CHECKPOINT_DIR)
+        if not os.path.isdir(path):
+            return self.spark.createDataFrame(
+                [], "checkpoint_epoch long, partition_id int, rows_applied long,"
+                    " lsn_watermark long, commit_epoch double")
+        return self.spark.read.parquet(path)
+
+    def compact(self, target_rows: int = 4_194_304) -> None:
+        """Rewrite undersized buckets' files into one file per bucket —
+        the reference's ``rebuild`` (rebuild.cpp:45-47 merges partitions
+        under 0.8x max size; Iceberg rewrite_data_files)."""
+        by_bucket: dict[int, list[DataFile]] = {}
+        for f in self.snapshot.files:
+            by_bucket.setdefault(f.bucket, []).append(f)
+        need = [b for b, fs in by_bucket.items()
+                if len(fs) > 1 and sum(x.rows for x in fs) < int(0.8 * target_rows)]
+        if not need:
+            return
+        df = self.read(buckets=need)
+        new_files = self._write_bucketed(df, only_buckets=need)
+        self._commit_files(new_files, replace_buckets=need, epoch=None, epoch_stats=None)
+
+
+def _footer_stats(path: str, stat_cols: list[str]) -> tuple[int, dict]:
+    """Exact per-file stats from the parquet footer (no data read)."""
+    if pq is None:
+        return 0, {}
+    md = pq.ParquetFile(path).metadata
+    rows = md.num_rows
+    stats: dict[str, dict] = {}
+    name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    for c in stat_cols:
+        idx = name_to_idx.get(c)
+        if idx is None:
+            continue
+        mn, mx, nulls = None, None, 0
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                mn = mx = None
+                break
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+            nulls += st.null_count or 0
+        if mn is not None:
+            stats[c] = {"min": _plain(mn), "max": _plain(mx), "nulls": nulls}
+    return rows, stats
+
+
+def _plain(v):
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def _parse_type(s: str) -> T.DataType:
+    return T._parse_datatype_string(s)

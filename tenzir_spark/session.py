@@ -10,8 +10,33 @@ instead of the 200 default.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def package_pyfiles(out_dir: str | None = None) -> str:
+    """Zip the tenzir_spark package for executor shipping.
+
+    This is the artifact you would pass to ``spark-submit --py-files``
+    on a real cluster; locally get_spark() addPyFile()s it so pandas-UDF
+    workers can import the package regardless of the driver's cwd.
+    """
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out_dir = out_dir or tempfile.gettempdir()
+    zip_path = os.path.join(out_dir, "tenzir_spark.zip")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+            if "__pycache__" in dirpath:
+                continue
+            for name in filenames:
+                if not name.endswith(".py"):
+                    continue
+                full = os.path.join(dirpath, name)
+                rel = os.path.join("tenzir_spark", os.path.relpath(full, pkg_dir))
+                zf.write(full, rel)
+    return zip_path
 
 
 def get_spark(
@@ -55,4 +80,8 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try:
+        spark.sparkContext.addPyFile(package_pyfiles())
+    except Exception:
+        pass  # already added in this context
     return spark

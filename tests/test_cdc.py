@@ -1,0 +1,133 @@
+"""North-rule end-to-end: change log -> CdcEngine -> lake state ==
+pure-Python reference replay; exactly-once under replays; byte-identical
+extracted text; schema evolution mid-stream."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tenzir_spark.cdc import (
+    CdcEngine,
+    extract_text,
+    gen_change_log,
+    pages_schema,
+    replay,
+    salted_deduplicate,
+)
+from tenzir_spark.lake import LakeTable
+
+N_EVENTS = 6_000
+EPOCH_SIZE = 1_000
+
+
+@pytest.fixture(scope="module")
+def change_log(spark):
+    df = gen_change_log(
+        spark, N_EVENTS, n_domains=20, pages_per_domain=30,
+        events_per_epoch=EPOCH_SIZE, schema_change_every=3, seed=42,
+    ).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def applied(spark, change_log, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("lake") / "pages")
+    table = LakeTable.create(spark, root, pages_schema(), "url", num_buckets=8)
+    engine = CdcEngine(spark, table, n_salts=4)
+    results = engine.run(change_log)
+    return table, engine, results
+
+
+def _final_state_from_spark(table):
+    rows = table.read().collect()
+    return {r["url"]: r.asDict() for r in rows}
+
+
+def test_final_state_equals_reference_replay(spark, change_log, applied):
+    table, _, _ = applied
+    log_rows = [r.asDict() for r in change_log.collect()]
+    expected, columns = replay(log_rows)
+
+    got = _final_state_from_spark(table)
+    assert set(got) == set(expected), (
+        f"url sets differ: +{list(set(got) - set(expected))[:3]} "
+        f"-{list(set(expected) - set(got))[:3]}")
+    # compare every column of every row byte-for-byte
+    mism = 0
+    for url, exp_row in expected.items():
+        got_row = got[url]
+        for c in columns:
+            g, e = got_row.get(c), exp_row.get(c)
+            if isinstance(g, bytearray):
+                g = bytes(g)
+            if c == "warc_ts" and g is not None:
+                g = g.replace(tzinfo=None)
+            if g != e:
+                mism += 1
+                assert mism < 5, f"{url}.{c}: {g!r} != {e!r}"
+    assert mism == 0
+
+
+def test_text_invariant_byte_identical(applied):
+    """north rule input_hint: byte-identical extracted text per url."""
+    table, _, _ = applied
+    rows = table.read().select("url", "html", "text").collect()
+    assert rows
+    for r in rows:
+        html = bytes(r.html) if r.html is not None else None
+        assert r.text == extract_text(html), r.url
+
+
+def test_schema_evolution_applied(applied):
+    table, _, _ = applied
+    names = [f.name for f in table.snapshot.schema.fields]
+    assert "crawl_tag_3" in names  # epoch 3 descriptor (every 3rd epoch)
+    # rows upserted after the add carry null; column readable everywhere
+    table.read().select("crawl_tag_3").collect()
+
+
+def test_exactly_once_replay_converges(spark, change_log, applied):
+    """Re-running every epoch (crash/retry storm) must not change state."""
+    table, engine, _ = applied
+    before = {r["url"]: r.asDict() for r in table.read().collect()}
+    v_before = table.snapshot.version
+    results = engine.run(change_log)  # full replay
+    assert all(r.get("skipped") for r in results)
+    assert table.snapshot.version == v_before
+    after = {r["url"]: r.asDict() for r in table.read().collect()}
+    assert before.keys() == after.keys()
+
+
+def test_resume_from_partial(spark, change_log, tmp_path_factory):
+    """Apply a prefix, 'crash', resume the whole log: same final state."""
+    root = str(tmp_path_factory.mktemp("lake2") / "pages")
+    table = LakeTable.create(spark, root, pages_schema(), "url", num_buckets=8)
+    engine = CdcEngine(spark, table, n_salts=4)
+    engine.apply_epoch(change_log, 0)
+    engine.apply_epoch(change_log, 1)
+    # resume: new engine instance (fresh process semantics), full run
+    table2 = LakeTable.load(spark, root)
+    engine2 = CdcEngine(spark, table2, n_salts=4)
+    engine2.run(change_log)
+    expected, _ = replay([r.asDict() for r in change_log.collect()])
+    got = {r["url"] for r in table2.read().collect()}
+    assert got == set(expected)
+
+
+def test_ledger_watermarks_monotone(applied):
+    table, _, results = applied
+    marks = [e["lsn_watermark"] for e in results if e.get("lsn_watermark") is not None]
+    assert marks == sorted(marks)
+    cp = table.checkpoints()
+    n = cp.select("checkpoint_epoch").distinct().count()
+    assert n == N_EVENTS // EPOCH_SIZE
+
+
+def test_salted_dedup_equals_plain_dedup(spark, change_log):
+    from tenzir_spark.operators import deduplicate
+    data = change_log.filter("op != 'schema'").select("url", "lsn", "op", "lang")
+    a = salted_deduplicate(data, "url", "lsn", n_salts=4)
+    b = deduplicate(data, "url", "lsn")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
