@@ -1,38 +1,499 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps operator names (SURVEY.md §2 + training-data ops) to
+(spark, sf_dir) -> DataFrame callables built on the tenzir_spark engine;
+``oracle_sql()`` holds DuckDB-equivalent SQL for the correctness gate.
+Column names/aliases match pairwise; float aggregates are rounded
+identically on both sides; timestamps are emitted as formatted strings so
+engines hash identically.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tenzir_spark import operators as ops  # noqa: E402
+from tenzir_spark.functions import dedup, similarity, text  # noqa: E402
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: pricing-summary pipeline (where -> summarize -> sort)
+    through the operator library on sf0.001."""
+    li = _t(spark, "/root/testdata/sf0.001", "lineitem")
+    filtered = ops.where(li, 'l_shipdate <= 1998-09-02')
+    agg = ops.summarize(
+        filtered,
+        [
+            "sum_qty=sum(l_quantity)",
+            "n=count(.)",
+            ("sum_price", "sum", "l_extendedprice"),
+        ],
+        by=["l_returnflag", "l_linestatus"],
+    )
+    return ops.sort(agg, "l_returnflag").orderBy("l_returnflag", "l_linestatus")
+
+
+# ---------------------------------------------------------------------------
+# queries — one per implemented operator
+# ---------------------------------------------------------------------------
+
+
+def q_where_select(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    out = ops.where(li, 'l_quantity > 45 && l_returnflag == "R"')
+    return ops.select(out, "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+def q_drop(spark, sf):
+    r = _t(spark, sf, "region")
+    return ops.drop(r, "r_name")
+
+
+def q_put_extend(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    # raw IEEE product (no round): per-row arithmetic over identical
+    # doubles is bit-identical across engines; round() is not (HALF_UP on
+    # decimal repr vs binary-double rounding).
+    ext = ops.extend(li, disc_price=F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return ops.put(ext, l_orderkey="l_orderkey", l_linenumber="l_linenumber", disc_price="disc_price")
+
+
+def q_rename(spark, sf):
+    n = _t(spark, sf, "nation")
+    return ops.rename(n, nation_name="n_name", nation_key="n_nationkey")
+
+
+def q_summarize(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    out = ops.summarize(
+        li,
+        [
+            ("sum_qty", "sum", "l_quantity"),
+            ("min_price", "min", "l_extendedprice"),
+            ("max_price", "max", "l_extendedprice"),
+            ("n", "count_star", "."),
+            ("n_orders", "count_distinct", "l_orderkey"),
+        ],
+        by=["l_returnflag", "l_linestatus"],
+    )
+    return out.select(
+        "l_returnflag", "l_linestatus",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        "min_price", "max_price", "n", "n_orders",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+def q_summarize_resolution(spark, sf):
+    ev = _t(spark, sf, "events")
+    out = ops.summarize(
+        ev,
+        [("n", "count_star", "."), ("total", "sum", "value")],
+        by=["ts"],
+        resolution="1 hour",
+        time_col="ts",
+    )
+    return out.select(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "n", F.round("total", 2).alias("total"),
+    ).orderBy("bucket")
+
+
+def q_sort(spark, sf):
+    o = _t(spark, sf, "orders")
+    return ops.sort(o, "o_totalprice", ascending=False).limit(100) \
+        .select("o_orderkey", "o_totalprice")
+
+
+def q_head(spark, sf):
+    li = _t(spark, sf, "lineitem").orderBy("l_orderkey", "l_linenumber")
+    return li.limit(20).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+def q_tail(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ops.tail(ev, 10, order_by="event_id").select("event_id", "event_type")
+
+
+def q_taste(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ops.taste(ev, 3, schema_col="event_type", order_by="event_id") \
+        .select("event_id", "event_type", "user_id")
+
+
+def q_top(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ops.top(ev, "event_type")
+
+
+def q_rare(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ops.rare(ev, "event_type")
+
+
+def q_unique(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ops.unique(ev.select("event_type", "user_id")).orderBy("event_type", "user_id")
+
+
+def q_dedup_max_lsn(spark, sf):
+    ev = _t(spark, sf, "events")
+    out = ops.deduplicate(ev.select("user_id", "event_id", "event_type", "value"),
+                          "user_id", "event_id")
+    return out.select("user_id", "event_id", "event_type", "value")
+
+
+def q_enumerate(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ops.enumerate_rows(ev, order_by="event_id") \
+        .select("idx", "event_id", "event_type")
+
+
+def q_hash(spark, sf):
+    c = _t(spark, sf, "customer")
+    return ops.hash_column(c.select("c_custkey", "c_name"), "c_name") \
+        .select("c_custkey", "c_name_hashed")
+
+
+def q_flatten_json(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )
+
+
+def q_join_agg(spark, sf):
+    """Broadcast dims -> fact join (the reference has no joins; this is
+    the engine's Spark-native extension, TPC-H Q5 shape)."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+        .orderBy("n_name")
+    )
+
+
+def q_tpch_q6(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    out = li.filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount").between(0.05, 0.07)) & (F.col("l_quantity") < 24)
+    )
+    return out.agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+                   .alias("revenue"),
+                   F.count(F.lit(1)).alias("n"))
+
+
+def q_exact_dedup(spark, sf):
+    d = _t(spark, sf, "documents")
+    out = dedup.exact_dedup(d.select("doc_id", "text"), ["text"], keep_col="doc_id")
+    return out.select("doc_id").orderBy("doc_id")
+
+
+def q_text_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars2"),
+        F.round(text.alpha_ratio("text"), 6).alias("alpha_ratio"),
+    ).orderBy("doc_id")
+
+
+def q_token_by_lang(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (
+        d.select("lang", text.token_count("text").alias("n"))
+        .groupBy("lang")
+        .agg(F.sum("n").alias("total_tokens"), F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
+def q_fingerprint(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", text.fingerprint("text").alias("fp")).orderBy("doc_id")
+
+
+def q_quality(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.round(text.quality_score("text"), 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def q_cosine_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(x) for x in qrow[0]]
+    out = similarity.cosine_topk(emb, query, k=20)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def q_minhash_near_dups(spark, sf):
+    d = _t(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_candidates(d, "doc_id", "text", n_hashes=32, bands=8)
+    return pairs.filter(F.col("est_jaccard") >= 0.5).select("id_a", "id_b") \
+        .orderBy("id_a", "id_b")
+
+
+def q_simhash(spark, sf):
+    d = _t(spark, sf, "documents")
+    pairs = dedup.simhash_near_dups(d, "doc_id", "text", band_bits=16)
+    return pairs.filter(F.col("hamming") <= 8).select("id_a", "id_b", "hamming") \
+        .orderBy("id_a", "id_b")
+
+
+def q_ngram_jaccard(spark, sf):
+    d = _t(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.6)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")) \
+        .orderBy("id_a", "id_b")
+
+
+def q_ann_lsh(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(x) for x in qrow[0]]
+    out = similarity.ann_topk_lsh(emb, query, k=10)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "where_select": q_where_select,
+        "drop": q_drop,
+        "put_extend": q_put_extend,
+        "rename": q_rename,
+        "summarize": q_summarize,
+        "summarize_resolution": q_summarize_resolution,
+        "sort": q_sort,
+        "head": q_head,
+        "tail": q_tail,
+        "taste": q_taste,
+        "top": q_top,
+        "rare": q_rare,
+        "unique": q_unique,
+        "dedup_max_lsn": q_dedup_max_lsn,
+        "enumerate": q_enumerate,
+        "hash": q_hash,
+        "flatten_json": q_flatten_json,
+        "join_agg": q_join_agg,
+        "tpch_q6": q_tpch_q6,
+        "exact_dedup": q_exact_dedup,
+        "text_stats": q_text_stats,
+        "token_by_lang": q_token_by_lang,
+        "fingerprint": q_fingerprint,
+        "quality": q_quality,
+        "cosine_topk": q_cosine_topk,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_lsh": q_ann_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "where_select": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+        """,
+        "drop": "SELECT r_regionkey FROM region",
+        "put_extend": """
+            SELECT l_orderkey, l_linenumber,
+                   l_extendedprice * (1 - l_discount) AS disc_price
+            FROM lineitem
+        """,
+        "rename": """
+            SELECT n_name AS nation_name, n_nationkey AS nation_key, n_regionkey
+            FROM nation
+        """,
+        "summarize": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   min(l_extendedprice) AS min_price,
+                   max(l_extendedprice) AS max_price,
+                   count(*) AS n,
+                   count(DISTINCT l_orderkey) AS n_orders
+            FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "summarize_resolution": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+                   count(*) AS n, round(sum(value), 2) AS total
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "sort": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC LIMIT 100
+        """,
+        "head": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            ORDER BY l_orderkey, l_linenumber LIMIT 20
+        """,
+        "tail": """
+            SELECT event_id, event_type FROM (
+              SELECT event_id, event_type FROM events ORDER BY event_id DESC LIMIT 10
+            ) ORDER BY event_id
+        """,
+        "taste": """
+            SELECT event_id, event_type, user_id FROM (
+              SELECT event_id, event_type, user_id,
+                     row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+              FROM events
+            ) WHERE rn <= 3
+        """,
+        "top": """
+            SELECT event_type, count(*) AS count FROM events
+            GROUP BY 1 ORDER BY count DESC, event_type ASC
+        """,
+        "rare": """
+            SELECT event_type, count(*) AS count FROM events
+            GROUP BY 1 ORDER BY count ASC, event_type ASC
+        """,
+        "unique": """
+            SELECT DISTINCT event_type, user_id FROM events ORDER BY 1, 2
+        """,
+        "dedup_max_lsn": """
+            SELECT user_id, event_id, event_type, value FROM (
+              SELECT user_id, event_id, event_type, value,
+                     row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "enumerate": """
+            SELECT row_number() OVER (ORDER BY event_id) - 1 AS idx,
+                   event_id, event_type
+            FROM events
+        """,
+        "hash": """
+            SELECT c_custkey, sha256(c_name) AS c_name_hashed FROM customer
+        """,
+        "flatten_json": """
+            SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+            FROM events
+        """,
+        "join_agg": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "tpch_q6": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "exact_dedup": """
+            SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY text ORDER BY doc_id
+        """,
+        "text_stats": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                   length(text) AS n_chars2,
+                   round(CASE WHEN length(text) > 0
+                         THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                              / length(text)
+                         ELSE 0.0 END, 6) AS alpha_ratio
+            FROM documents ORDER BY doc_id
+        """,
+        "token_by_lang": """
+            SELECT lang,
+                   sum(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(text), '\\s+')) END) AS total_tokens,
+                   count(*) AS n_docs
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+            FROM documents ORDER BY doc_id
+        """,
+        "quality": """
+            SELECT doc_id, round(
+              0.4 * least(1.0, (CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '\\s+')) END) / 50.0)
+            + 0.3 * (CASE WHEN length(text) > 0
+                     THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                          / length(text) ELSE 0.0 END)
+            + 0.3 * (1.0 - least(1.0, 4.0 * (CASE WHEN length(text) > 0
+                     THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+                          / length(text) ELSE 0.0 END)))
+            , 6) AS quality
+            FROM documents ORDER BY doc_id
+        """,
+        "cosine_topk": """
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(q.embedding AS DOUBLE[])), 4) AS cosine
+            FROM embeddings e,
+                 (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])) DESC,
+                     e.vec_id ASC
+            LIMIT 20
+        """,
+        "ngram_jaccard": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(t[i:i+2], ' ')
+                                    for i in range(1, len(t) - 1)]) AS grams
+              FROM toks WHERE len(t) >= 3
+            ), inv AS (
+              SELECT doc_id, len(grams) AS n, unnest(grams) AS g FROM sh
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+                     count(*) AS inter
+              FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT id_a, id_b,
+                   round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6) AS jaccard
+            FROM pairs
+            WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.6
+            ORDER BY id_a, id_b
+        """,
+        # minhash_near_dups / simhash / ann_lsh: hash-family internals are
+        # not SQL-expressible — driver records rows-only checks; exactness
+        # is pinned by tests/test_functions.py against hand-built fixtures.
+    }

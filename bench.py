@@ -1,0 +1,120 @@
+"""Benchmark harness. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+- query timings: headline operator queries from __spark_entry__ at
+  $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), forced with a noop
+  sink (no driver collect).
+- cdc_apply: the north-rule metric — a deterministic synthetic change log
+  applied end-to-end (tail -> dedup -> merge -> commit) into a fresh lake
+  table; reported as seconds here and change-events/sec in "value".
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_CDC_EVENTS,
+BENCH_QUERIES (comma list to restrict).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "where_select", "summarize", "summarize_resolution", "sort", "top",
+    "dedup_max_lsn", "join_agg", "tpch_q6", "exact_dedup", "text_stats",
+    "fingerprint", "minhash_near_dups", "cosine_topk",
+]
+
+
+def _force(df) -> int:
+    """Materialize fully on executors; returns row count via observe-free
+    count (count reuses the same plan; noop write avoids collect)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def bench_cdc(spark, n_events: int, n_salts: int = 16) -> tuple[float, int, float]:
+    from tenzir_spark.cdc import CdcEngine, gen_change_log, pages_schema
+    from tenzir_spark.lake import LakeTable
+
+    root = tempfile.mkdtemp(prefix="bench_lake_")
+    try:
+        log = gen_change_log(
+            spark, n_events,
+            n_domains=200, pages_per_domain=500,
+            events_per_epoch=max(n_events // 4, 1),
+            schema_change_every=3,
+        ).cache()
+        log.count()  # generation off the clock; we time the APPLY path
+        # warm-up: one tiny apply on a throwaway table to absorb JVM
+        # codegen / python-worker / parquet-writer cold start, so the
+        # timed section reflects steady-state throughput (the regime a
+        # long-running 10^10-event tail actually operates in)
+        wt = LakeTable.create(spark, os.path.join(root, "warmup"),
+                              pages_schema(), "url", num_buckets=4,
+                              write_mode=os.environ.get("BENCH_MODE", "mor"))
+        CdcEngine(spark, wt, n_salts=n_salts).apply_epoch(
+            gen_change_log(spark, 2000, events_per_epoch=2000), 0)
+        table = LakeTable.create(
+            spark, os.path.join(root, "pages"), pages_schema(), "url",
+            num_buckets=int(os.environ.get("BENCH_BUCKETS", "32")),
+            write_mode=os.environ.get("BENCH_MODE", "mor"))
+        eng = CdcEngine(spark, table, n_salts=n_salts)
+        t0 = time.perf_counter()
+        eng.run(log)
+        dt = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        table.compact()  # maintenance cost reported separately
+        compact_dt = time.perf_counter() - t1
+        log.unpersist()
+        return dt, n_events, compact_dt
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ["SPARK_GRAFT_CPUS"] = cpus
+    n_cdc = int(os.environ.get("BENCH_CDC_EVENTS", "1000000"))
+    only = [q for q in os.environ.get("BENCH_QUERIES", "").split(",") if q]
+
+    from tenzir_spark.session import get_spark
+    import __spark_entry__ as entry
+
+    spark = get_spark("bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(int(cpus), 4))
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    names = only or HEADLINE
+    for name in names:
+        if name not in qs:
+            continue
+        df = qs[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        _force(df)
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    cdc_sec, cdc_events, compact_sec = bench_cdc(spark, n_cdc)
+    timings["cdc_apply"] = round(cdc_sec, 3)
+    timings["cdc_compact"] = round(compact_sec, 3)
+    throughput = cdc_events / cdc_sec if cdc_sec > 0 else 0.0
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(json.dumps({
+        "metric": "cdc change-events/sec applied end-to-end (tail->dedup->merge->commit)",
+        "value": round(throughput, 1),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cores": int(cpus),
+        "cdc_events": cdc_events,
+    }))
+
+
+if __name__ == "__main__":
+    main()

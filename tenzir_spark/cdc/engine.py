@@ -74,7 +74,11 @@ class CdcEngine:
         self.table = table
         self.n_salts = n_salts
 
-    def apply_epoch(self, change_log: DataFrame, epoch: int) -> dict:
+    def apply_epoch(self, change_log: DataFrame, epoch: int,
+                    descriptors: list[str] | None = None) -> dict:
+        """``descriptors``: this epoch's schema-change directives, if the
+        caller already fetched them (run() prefetches ALL epochs'
+        descriptors in one job); None -> collect them here."""
         ek = str(epoch)
         self.table.refresh()
         if ek in self.table.snapshot.ledger:
@@ -83,35 +87,48 @@ class CdcEngine:
         batch = change_log.filter(F.col("epoch") == epoch)
 
         # 1. schema evolution, transactionally BEFORE the merge (north rule)
-        desc_rows = (
-            batch.filter(F.col("op") == "schema")
-            .select("schema_descriptor").collect()
-        )
-        alters = [descriptor_to_alter(r[0]) for r in desc_rows if r[0]]
+        if descriptors is None:
+            descriptors = [
+                r[0] for r in batch.filter(F.col("op") == "schema")
+                .select("schema_descriptor").collect()
+            ]
+        alters = [descriptor_to_alter(d) for d in descriptors if d]
         if alters:
             self.table.alter(alters)
 
-        # 2. shape data rows to the (evolved) table schema; text extraction
-        #    runs in the Arrow-vectorized UDF on executors.
+        # 2. shape data rows to the (evolved) table schema. Text extraction
+        #    is deferred until AFTER dedup so the Arrow UDF only ever runs
+        #    on rows that survive the max-lsn race (at high update rates
+        #    that is a large constant-factor saving).
         key = self.table.snapshot.key_col
-        payload_cols = [f.name for f in self.table.snapshot.schema.fields]
+        schema_fields = {f.name: f.dataType for f in self.table.snapshot.schema.fields}
+        payload_cols = list(schema_fields)
+        derive_text = "html" in batch.columns and "text" in payload_cols
         data = batch.filter(F.col("op") != "schema")
-        if "html" in data.columns and "text" in payload_cols:
-            data = data.withColumn("text", extract_text_udf(F.col("html")))
         cols = [F.col(key), F.col("op"), F.col("lsn")]
         for c in payload_cols:
-            if c == key:
+            if c == key or (c == "text" and derive_text):
                 continue
             if c in data.columns:
                 cols.append(F.col(c))
             else:
-                dt = dict((f.name, f.dataType) for f in self.table.snapshot.schema.fields)[c]
-                cols.append(F.lit(None).cast(dt).alias(c))
+                cols.append(F.lit(None).cast(schema_fields[c]).alias(c))
         shaped = data.select(*cols)
 
-        # 3. max-lsn dedup per key, salted against hot-domain skew
-        deduped = salted_deduplicate(shaped, key, "lsn", self.n_salts)
+        post = (lambda df: df.withColumn("text", extract_text_udf(F.col("html")))) \
+            if derive_text else None
 
+        if self.table.mode == "mor":
+            # 3+4 fused: the lake clusters by bucket and dedups per
+            # partition in one shuffle (see LakeTable._merge_mor); the
+            # text UDF runs post-dedup inside the same stage.
+            return self.table.merge(shaped, epoch, pre_deduplicated=False,
+                                    post_dedup=post)
+
+        # CoW: 3. max-lsn dedup per key, salted against hot-domain skew
+        deduped = salted_deduplicate(shaped, key, "lsn", self.n_salts)
+        if post is not None:
+            deduped = post(deduped)
         # 4. MERGE under the idempotent ledger
         return self.table.merge(deduped, epoch)
 
@@ -123,4 +140,11 @@ class CdcEngine:
                 r[0] for r in
                 change_log.select("epoch").distinct().orderBy("epoch").collect()
             ]
-        return [self.apply_epoch(change_log, e) for e in epochs]
+        # one job fetches every epoch's schema directives (they are rare:
+        # O(epochs) rows), saving a per-epoch collect
+        desc = {}
+        for r in (change_log.filter(F.col("op") == "schema")
+                  .select("epoch", "schema_descriptor").collect()):
+            desc.setdefault(r[0], []).append(r[1])
+        return [self.apply_epoch(change_log, e, descriptors=desc.get(e, []))
+                for e in epochs]

@@ -1,0 +1,94 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` columns with typed metadata structs. The Spark
+side — schemas, mapInPandas batch shape, partition sizing — is real and
+tested; the codec step is STUBBED (no PIL/ffmpeg in this container):
+``decode_image_batch`` raises NotImplementedError unless
+``deterministic_fake=True``, which produces a seeded fake feature vector so
+pipelines are end-to-end testable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),  # image | audio | video
+    T.StructField("content", T.BinaryType(), True),
+    T.StructField("meta", T.StructType([
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]), True),
+])
+
+IMAGE_FEATURES_SCHEMA = (
+    "media_id long, mime string, width int, height int, feature array<float>"
+)
+
+
+def _fake_feature(content: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for a decoded-image embedding: bytes of
+    sha256(content) scaled to [0,1). Same input -> same vector, everywhere."""
+    digest = hashlib.sha256(content or b"").digest()
+    return [b / 255.0 for b in digest[:dim]]
+
+
+def decode_image_batch(pdf: pd.DataFrame, deterministic_fake: bool = False) -> pd.DataFrame:
+    """Decode one Arrow batch of images to features.
+
+    REAL pipelines plug PIL/torchvision here; this container has neither,
+    so only the fake path is runnable. The batch shape (pandas in/out,
+    columns preserved, one row per media) is the production contract."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "image decoding requires PIL/torchvision (not in this container); "
+            "pass deterministic_fake=True for the test double")
+    return pd.DataFrame({
+        "media_id": pdf["media_id"],
+        "mime": pdf["meta"].map(lambda m: (m or {}).get("mime")),
+        "width": pdf["meta"].map(lambda m: (m or {}).get("width")),
+        "height": pdf["meta"].map(lambda m: (m or {}).get("height")),
+        "feature": pdf["content"].map(lambda c: _fake_feature(bytes(c) if c is not None else b"")),
+    })
+
+
+def extract_image_features(df: DataFrame, deterministic_fake: bool = False) -> DataFrame:
+    """mapInPandas over image rows -> feature rows.
+
+    Scale notes: repartition upstream so each Arrow batch holds a bounded
+    number of images (spark.sql.execution.arrow.maxRecordsPerBatch);
+    binary payloads never hit the driver."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield decode_image_batch(pdf, deterministic_fake=deterministic_fake)
+
+    return df.filter(F.col("kind") == "image").mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+def gen_fake_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table for tests (binary payload derived
+    from the id — no external data)."""
+    df = spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)) + 1).cast("int")
+                     ).alias("kind"),
+        F.sha2(F.concat(F.lit("media"), F.col("id").cast("string")), 256)
+         .cast("binary").alias("content"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(64).alias("width"), F.lit(64).alias("height"),
+            F.lit(1000).alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return df

@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: exact baseline, one scan, JVM-side arithmetic
+  (zip_with + aggregate), TakeOrderedAndProject for the top-k — no Python.
+- LSH-bucketed ANN (random hyperplanes): the scale path — signature
+  equi-join prunes the candidate set before exact re-scoring, turning a
+  full-corpus scan per query into a bucket lookup.
+- embedding near-dup: all pairs with cosine >= threshold via the same LSH
+  bucketing (self-join).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(df: DataFrame, query: list[float], k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k by cosine against a literal query vector.
+
+    The plan is scan -> project(score) -> TakeOrderedAndProject(k): each
+    partition keeps its local top-k, the driver merges — no shuffle of the
+    corpus. This is the correct 100 TB brute-force shape."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = df.select(
+        F.col(id_col),
+        cosine(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit i = sign(v . h_i), packed to long."""
+    bits = [
+        F.when(dot(vec_col, F.array(*[F.lit(x) for x in h])) >= 0, F.lit(1)).otherwise(F.lit(0))
+        for h in planes
+    ]
+    sig = F.lit(0).cast("long")
+    for i, b in enumerate(bits):
+        sig = sig + (b.cast("long") * F.lit(1 << i))
+    return sig
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 6,
+    seed: int = 7,
+    multiprobe_bits: int = 2,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: OR-amplified random-hyperplane LSH.
+
+    ``n_tables`` independent hash tables (different plane seeds), each
+    probed at the query's bucket plus all buckets within
+    ``multiprobe_bits`` Hamming distance; the candidate union is exactly
+    re-scored. Recall grows as 1-(1-p^b)^L while the scanned fraction
+    stays ~L * probes / 2^b — the standard scale/recall dial (Indyk &
+    Motwani '98; multiprobe: Lv et al. '07)."""
+    dim = len(query)
+    vec = F.col(vec_col).cast("array<double>")
+    pred = None
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        qsig = 0
+        for i, h in enumerate(planes):
+            if sum(a * b for a, b in zip(query, h)) >= 0:
+                qsig |= 1 << i
+        probes = {qsig}
+        if multiprobe_bits >= 1:
+            for i in range(n_planes):
+                probes.add(qsig ^ (1 << i))
+        if multiprobe_bits >= 2:
+            for i in range(n_planes):
+                for j in range(i + 1, n_planes):
+                    probes.add(qsig ^ (1 << i) ^ (1 << j))
+        hit = lsh_signature(vec, planes).isin([int(s) for s in probes])
+        pred = hit if pred is None else (pred | hit)
+    cand = df.select(F.col(id_col), vec.alias("__v")).filter(pred)
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = cand.select(F.col(id_col), cosine(F.col("__v"), q).alias("cosine"))
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 14,
+    seed: int = 7,
+) -> DataFrame:
+    """All pairs with cosine >= threshold, candidates bucketed by LSH
+    signature (vectors this similar collide on all planes w.h.p.)."""
+    dim_row = df.select(F.size(vec_col)).first()
+    planes = _hyperplanes(dim_row[0], n_planes, seed)
+    vec = F.col(vec_col).cast("array<double>")
+    base = df.select(F.col(id_col).alias("__id"), vec.alias("__v"),
+                     lsh_signature(vec, planes).alias("__sig"))
+    a = base.select("__sig", F.col("__id").alias("id_a"), F.col("__v").alias("v_a"))
+    b = base.select("__sig", F.col("__id").alias("id_b"), F.col("__v").alias("v_b"))
+    pairs = a.join(b, "__sig").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )

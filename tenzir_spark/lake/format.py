@@ -54,14 +54,17 @@ class DataFile:
     rows: int
     schema_epoch: int  # index into schema_log at write time
     stats: dict[str, dict[str, Any]] = field(default_factory=dict)  # col -> {min,max,nulls}
+    kind: str = "base"  # "base" | "delta" (merge-on-read change file)
 
     def to_json(self) -> dict:
         return {"path": self.path, "bucket": self.bucket, "rows": self.rows,
-                "schema_epoch": self.schema_epoch, "stats": self.stats}
+                "schema_epoch": self.schema_epoch, "stats": self.stats,
+                "kind": self.kind}
 
     @staticmethod
     def from_json(d: dict) -> "DataFile":
-        return DataFile(d["path"], d["bucket"], d["rows"], d["schema_epoch"], d.get("stats", {}))
+        return DataFile(d["path"], d["bucket"], d["rows"], d["schema_epoch"],
+                        d.get("stats", {}), d.get("kind", "base"))
 
 
 @dataclass

@@ -46,7 +46,21 @@ class LakeTable:
 
     @classmethod
     def create(cls, spark: SparkSession, root: str, schema: T.StructType,
-               key_col: str, num_buckets: int = 16) -> "LakeTable":
+               key_col: str, num_buckets: int = 16,
+               write_mode: str = "cow") -> "LakeTable":
+        """``write_mode``:
+
+        - ``cow`` (copy-on-write): merge rewrites touched buckets; reads
+          are plain scans. Best for read-heavy tables / low change rates.
+        - ``mor`` (merge-on-read): merge appends per-bucket DELTA files
+          (no target read, no join — pure bucketed append), readers
+          resolve max-lsn per key at scan time, compaction folds deltas
+          into base files. The correct mode for high-rate CDC at 10^10
+          events — write amplification drops from O(table) to O(batch)
+          per epoch (Iceberg MoR / LSM semantics).
+        """
+        if write_mode not in ("cow", "mor"):
+            raise ValueError("write_mode must be 'cow' or 'mor'")
         os.makedirs(os.path.join(root, "_meta"), exist_ok=True)
         os.makedirs(os.path.join(root, DATA_DIR), exist_ok=True)
         if key_col not in schema.fieldNames():
@@ -54,10 +68,14 @@ class LakeTable:
         snap = Snapshot(
             version=1, schema_json=schema.jsonValue(), schema_log=[],
             files=[], num_buckets=num_buckets, key_col=key_col, ledger={},
-            properties={"created_at": str(time.time())},
+            properties={"created_at": str(time.time()), "write_mode": write_mode},
         )
         write_snapshot_atomic(root, snap)
         return cls(spark, root, snap)
+
+    @property
+    def mode(self) -> str:
+        return self.snapshot.properties.get("write_mode", "cow")
 
     @classmethod
     def load(cls, spark: SparkSession, root: str) -> "LakeTable":
@@ -91,16 +109,26 @@ class LakeTable:
                 cols.append(F.col(fld.name).cast(fld.dataType).alias(fld.name))
             else:
                 cols.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+        if self.mode == "mor":
+            # MoR internals (resolution metadata)
+            cols.append((F.col("__lsn") if "__lsn" in df.columns
+                         else F.lit(-1).cast("long")).alias("__lsn"))
+            cols.append((F.col("__op") if "__op" in df.columns
+                         else F.lit("upsert")).alias("__op"))
         return df.select(*cols)
 
     def read(self, buckets: list[int] | None = None,
-             key_range: tuple | None = None) -> DataFrame:
+             key_range: tuple | None = None, resolve: bool = True) -> DataFrame:
         """Scan the table at the current snapshot.
 
         ``buckets`` restricts to the given bucket ids (metadata-only file
         pruning, zero I/O for the rest — the catalog-synopsis behavior of
         export.cpp:56-107). ``key_range=(lo,hi)`` additionally prunes by
         per-file key min/max stats.
+
+        In MoR mode, base + delta files are combined and resolved to one
+        row per key (max __lsn wins, deletes drop) unless ``resolve=False``
+        (internal/compaction use — returns raw rows incl. __lsn/__op).
         """
         files = self.snapshot.files
         if buckets is not None:
@@ -119,7 +147,11 @@ class LakeTable:
             files = kept
         cur = self.snapshot.schema
         if not files:
-            return self.spark.createDataFrame([], cur)
+            # typed empty relation without the slow createDataFrame path
+            cols = [F.lit(None).cast(f.dataType).alias(f.name) for f in cur.fields]
+            if self.mode == "mor" and not resolve:
+                cols += [F.lit(-1).cast("long").alias("__lsn"), F.lit("upsert").alias("__op")]
+            return self.spark.range(0).select(*cols)
         by_epoch: dict[int, list[str]] = {}
         for f in files:
             by_epoch.setdefault(f.schema_epoch, []).append(os.path.join(self.root, f.path))
@@ -129,7 +161,24 @@ class LakeTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if self.mode == "mor" and resolve:
+            if any(f.kind == "delta" for f in files):
+                out = self._resolve(out)
+            else:
+                # fully compacted: base files hold one live row per key
+                out = out.filter(F.col("__op") != "delete").drop("__lsn", "__op")
         return out
+
+    def _resolve(self, raw: DataFrame) -> DataFrame:
+        """MoR read-time resolution: one row per key (max __lsn), deletes
+        dropped. Hash aggregate with partial (map-side) aggregation — the
+        skew-safe shape (see operators.deduplicate)."""
+        key = self.snapshot.key_col
+        others = [c for c in raw.columns if c != key]
+        row = F.max_by(F.struct(*[F.col(c) for c in others]), F.col("__lsn"))
+        out = raw.groupBy(key).agg(row.alias("__r"))
+        out = out.select(key, *[F.col(f"__r.{c}").alias(c) for c in others])
+        return out.filter(F.col("__op") != "delete").drop("__lsn", "__op")
 
     def row_count(self) -> int:
         return sum(f.rows for f in self.snapshot.files)
@@ -196,11 +245,16 @@ class LakeTable:
 
     def append(self, df: DataFrame) -> None:
         """Bulk load (initial snapshot population)."""
+        if self.mode == "mor":
+            df = df.withColumn("__lsn", F.lit(-1).cast("long")) \
+                   .withColumn("__op", F.lit("upsert"))
         self._commit_files(self._write_bucketed(df), replace_buckets=None, epoch=None,
                            epoch_stats=None)
 
     def merge(self, changes: DataFrame, epoch: int | str,
-              op_col: str = "op", lsn_col: str = "lsn") -> dict:
+              op_col: str = "op", lsn_col: str = "lsn",
+              pre_deduplicated: bool = True,
+              post_dedup=None) -> dict:
         """MERGE INTO under the exactly-once protocol.
 
         ``changes`` must hold one row per key (pre-deduplicated, e.g. by
@@ -220,8 +274,20 @@ class LakeTable:
         if ek in self.snapshot.ledger:
             return {**self.snapshot.ledger[ek], "skipped": True}
 
+        if self.mode == "mor":
+            return self._merge_mor(changes, ek, op_col, lsn_col,
+                                   pre_deduplicated, post_dedup)
+        if not pre_deduplicated:
+            from tenzir_spark.operators.limit import deduplicate as _dedup
+            changes = _dedup(changes, self.snapshot.key_col, lsn_col)
+        if post_dedup is not None:
+            changes = post_dedup(changes)
+
         nb = self.snapshot.num_buckets
         changes = changes.withColumn("__bucket", bucket_expr(key, nb))
+        # cache: the change set feeds (a) the stats collect and (b) the
+        # merge join — without this the dedup + UDF lineage runs twice
+        changes = changes.persist()
         # small collect: epoch-level apply stats + touched bucket ids
         agg = changes.groupBy().agg(
             F.collect_set("__bucket").alias("buckets"),
@@ -253,7 +319,10 @@ class LakeTable:
                 for c in payload_cols if c != key
             ],
         )
-        new_files = self._write_bucketed(merged, only_buckets=touched)
+        try:
+            new_files = self._write_bucketed(merged, only_buckets=touched)
+        finally:
+            changes.unpersist()
         entry = {"rows_applied": int(agg["rows"]),
                  "lsn_watermark": int(agg["watermark"]) if agg["watermark"] is not None else None,
                  "committed_at": time.time()}
@@ -261,21 +330,81 @@ class LakeTable:
         self._write_checkpoints(ek, new_files, entry)
         return entry
 
-    # ------------------------------------------------------------- internals
+    def _merge_mor(self, changes: DataFrame, ek: str, op_col: str, lsn_col: str,
+                   pre_deduplicated: bool = True, post_dedup=None) -> dict:
+        """Merge-on-read apply: ONE shuffle per epoch.
 
-    def _write_bucketed(self, df: DataFrame, only_buckets: list[int] | None = None) -> list[DataFile]:
-        """Write rows as one parquet file per bucket under a fresh commit
-        dir; returns DataFile entries with footer-accurate stats."""
+        With ``pre_deduplicated=False`` the max-lsn dedup is FUSED with
+        bucket clustering: repartition by __bucket, then
+        groupBy(__bucket, key) — hash(bucket) already clusters every key
+        (bucket is a function of the key), so Catalyst inserts no second
+        exchange, and the write needs no repartition either. The whole
+        epoch is: map -> shuffle(bucket) -> per-partition hash-agg ->
+        [post_dedup hook, e.g. text-extraction UDF] -> write. Partial
+        aggregation before the shuffle absorbs hot-key skew.
+
+        No target read, no join; rows_applied and the lsn watermark come
+        from the parquet footers of the files just written."""
         key = self.snapshot.key_col
         nb = self.snapshot.num_buckets
+        payload = [f.name for f in self.snapshot.schema.fields]
+        in_cols = [c for c in payload if c != key and c in changes.columns]
+        delta = changes.select(
+            F.col(key),
+            *[F.col(c) for c in in_cols],
+            F.col(lsn_col).cast("long").alias("__lsn"),
+            F.col(op_col).alias("__op"),
+        )
+        clustered = False
+        if not pre_deduplicated:
+            delta = delta.withColumn("__b", bucket_expr(key, nb))
+            delta = delta.repartition(F.col("__b"))
+            others = [c for c in delta.columns if c not in (key, "__b")]
+            row = F.max_by(F.struct(*[F.col(c) for c in others]), F.col("__lsn"))
+            delta = (delta.groupBy("__b", key).agg(row.alias("__r"))
+                     .select("__b", key, *[F.col(f"__r.{c}").alias(c) for c in others]))
+            clustered = True
+        if post_dedup is not None:
+            delta = post_dedup(delta)
+        # typed nulls for schema columns the stream didn't carry
+        for f in self.snapshot.schema.fields:
+            if f.name not in delta.columns:
+                delta = delta.withColumn(f.name, F.lit(None).cast(f.dataType))
+        new_files = self._write_bucketed(delta, kind="delta", clustered=clustered)
+        watermark = None
+        for f in new_files:
+            st = f.stats.get("__lsn")
+            if st and st.get("max") is not None:
+                watermark = st["max"] if watermark is None else max(watermark, st["max"])
+        entry = {"rows_applied": int(sum(f.rows for f in new_files)),
+                 "lsn_watermark": int(watermark) if watermark is not None else None,
+                 "committed_at": time.time()}
+        self._commit_files(new_files, replace_buckets=None, epoch=ek, epoch_stats=entry)
+        self._write_checkpoints(ek, new_files, entry)
+        return entry
+
+    # ------------------------------------------------------------- internals
+
+    def _write_bucketed(self, df: DataFrame, only_buckets: list[int] | None = None,
+                        kind: str = "base", clustered: bool = False) -> list[DataFile]:
+        """Write rows as one parquet file per bucket under a fresh commit
+        dir; returns DataFile entries with footer-accurate stats.
+        ``clustered=True`` promises df already carries a __b bucket column
+        and is hash-distributed by it — no extra shuffle is added."""
+        key = self.snapshot.key_col
+        nb = self.snapshot.num_buckets
+        stat_cols = [key] + (["__lsn"] if "__lsn" in df.columns else [])
         commit = f"commit-{uuid.uuid4().hex[:12]}"
         out_dir = os.path.join(self.root, DATA_DIR, commit)
-        df = df.withColumn("__b", bucket_expr(key, nb))
-        if only_buckets is not None:
-            df = df.filter(F.col("__b").isin([int(b) for b in only_buckets]))
-        # repartition by bucket -> partitionBy writes ~1 file per bucket dir
-        (df.repartition(nb, "__b")
-           .write.mode("overwrite").partitionBy("__b").parquet(out_dir))
+        if not clustered:
+            df = df.withColumn("__b", bucket_expr(key, nb))
+            if only_buckets is not None:
+                df = df.filter(F.col("__b").isin([int(b) for b in only_buckets]))
+            # hash-distribute by bucket; AQE sizes the task count (tiny
+            # epochs collapse to few tasks, huge ones fan out), partitionBy
+            # still yields one file per bucket per task
+            df = df.repartition("__b")
+        (df.write.mode("overwrite").partitionBy("__b").parquet(out_dir))
         files: list[DataFile] = []
         schema_epoch = len(self.snapshot.schema_log)
         for bdir in sorted(os.listdir(out_dir)):
@@ -287,8 +416,8 @@ class LakeTable:
                     continue
                 fpath = os.path.join(out_dir, bdir, name)
                 rel = os.path.relpath(fpath, self.root)
-                rows, stats = _footer_stats(fpath, [key])
-                files.append(DataFile(rel, bucket, rows, schema_epoch, stats))
+                rows, stats = _footer_stats(fpath, stat_cols)
+                files.append(DataFile(rel, bucket, rows, schema_epoch, stats, kind))
         return files
 
     def _commit_files(self, new_files: list[DataFile], replace_buckets: list[int] | None,
@@ -322,23 +451,27 @@ class LakeTable:
         raise CommitConflict("exhausted snapshot commit retries")
 
     def _write_checkpoints(self, epoch: str, files: list[DataFile], entry: dict) -> None:
-        """Per-partition lineage/metrics rows (north rule A3 table)."""
-        rows = [
-            (int(epoch) if epoch.isdigit() else -1, f.bucket, f.rows,
-             entry.get("lsn_watermark"), float(entry["committed_at"]))
-            for f in files
-        ] or [(int(epoch) if epoch.isdigit() else -1, -1, 0,
-               entry.get("lsn_watermark"), float(entry["committed_at"]))]
-        schema = T.StructType([
-            T.StructField("checkpoint_epoch", T.LongType()),
-            T.StructField("partition_id", T.IntegerType()),
-            T.StructField("rows_applied", T.LongType()),
-            T.StructField("lsn_watermark", T.LongType()),
-            T.StructField("commit_epoch", T.DoubleType()),
-        ])
-        (self.spark.createDataFrame(rows, schema)
-         .coalesce(1).write.mode("append")
-         .parquet(os.path.join(self.root, CHECKPOINT_DIR)))
+        """Per-partition lineage/metrics rows (north rule A3 table).
+
+        Written with pyarrow on the driver — it is O(buckets) metadata, so
+        spinning up a Spark job for it would be pure overhead."""
+        import pyarrow as pa
+
+        e = int(epoch) if epoch.isdigit() else -1
+        rows = [(e, f.bucket, f.rows, entry.get("lsn_watermark"),
+                 float(entry["committed_at"])) for f in files] \
+            or [(e, -1, 0, entry.get("lsn_watermark"), float(entry["committed_at"]))]
+        tbl = pa.table({
+            "checkpoint_epoch": pa.array([r[0] for r in rows], pa.int64()),
+            "partition_id": pa.array([r[1] for r in rows], pa.int32()),
+            "rows_applied": pa.array([r[2] for r in rows], pa.int64()),
+            "lsn_watermark": pa.array([r[3] for r in rows], pa.int64()),
+            "commit_epoch": pa.array([r[4] for r in rows], pa.float64()),
+        })
+        cp_dir = os.path.join(self.root, CHECKPOINT_DIR)
+        os.makedirs(cp_dir, exist_ok=True)
+        if pq is not None:
+            pq.write_table(tbl, os.path.join(cp_dir, f"cp-{epoch}-{uuid.uuid4().hex[:8]}.parquet"))
 
     def checkpoints(self) -> DataFrame:
         path = os.path.join(self.root, CHECKPOINT_DIR)
@@ -348,13 +481,33 @@ class LakeTable:
                     " lsn_watermark long, commit_epoch double")
         return self.spark.read.parquet(path)
 
-    def compact(self, target_rows: int = 4_194_304) -> None:
-        """Rewrite undersized buckets' files into one file per bucket —
+    def compact(self, target_rows: int = 4_194_304, max_deltas: int = 0) -> None:
+        """Fold small / delta files back into one base file per bucket —
         the reference's ``rebuild`` (rebuild.cpp:45-47 merges partitions
-        under 0.8x max size; Iceberg rewrite_data_files)."""
+        under 0.8x max size; Iceberg rewrite_data_files).
+
+        CoW: merges buckets with multiple undersized files.
+        MoR: resolves buckets whose delta-file count exceeds
+        ``max_deltas`` down to a single base file (keeping resolved __lsn
+        so later out-of-order writers can never regress a row)."""
         by_bucket: dict[int, list[DataFile]] = {}
         for f in self.snapshot.files:
             by_bucket.setdefault(f.bucket, []).append(f)
+        if self.mode == "mor":
+            need = [b for b, fs in by_bucket.items()
+                    if sum(1 for x in fs if x.kind == "delta") > max_deltas]
+            if not need:
+                return
+            raw = self.read(buckets=need, resolve=False)
+            key = self.snapshot.key_col
+            others = [c for c in raw.columns if c != key]
+            row = F.max_by(F.struct(*[F.col(c) for c in others]), F.col("__lsn"))
+            resolved = (raw.groupBy(key).agg(row.alias("__r"))
+                        .select(key, *[F.col(f"__r.{c}").alias(c) for c in others])
+                        .filter(F.col("__op") != "delete"))
+            new_files = self._write_bucketed(resolved, only_buckets=need, kind="base")
+            self._commit_files(new_files, replace_buckets=need, epoch=None, epoch_stats=None)
+            return
         need = [b for b, fs in by_bucket.items()
                 if len(fs) > 1 and sum(x.rows for x in fs) < int(0.8 * target_rows)]
         if not need:

@@ -131,3 +131,26 @@ def test_salted_dedup_equals_plain_dedup(spark, change_log):
     a = salted_deduplicate(data, "url", "lsn", n_salts=4)
     b = deduplicate(data, "url", "lsn")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_mor_final_state_matches_replay(spark, change_log, tmp_path_factory):
+    """The merge-on-read path must produce the identical final state."""
+    root = str(tmp_path_factory.mktemp("lake3") / "pages")
+    table = LakeTable.create(spark, root, pages_schema(), "url",
+                             num_buckets=8, write_mode="mor")
+    engine = CdcEngine(spark, table, n_salts=4)
+    engine.run(change_log)
+    expected, columns = replay([r.asDict() for r in change_log.collect()])
+    got = {r["url"]: r.asDict() for r in table.read().collect()}
+    assert set(got) == set(expected)
+    for url, exp in expected.items():
+        for c in columns:
+            g = got[url].get(c)
+            if isinstance(g, bytearray):
+                g = bytes(g)
+            if c == "warc_ts" and g is not None:
+                g = g.replace(tzinfo=None)
+            assert g == exp.get(c), f"{url}.{c}"
+    # and stays identical after compaction
+    table.compact()
+    assert {r["url"] for r in table.read().collect()} == set(expected)

@@ -1,0 +1,138 @@
+"""Training-data function tests: text analysis, dedup family, similarity,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from tenzir_spark.functions import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=0, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),  # exact dup
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy cat"),  # near dup
+        Row(doc_id=3, text="completely different content about spark engines"),
+        Row(doc_id=4, text="der hund und die katze sind nicht ein team"),
+        Row(doc_id=5, text=""),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_token_count(docs):
+    got = {r.doc_id: r.n for r in docs.select("doc_id", text.token_count("text").alias("n")).collect()}
+    assert got[0] == 9 and got[5] == 0
+
+
+def test_quality_and_ratios(docs):
+    row = docs.filter("doc_id = 0").select(
+        text.punct_ratio("text").alias("p"),
+        text.alpha_ratio("text").alias("a"),
+        text.stopword_ratio("text").alias("s"),
+        text.quality_score("text").alias("q"),
+    ).collect()[0]
+    assert row.p == 0.0
+    assert 0.7 < row.a < 0.85  # spaces are non-alpha
+    assert abs(row.s - 2 / 9) < 1e-9  # 'the' twice
+    assert 0.0 <= row.q <= 1.0
+
+
+def test_lang_id(docs):
+    got = {r.doc_id: r.lang for r in docs.select("doc_id", text.lang_id("text").alias("lang")).collect()}
+    assert got[0] == "en" and got[4] == "de" and got[5] == "und"
+
+
+def test_fingerprint_stable_under_reflow(spark):
+    df = spark.createDataFrame([Row(a="Hello   World"), Row(a="hello world")])
+    fps = [r.fp for r in df.select(text.fingerprint("a").alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs, ["text"], keep_col="doc_id")
+    ids = {r.doc_id for r in out.collect()}
+    assert 0 in ids and 1 not in ids and len(ids) == 5
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    pairs = dedup.minhash_lsh_candidates(docs, "doc_id", "text", n_hashes=64, bands=16)
+    got = {(r.id_a, r.id_b): r.est_jaccard for r in pairs.collect()}
+    assert got.get((0, 1)) == 1.0            # exact dup: all minhashes agree
+    assert (0, 2) in got and got[(0, 2)] > 0.5  # near dup caught by some band
+    assert (0, 3) not in got                  # unrelated docs share no band
+
+
+def test_ngram_jaccard_exact(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert got[(0, 1)] == 1.0
+    assert 0.5 <= got[(0, 2)] < 1.0
+    assert (0, 3) not in got
+
+
+def test_simhash_near_dups(docs):
+    pairs = dedup.simhash_near_dups(docs.filter("text != ''"), "doc_id", "text")
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got[(0, 1)] == 0
+    assert got.get((0, 2), 99) <= 12
+
+
+def test_cosine_topk(spark):
+    rows = [Row(vec_id=i, embedding=[float(i == j) for j in range(4)]) for i in range(4)]
+    rows.append(Row(vec_id=4, embedding=[0.9, 0.1, 0.0, 0.0]))
+    df = spark.createDataFrame(rows)
+    out = similarity.cosine_topk(df, [1.0, 0.0, 0.0, 0.0], k=2)
+    got = [r.vec_id for r in out.collect()]
+    assert got[0] == 0 and got[1] == 4
+    cos = {r.vec_id: r.cosine for r in out.collect()}
+    assert abs(cos[0] - 1.0) < 1e-12
+    assert abs(cos[4] - 0.9 / math.sqrt(0.82)) < 1e-9
+
+
+def test_ann_lsh_matches_bruteforce_top1(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id = 7").select("embedding").first()[0]
+    query = [float(x) for x in q]
+    exact = similarity.cosine_topk(emb, query, k=1, vec_col="embedding").collect()
+    approx = similarity.ann_topk_lsh(emb, query, k=1, vec_col="embedding").collect()
+    assert exact[0].vec_id == 7  # self-match
+    assert approx and approx[0].vec_id == 7  # query's own bucket contains it
+
+
+def test_embedding_near_dups_self(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.999, 0.001, 0.0]),
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = similarity.embedding_near_dups(df, threshold=0.99)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got and (0, 2) not in got
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.gen_fake_media(spark, 30)
+    feats = multimodal.extract_image_features(media, deterministic_fake=True)
+    rows = feats.collect()
+    assert rows and all(len(r.feature) == 8 for r in rows)
+    n_images = media.filter("kind = 'image'").count()
+    assert len(rows) == n_images
+    # determinism: same content -> same feature
+    again = {r.media_id: r.feature for r in
+             multimodal.extract_image_features(media, deterministic_fake=True).collect()}
+    assert all(again[r.media_id] == r.feature for r in rows)
+
+
+def test_multimodal_decode_stub_raises(spark):
+    media = multimodal.gen_fake_media(spark, 5)
+    import pandas as pd
+    pdf = media.limit(1).toPandas()
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_batch(pdf)
