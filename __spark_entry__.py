@@ -286,6 +286,59 @@ def q_ann_lsh(spark, sf):
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def q_sessionize(spark, sf):
+    """Sessionization: 30-min inactivity gap splits sessions (guide
+    'Common OLAP patterns'; no reference analog — Spark-native)."""
+    from pyspark.sql import Window as W
+    ev = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("timestamp_ltz").cast("long")  # parquet NTZ -> epoch s
+    gap = sec - F.lag(sec).over(w)
+    tagged = ev.withColumn("new_sess",
+                           F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    sess = tagged.withColumn("sess_id", F.sum("new_sess").over(
+        w.rowsBetween(W.unboundedPreceding, 0)))
+    return (sess.groupBy("user_id")
+            .agg(F.max("sess_id").alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events"))
+            .orderBy("user_id"))
+
+
+def q_running_total(spark, sf):
+    from pyspark.sql import Window as W
+    ev = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("event_id") \
+         .rowsBetween(W.unboundedPreceding, 0)
+    out = ev.select("user_id", "event_id",
+                    F.round(F.sum("value").over(w), 2).alias("running"))
+    return out.orderBy("user_id", "event_id").limit(500)
+
+
+def q_topk_per_group(spark, sf):
+    from pyspark.sql import Window as W
+    ev = _t(spark, sf, "events")
+    w = W.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 2)
+            .select("event_type", "rn", "event_id", "value")
+            .orderBy("event_type", "rn"))
+
+
+def q_pivot(spark, sf):
+    ev = _t(spark, sf, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = (ev.groupBy("user_id").pivot("event_type", types).count()
+           .na.fill(0, types))
+    return out.orderBy("user_id")
+
+
+def q_cube(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "where_select": q_where_select,
@@ -317,6 +370,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_lsh": q_ann_lsh,
+        "sessionize": q_sessionize,
+        "running_total": q_running_total,
+        "topk_per_group": q_topk_per_group,
+        "pivot": q_pivot,
+        "cube": q_cube,
     }
 
 
@@ -492,6 +550,51 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.6
             ORDER BY id_a, id_b
+        """,
+        "sessionize": """
+            WITH tagged AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS sess_id
+              FROM tagged
+            )
+            SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events
+            FROM sess GROUP BY user_id ORDER BY user_id
+        """,
+        "running_total": """
+            SELECT user_id, event_id,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                                          ROWS UNBOUNDED PRECEDING), 2) AS running
+            FROM events ORDER BY user_id, event_id LIMIT 500
+        """,
+        "topk_per_group": """
+            SELECT event_type, rn, event_id, value FROM (
+              SELECT event_type, event_id, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value DESC, event_id) AS rn
+              FROM events
+            ) WHERE rn <= 2 ORDER BY event_type, rn
+        """,
+        "pivot": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click')    AS click,
+                   count(*) FILTER (event_type = 'view')     AS view,
+                   count(*) FILTER (event_type = 'purchase') AS purchase,
+                   count(*) FILTER (event_type = 'signup')   AS signup,
+                   count(*) FILTER (event_type = 'error')    AS error
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "cube": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag, l_linestatus
         """,
         # minhash_near_dups / simhash / ann_lsh: hash-family internals are
         # not SQL-expressible — driver records rows-only checks; exactness

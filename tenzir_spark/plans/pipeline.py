@@ -112,9 +112,32 @@ class Pipeline:
     def measure(self, **kw) -> "Pipeline":
         return Pipeline(ops.measure(self._df, **kw))
 
+    def sigma(self, rules) -> "Pipeline":
+        from tenzir_spark.functions.sigma import sigma as _sigma
+        return Pipeline(_sigma(self._df, rules))
+
+    def alias(self, name: str, *args, **kw) -> "Pipeline":
+        """Run a registered user-defined operator alias (reference:
+        tql/parser.cpp:100-115 macro expansion)."""
+        from tenzir_spark.plans.registry import get_alias
+        return Pipeline(get_alias(name)(self._df, *args, **kw))
+
     def apply(self, fn) -> "Pipeline":
         """Escape hatch: fn(DataFrame) -> DataFrame."""
         return Pipeline(fn(self._df))
+
+    # -- storage engine (import/export; reference: import.cpp/export.cpp) ---
+
+    def import_into(self, table, epoch) -> dict:
+        """Sink into a lake table under the exactly-once ledger — the
+        reference's `import` (import.cpp:70)."""
+        return table.merge(self._df, epoch, pre_deduplicated=False)
+
+    @classmethod
+    def export(cls, table, **read_kw) -> "Pipeline":
+        """Source from a lake table — the reference's `export`
+        (export.cpp:34); pruning via bucket/stats args."""
+        return cls(table.read(**read_kw))
 
     # -- sinks --------------------------------------------------------------
 

@@ -1,0 +1,8 @@
+from tenzir_spark.streaming.stream import (
+    follow_parquet,
+    follow_json,
+    windowed_summarize,
+    stream_cdc_apply,
+)
+
+__all__ = ["follow_parquet", "follow_json", "windowed_summarize", "stream_cdc_apply"]

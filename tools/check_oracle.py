@@ -76,9 +76,9 @@ def main():
             failures.append((name, f"rowcount {len(srows)} != {len(ddf)}"))
             print(f"FAIL {name}: rowcount {len(srows)} != {len(ddf)}")
             continue
-        sset = sorted(tuple(norm(r[c]) for c in scols) for r in srows)
-        dset = sorted(tuple(norm(v) for v in row) for row in
-                      ddf[scols].itertuples(index=False, name=None))
+        sset = sorted((tuple(norm(r[c]) for c in scols) for r in srows), key=repr)
+        dset = sorted((tuple(norm(v) for v in row) for row in
+                       ddf[scols].itertuples(index=False, name=None)), key=repr)
         if sset != dset:
             diffs = [i for i, (a, b) in enumerate(zip(sset, dset)) if a != b][:3]
             detail = "; ".join(f"row{i}: spark={sset[i]} duck={dset[i]}" for i in diffs)
