@@ -55,6 +55,7 @@ def bench_cdc(spark, n_events: int, n_salts: int = 16) -> tuple[float, int, floa
                 n_domains=200, pages_per_domain=500,
                 events_per_epoch=max(n_events // n_epochs, 1),
                 schema_change_every=3,
+                first_op_insert=False,  # windowless generation (pure map)
             ).write.mode("overwrite").partitionBy("epoch").parquet(log_dir)
         log = spark.read.parquet(log_dir)
         # warm-up: one tiny apply on a throwaway table to absorb JVM

@@ -46,6 +46,7 @@ def gen_change_log(
     delete_pct: int = 10,
     schema_change_every: int = 4,
     seed: int = 42,
+    first_op_insert: bool = True,
 ) -> DataFrame:
     """Ordered change log: lsn == row id (strictly increasing, gapless),
     epoch = lsn // events_per_epoch (contiguous micro-batches).
@@ -65,16 +66,21 @@ def gen_change_log(
     df = df.withColumn("epoch", (F.col("lsn") / events_per_epoch).cast("int"))
 
     # op: first change to a url is an insert; later ones update or delete.
-    # The row_number window is generation-time only (the engine never
-    # relies on it); at 10^10 scale you'd drop the cosmetic insert/update
-    # distinction since merge treats both as upsert.
-    from pyspark.sql import Window
-    rn = F.row_number().over(Window.partitionBy("url").orderBy("lsn"))
-    op = (
-        F.when(rn == 1, F.lit("insert"))
-        .when(F.pmod(_h(F.col("lsn"), 3, seed), F.lit(100)) < delete_pct, F.lit("delete"))
-        .otherwise(F.lit("update"))
-    )
+    # The row_number window is generation-time-only cosmetics (merge
+    # treats insert/update both as upsert); first_op_insert=False skips
+    # the window so generation is a pure map — the shape that actually
+    # scales to 10^10 rows (used by bench/scaling runs).
+    is_del = F.pmod(_h(F.col("lsn"), 3, seed), F.lit(100)) < delete_pct
+    if first_op_insert:
+        from pyspark.sql import Window
+        rn = F.row_number().over(Window.partitionBy("url").orderBy("lsn"))
+        op = (
+            F.when(rn == 1, F.lit("insert"))
+            .when(is_del, F.lit("delete"))
+            .otherwise(F.lit("update"))
+        )
+    else:
+        op = F.when(is_del, F.lit("delete")).otherwise(F.lit("update"))
     df = df.withColumn("op", op)
 
     # payload: content derives from lsn so every update really changes the

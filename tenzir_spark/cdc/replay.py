@@ -27,6 +27,8 @@ def replay(rows: list[dict]) -> tuple[dict[str, dict], list[str]]:
             if d["type"] == "add":
                 if d["name"] not in columns:
                     columns.append(d["name"])
+                    for row in state.values():  # existing rows read as null
+                        row.setdefault(d["name"], None)
             elif d["type"] == "rename":
                 if d["from"] in columns:
                     columns[columns.index(d["from"])] = d["to"]

@@ -337,13 +337,25 @@ class Binder:
     """
 
     def __init__(self, schema: T.StructType, type_hints: dict[str, str] | None = None,
-                 schema_name: str | None = None):
+                 schema_name: str | None = None,
+                 concepts: dict[str, list[str]] | None = None):
         self.schema = schema
         self.leaves = leaf_paths(schema)
         self.type_hints = type_hints or {}
         self.schema_name = schema_name
+        # taxonomy concepts: one name -> many per-schema field extractors
+        # (reference: catalog.cpp resolves expressions against taxonomies
+        # before partition lookup; web/docs/data-model/taxonomies.md)
+        self.concepts = concepts or {}
 
     def field_matches(self, suffix: str) -> list[str]:
+        if suffix in self.concepts:
+            out: list[str] = []
+            for ex in self.concepts[suffix]:
+                for p in self.field_matches(ex):
+                    if p not in out:
+                        out.append(p)
+            return out
         return [p for p, _ in self.leaves if _suffix_matches(p, suffix)]
 
     def type_matches(self, type_name: str) -> list[str]:
@@ -505,13 +517,17 @@ def compile_expression(
     df_or_schema: DataFrame | T.StructType,
     type_hints: dict[str, str] | None = None,
     schema_name: str | None = None,
+    concepts: dict[str, list[str]] | None = None,
 ) -> Column:
     """Compile a TQL-ish expression string against a DataFrame's schema.
 
     Accepts a ready-made Column unchanged, so operators can take either.
+    ``concepts`` maps taxonomy names to field extractors (e.g.
+    {"source_ip": ["src_ip", "orig_h"]}).
     """
     if isinstance(expr, Column):
         return expr
     schema = df_or_schema.schema if isinstance(df_or_schema, DataFrame) else df_or_schema
     ast = parse_expression(expr)
-    return Binder(schema, type_hints=type_hints, schema_name=schema_name).compile(ast)
+    return Binder(schema, type_hints=type_hints, schema_name=schema_name,
+                  concepts=concepts).compile(ast)

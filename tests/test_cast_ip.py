@@ -1,0 +1,93 @@
+"""Cast lattice / stream unification / ip function tests
+(reference: libtenzir/test/cast.cpp semantics)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tenzir_spark.functions import ip as ipf
+from tenzir_spark.operators import cast as castmod
+
+
+def test_unify_widening(spark):
+    a = spark.createDataFrame([Row(x=1, y="a")])
+    b = spark.createDataFrame([(2.5, "b", True)], "x double, y string, z boolean")
+    out = castmod.unify_streams({"alpha": a, "beta": b})
+    assert out.schema["x"].dataType == T.DoubleType()
+    assert out.schema["z"].dataType == T.BooleanType()
+    rows = {r["_schema"]: r for r in out.collect()}
+    assert rows["alpha"].x == 1.0 and rows["alpha"].z is None
+    assert rows["beta"].z is True
+
+
+def test_unify_nested_records(spark):
+    a = spark.createDataFrame([Row(rec=Row(p=1))])
+    b = spark.createDataFrame([Row(rec=Row(q="x"))])
+    out = castmod.unify_streams([a, b], schema_col=None)
+    names = out.schema["rec"].dataType.fieldNames()
+    assert set(names) == {"p", "q"}
+    assert out.count() == 2
+
+
+def test_incompatible_types_fall_back_to_string(spark):
+    a = spark.createDataFrame([Row(v=True)])
+    b = spark.createDataFrame([Row(v="hello")])
+    out = castmod.unify_streams([a, b], schema_col=None)
+    assert out.schema["v"].dataType == T.StringType()
+    assert {r.v for r in out.collect()} == {"true", "hello"}
+
+
+def test_ipv4_roundtrip(spark):
+    df = spark.createDataFrame([Row(ip="192.168.1.5"), Row(ip="8.8.8.8")])
+    out = df.select(ipf.long_to_ipv4(ipf.ipv4_to_long("ip")).alias("rt"), "ip")
+    assert all(r.rt == r.ip for r in out.collect())
+
+
+def test_canonicalize_v6(spark):
+    df = spark.createDataFrame([Row(ip="2001:0db8:0000:0000:0000:0000:0000:0001"),
+                                Row(ip="not-an-ip")])
+    got = [r.c for r in df.select(ipf.canonicalize_ip_udf("ip").alias("c")).collect()]
+    assert got == ["2001:db8::1", None]
+
+
+def test_ip_bytes16(spark):
+    df = spark.createDataFrame([Row(ip="1.2.3.4")])
+    b = df.select(ipf.ip_to_bytes16_udf("ip").alias("b")).collect()[0].b
+    assert bytes(b) == bytes(12) + bytes([1, 2, 3, 4])
+
+
+def test_v6_subnet_udf(spark):
+    df = spark.createDataFrame([Row(ip="2001:db8::5"), Row(ip="2001:db9::5"),
+                                Row(ip="10.0.0.1")])
+    udf = ipf.make_in_subnet_udf("2001:db8::/32")
+    got = {r.ip: r.m for r in df.select("ip", udf(F.col("ip")).alias("m")).collect()}
+    assert got == {"2001:db8::5": True, "2001:db9::5": False, "10.0.0.1": False}
+
+
+def test_pseudonymize_prefix_preserving(spark):
+    rows = [Row(ip="10.1.2.3"), Row(ip="10.1.2.99"), Row(ip="10.1.7.3"),
+            Row(ip="192.168.0.1")]
+    df = spark.createDataFrame(rows)
+    # operator form replaces in place
+    assert ipf.pseudonymize(df, ["ip"], seed="s3cret").columns == ["ip"]
+    df2 = df.withColumn("p", ipf.make_pseudonymize_udf("s3cret")(F.col("ip")))
+    got = {r.ip: r.p for r in df2.collect()}
+
+    def prefix_bits(a, b):
+        ia = int.from_bytes(bytes(map(int, a.split("."))), "big")
+        ib = int.from_bytes(bytes(map(int, b.split("."))), "big")
+        return 32 - (ia ^ ib).bit_length() if ia != ib else 32
+
+    # /24-sharing inputs share exactly as many output bits as input bits
+    for x, y in [("10.1.2.3", "10.1.2.99"), ("10.1.2.3", "10.1.7.3"),
+                 ("10.1.2.3", "192.168.0.1")]:
+        assert prefix_bits(got[x], got[y]) == prefix_bits(x, y)
+    # deterministic across invocations
+    df3 = df.withColumn("p", ipf.make_pseudonymize_udf("s3cret")(F.col("ip")))
+    assert {r.p for r in df3.collect()} == set(got.values())
+    # different seed -> different mapping
+    df4 = df.withColumn("p", ipf.make_pseudonymize_udf("other")(F.col("ip")))
+    assert {r.p for r in df4.collect()} != set(got.values())

@@ -105,3 +105,16 @@ def test_bare_literal_type_sugar(conn):
     # bare "dns" means :string == "dns" — any string field equals it
     out = conn.filter(compile_expression('"dns"', conn))
     assert [r.uid for r in out.collect()] == ["C2"]
+
+
+def test_concept_taxonomy(conn):
+    # taxonomy: one concept name fans out to many per-schema fields
+    out = conn.filter(compile_expression(
+        "source_address == 10.0.0.2", conn,
+        concepts={"source_address": ["orig_h", "src_ip"]}))
+    assert [r.uid for r in out.collect()] == ["C2"]
+    # unknown concept member extractors resolve to nothing -> still works
+    out2 = conn.filter(compile_expression(
+        "source_address == 8.8.8.8", conn,
+        concepts={"source_address": ["orig_h", "no_such"]}))
+    assert out2.count() == 0

@@ -1,0 +1,97 @@
+"""Pure parser tests (no Spark session) — tokenizer/AST shapes,
+literal typing, duration/time/subnet recognition (reference:
+web/docs/language/expressions.md)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tenzir_spark.expr import (
+    Conjunction,
+    Disjunction,
+    FieldExtractor,
+    Literal,
+    MetaExtractor,
+    Negation,
+    Predicate,
+    TypeExtractor,
+    parse_expression,
+    tokenize,
+)
+
+
+def test_precedence_or_lowest():
+    ast = parse_expression("a == 1 && b == 2 || c == 3")
+    assert isinstance(ast, Disjunction)
+    assert isinstance(ast.parts[0], Conjunction)
+
+
+def test_parens_override():
+    ast = parse_expression("a == 1 && (b == 2 || c == 3)")
+    assert isinstance(ast, Conjunction)
+    assert isinstance(ast.parts[1], Disjunction)
+
+
+def test_negation_nests():
+    ast = parse_expression("! ! a == 1")
+    assert isinstance(ast, Negation) and isinstance(ast.inner, Negation)
+
+
+def test_duration_literals():
+    for text, ns in [("10s", 10_000_000_000), ("1.5ms", 1_500_000),
+                     ("2h", 7_200_000_000_000), ("3d", 259_200_000_000_000)]:
+        pred = parse_expression(f"dur > {text}")
+        assert pred.rhs == Literal(ns, "duration"), text
+
+
+def test_time_literal():
+    pred = parse_expression("ts >= 2024-01-15T10:30:00")
+    assert pred.rhs.type_name == "time"
+
+
+def test_subnet_and_ip_literals():
+    p1 = parse_expression("orig_h in 10.0.0.0/8")
+    assert p1.rhs == Literal("10.0.0.0/8", "subnet")
+    p2 = parse_expression("orig_h == 192.168.1.1")
+    assert p2.rhs == Literal("192.168.1.1", "ip")
+    p3 = parse_expression("x == ::1")
+    assert p3.rhs.type_name == "ip"
+
+
+def test_meta_and_type_extractors():
+    p = parse_expression('#schema == "zeek.conn"')
+    assert isinstance(p.lhs, MetaExtractor) and p.lhs.name == "schema"
+    p2 = parse_expression(":timestamp > 2020-01-01")
+    assert isinstance(p2.lhs, TypeExtractor)
+
+
+def test_list_literal():
+    p = parse_expression('proto in ["tcp", "udp", 53]')
+    assert p.rhs.value == ["tcp", "udp", 53]
+
+
+def test_string_escapes():
+    p = parse_expression(r'msg == "a\"b\nc"')
+    assert p.rhs.value == 'a"b\nc'
+
+
+def test_relop_flip_on_literal_lhs():
+    # literal-first predicates are normalized at bind time; parser keeps shape
+    p = parse_expression("5 < x")
+    assert isinstance(p.lhs, Literal) and isinstance(p.rhs, FieldExtractor)
+
+
+def test_bad_input_raises():
+    with pytest.raises(ValueError):
+        parse_expression("a ==")
+    with pytest.raises(ValueError):
+        parse_expression("a == 1 &&")
+    with pytest.raises(ValueError):
+        parse_expression("(a == 1")
+    with pytest.raises(ValueError):
+        tokenize("a == $$$")
+
+
+def test_nested_dotted_suffix():
+    p = parse_expression("id.orig_h == 10.0.0.1")
+    assert p.lhs == FieldExtractor("id.orig_h")

@@ -43,6 +43,25 @@ def run_at(cpus: int, n_events: int) -> dict:
     return json.loads(line)
 
 
+def pregen(n_events: int, cpus: int) -> None:
+    """Write the shared change log once at full parallelism (generation
+    is not part of the measured apply path)."""
+    code = f"""
+import os, sys; sys.path.insert(0, {REPO!r})
+os.environ["TENZIR_SPARK_LOCAL_DIR"] = "/dev/shm/tenzir_scaling/spark-local"
+from tenzir_spark.session import get_spark
+from tenzir_spark.cdc import gen_change_log
+spark = get_spark("pregen", master="local[{cpus}]", shuffle_partitions={cpus})
+n_epochs = int(os.environ.get("BENCH_EPOCHS", "4"))
+gen_change_log(spark, {n_events}, n_domains=200, pages_per_domain=500,
+               events_per_epoch=max({n_events} // n_epochs, 1),
+               schema_change_every=3, first_op_insert=False) \\
+    .write.mode("overwrite").partitionBy("epoch").parquet(os.environ["BENCH_LOG_DIR"])
+"""
+    subprocess.run([sys.executable, "-c", code], env=dict(os.environ),
+                   check=True, timeout=3600)
+
+
 def main():
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 16_000_000
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
@@ -52,6 +71,7 @@ def main():
     # shared VM with noisy neighbors (identical runs vary 2-5x), so the
     # best trial is the engine's capability, the rest is host noise.
     os.environ["BENCH_LOG_DIR"] = f"/dev/shm/tenzir_scaling/log_{n_events}"
+    pregen(n_events, 4 * n)  # generate once at full width, off the clock
     runs: dict[int, list[dict]] = {n: [], 4 * n: []}
     for _ in range(trials):
         for width in (n, 4 * n):
