@@ -228,10 +228,13 @@ def q_text_stats(spark, sf):
 
 def q_token_by_lang(spark, sf):
     d = _t(spark, sf, "documents")
+    # explicit BIGINT on the sum: DuckDB sum(int) yields HUGEINT (int128),
+    # which hashes differently from Spark's long — cast both sides.
     return (
         d.select("lang", text.token_count("text").alias("n"))
         .groupBy("lang")
-        .agg(F.sum("n").alias("total_tokens"), F.count(F.lit(1)).alias("n_docs"))
+        .agg(F.sum("n").cast("long").alias("total_tokens"),
+             F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang")
     )
 
@@ -292,14 +295,16 @@ def q_sessionize(spark, sf):
     from pyspark.sql import Window as W
     ev = _t(spark, sf, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    sec = F.col("ts").cast("timestamp_ltz").cast("long")  # parquet NTZ -> epoch s
-    gap = sec - F.lag(sec).over(w)
+    # TZ-free gap test: timestamp comparison + interval arithmetic never
+    # touches the session timezone (the ltz->epoch hop did).
+    prev = F.lag(F.col("ts")).over(w)
+    gap_over = F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")
     tagged = ev.withColumn("new_sess",
-                           F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+                           F.when(prev.isNull() | gap_over, 1).otherwise(0))
     sess = tagged.withColumn("sess_id", F.sum("new_sess").over(
         w.rowsBetween(W.unboundedPreceding, 0)))
     return (sess.groupBy("user_id")
-            .agg(F.max("sess_id").alias("n_sessions"),
+            .agg(F.max("sess_id").cast("long").alias("n_sessions"),
                  F.count(F.lit(1)).alias("n_events"))
             .orderBy("user_id"))
 
@@ -494,8 +499,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_by_lang": """
             SELECT lang,
-                   sum(CASE WHEN trim(text) = '' THEN 0
-                       ELSE len(string_split_regex(trim(text), '\\s+')) END) AS total_tokens,
+                   CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens,
                    count(*) AS n_docs
             FROM documents GROUP BY lang ORDER BY lang
         """,
@@ -555,7 +560,7 @@ def oracle_sql() -> dict[str, str]:
             WITH tagged AS (
               SELECT user_id, ts, event_id,
                      CASE WHEN lag(ts) OVER w IS NULL
-                          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
                           THEN 1 ELSE 0 END AS new_sess
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -565,7 +570,8 @@ def oracle_sql() -> dict[str, str]:
                                          ROWS UNBOUNDED PRECEDING) AS sess_id
               FROM tagged
             )
-            SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events
+            SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
             FROM sess GROUP BY user_id ORDER BY user_id
         """,
         "running_total": """

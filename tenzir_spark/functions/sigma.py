@@ -32,18 +32,23 @@ except ImportError:  # pragma: no cover
     yaml = None
 
 
+_SUPPORTED_MODIFIERS = {"contains", "startswith", "endswith", "re", "cased", "all"}
+
+
 def _value_pred(col: Column, value: Any, modifiers: list[str]) -> Column:
     cased = "cased" in modifiers
-    s = col.cast("string")
-    if not cased:
-        s = F.lower(s)
+    raw = col.cast("string")
+    s = raw if cased else F.lower(raw)
 
     def lit(v):
         v = str(v)
         return F.lit(v if cased else v.lower())
 
     if "re" in modifiers:
-        return s.rlike(str(value))
+        # regexes are case-sensitive by default in Sigma (the reference
+        # keeps them raw: plugins/sigma/src/parse.cpp:197) — match against
+        # the un-lowered column so uppercase literals can hit
+        return raw.rlike(str(value))
     if value is None:
         return col.isNull()
     if "contains" in modifiers:
@@ -66,6 +71,11 @@ def _value_pred(col: Column, value: Any, modifiers: list[str]) -> Column:
 def _field_pred(binder: Binder, field: str, value: Any) -> Column:
     parts = field.split("|")
     name, modifiers = parts[0], [m.lower() for m in parts[1:]]
+    unsupported = [m for m in modifiers if m not in _SUPPORTED_MODIFIERS]
+    if unsupported:
+        # degrading e.g. |cidr or |base64 to string equality would produce
+        # silently-wrong detections — fail loudly instead
+        raise ValueError(f"unsupported sigma modifiers {unsupported} on field {name!r}")
     paths = binder.field_matches(name)
     if not paths:
         return F.lit(False)

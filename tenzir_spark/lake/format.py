@@ -47,6 +47,12 @@ class CommitConflict(Exception):
     """Another writer committed the same snapshot version first."""
 
 
+class ConcurrentMergeConflict(CommitConflict):
+    """The buckets this commit replaces changed since the merge was
+    computed — the merge result is stale and must be recomputed against
+    the refreshed table (Iceberg-style conflict validation)."""
+
+
 @dataclass
 class DataFile:
     path: str  # relative to table root
@@ -125,16 +131,14 @@ def write_snapshot_atomic(root: str, snap: Snapshot) -> None:
         json.dump(snap.to_json(), fh)
         fh.flush()
         os.fsync(fh.fileno())
+    # publish the fully-written, fsynced temp file with a hard link: the
+    # destination either does not exist or is complete — a crash can never
+    # leave a truncated snapshot. link() failing with EEXIST is the
+    # optimistic-concurrency signal (Iceberg's atomic metadata swap).
     try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.link(tmp, path)
     except FileExistsError:
-        os.unlink(tmp)
         raise CommitConflict(f"snapshot v{snap.version} already committed")
-    try:
-        with open(tmp) as src, os.fdopen(fd, "w") as dst:
-            dst.write(src.read())
-            dst.flush()
-            os.fsync(dst.fileno())
     finally:
         os.unlink(tmp)
 
@@ -149,8 +153,15 @@ def latest_snapshot(root: str) -> Snapshot | None:
     )
     if not versions:
         return None
-    with open(_meta_path(root, versions[-1])) as fh:
-        return Snapshot.from_json(json.load(fh))
+    # defensively skip unparsable snapshot files (e.g. external tooling
+    # damage) — commits publish atomically, so a valid one always exists
+    for v in reversed(versions):
+        try:
+            with open(_meta_path(root, v)) as fh:
+                return Snapshot.from_json(json.load(fh))
+        except (json.JSONDecodeError, KeyError):
+            continue
+    return None
 
 
 def bucket_expr(key_col: str, num_buckets: int):

@@ -15,6 +15,7 @@ from pyspark.sql import types as T
 from tenzir_spark.lake.format import (
     DATA_DIR,
     CommitConflict,
+    ConcurrentMergeConflict,
     DataFile,
     Snapshot,
     bucket_expr,
@@ -302,31 +303,46 @@ class LakeTable:
             return entry
 
         payload_cols = [f.name for f in self.snapshot.schema.fields]
-        target = self.read(buckets=touched)
-
         ch = changes.select(
             F.col(key).alias("__k"),
             F.col(op_col).alias("__op"),
             *[F.col(c).alias(f"__c_{c}") for c in payload_cols if c != key],
         )
-        joined = target.join(ch, target[key] == ch["__k"], "full_outer")
-        is_change = F.col("__k").isNotNull()
-        is_delete = is_change & (F.col("__op") == "delete")
-        merged = joined.filter(~F.coalesce(is_delete, F.lit(False))).select(
-            F.when(is_change, F.col("__k")).otherwise(F.col(key)).alias(key),
-            *[
-                F.when(is_change, F.col(f"__c_{c}")).otherwise(F.col(c)).alias(c)
-                for c in payload_cols if c != key
-            ],
-        )
-        try:
-            new_files = self._write_bucketed(merged, only_buckets=touched)
-        finally:
-            changes.unpersist()
         entry = {"rows_applied": int(agg["rows"]),
                  "lsn_watermark": int(agg["watermark"]) if agg["watermark"] is not None else None,
                  "committed_at": time.time()}
-        self._commit_files(new_files, replace_buckets=touched, epoch=ek, epoch_stats=entry)
+        try:
+            for _ in range(5):
+                # the merge is computed against base's file set; commit
+                # validates those buckets are unchanged and we recompute
+                # against the refreshed table otherwise — no concurrent
+                # writer's files are ever silently dropped
+                base = self.snapshot
+                target = self.read(buckets=touched)
+                joined = target.join(ch, target[key] == ch["__k"], "full_outer")
+                is_change = F.col("__k").isNotNull()
+                is_delete = is_change & (F.col("__op") == "delete")
+                merged = joined.filter(~F.coalesce(is_delete, F.lit(False))).select(
+                    F.when(is_change, F.col("__k")).otherwise(F.col(key)).alias(key),
+                    *[
+                        F.when(is_change, F.col(f"__c_{c}")).otherwise(F.col(c)).alias(c)
+                        for c in payload_cols if c != key
+                    ],
+                )
+                new_files = self._write_bucketed(merged, only_buckets=touched)
+                try:
+                    self._commit_files(new_files, replace_buckets=touched, epoch=ek,
+                                       epoch_stats=entry, base_files=base.files)
+                    break
+                except ConcurrentMergeConflict:
+                    self.refresh()
+                    if ek in self.snapshot.ledger:
+                        return {**self.snapshot.ledger[ek], "skipped": True}
+            else:
+                raise ConcurrentMergeConflict(
+                    "exhausted merge recompute retries for epoch " + ek)
+        finally:
+            changes.unpersist()
         self._write_checkpoints(ek, new_files, entry)
         return entry
 
@@ -422,16 +438,32 @@ class LakeTable:
 
     def _commit_files(self, new_files: list[DataFile], replace_buckets: list[int] | None,
                       epoch: str | None, epoch_stats: dict | None,
+                      base_files: list[DataFile] | None = None,
                       max_retries: int = 20) -> None:
+        """Commit new files atomically. For bucket-replacing commits
+        (merge/compact) ``base_files`` must be the file list the result
+        was computed from: if the replaced buckets changed since, the
+        result is stale and we raise ConcurrentMergeConflict instead of
+        silently dropping the other writer's files (Iceberg-style
+        conflict validation — callers recompute and retry)."""
+        rb = set(replace_buckets) if replace_buckets is not None else None
+        base_paths = (
+            {f.path for f in base_files if f.bucket in rb}
+            if rb is not None and base_files is not None else None
+        )
         for _ in range(max_retries):
             snap = latest_snapshot(self.root)
             if epoch is not None and epoch in snap.ledger:
                 self.snapshot = snap
                 return  # someone else applied this epoch — converged
-            if replace_buckets is None:
+            if rb is not None and base_paths is not None:
+                cur_paths = {f.path for f in snap.files if f.bucket in rb}
+                if cur_paths != base_paths:
+                    raise ConcurrentMergeConflict(
+                        f"buckets {sorted(rb)} changed since the merge was computed")
+            if rb is None:
                 files = snap.files + new_files
             else:
-                rb = set(replace_buckets)
                 files = [f for f in snap.files if f.bucket not in rb] + new_files
             ledger = dict(snap.ledger)
             if epoch is not None:
@@ -481,17 +513,36 @@ class LakeTable:
                     " lsn_watermark long, commit_epoch double")
         return self.spark.read.parquet(path)
 
-    def compact(self, target_rows: int = 4_194_304, max_deltas: int = 0) -> None:
+    def compact(self, target_rows: int = 4_194_304, max_deltas: int = 0,
+                purge_deletes_below_lsn: int | None = None) -> None:
         """Fold small / delta files back into one base file per bucket —
         the reference's ``rebuild`` (rebuild.cpp:45-47 merges partitions
         under 0.8x max size; Iceberg rewrite_data_files).
 
         CoW: merges buckets with multiple undersized files.
         MoR: resolves buckets whose delta-file count exceeds
-        ``max_deltas`` down to a single base file (keeping resolved __lsn
-        so later out-of-order writers can never regress a row)."""
+        ``max_deltas`` down to a single base file. Delete rows are KEPT as
+        tombstones (with their resolved max __lsn) so a later out-of-order
+        upsert with a lower lsn can never resurrect a deleted row; readers
+        filter them (read() does). ``purge_deletes_below_lsn`` physically
+        drops tombstones older than the given watermark — safe once every
+        writer's lsn floor is past it (Iceberg's expire-snapshots analog).
+
+        Concurrent merges to the same buckets are detected at commit
+        (ConcurrentMergeConflict) and the compaction recomputes."""
+        for _ in range(5):
+            try:
+                return self._compact_once(target_rows, max_deltas,
+                                          purge_deletes_below_lsn)
+            except ConcurrentMergeConflict:
+                self.refresh()
+        raise ConcurrentMergeConflict("exhausted compact recompute retries")
+
+    def _compact_once(self, target_rows: int, max_deltas: int,
+                      purge_deletes_below_lsn: int | None) -> None:
+        base = self.snapshot
         by_bucket: dict[int, list[DataFile]] = {}
-        for f in self.snapshot.files:
+        for f in base.files:
             by_bucket.setdefault(f.bucket, []).append(f)
         if self.mode == "mor":
             need = [b for b, fs in by_bucket.items()
@@ -503,10 +554,14 @@ class LakeTable:
             others = [c for c in raw.columns if c != key]
             row = F.max_by(F.struct(*[F.col(c) for c in others]), F.col("__lsn"))
             resolved = (raw.groupBy(key).agg(row.alias("__r"))
-                        .select(key, *[F.col(f"__r.{c}").alias(c) for c in others])
-                        .filter(F.col("__op") != "delete"))
+                        .select(key, *[F.col(f"__r.{c}").alias(c) for c in others]))
+            if purge_deletes_below_lsn is not None:
+                resolved = resolved.filter(
+                    (F.col("__op") != "delete")
+                    | (F.col("__lsn") >= F.lit(int(purge_deletes_below_lsn))))
             new_files = self._write_bucketed(resolved, only_buckets=need, kind="base")
-            self._commit_files(new_files, replace_buckets=need, epoch=None, epoch_stats=None)
+            self._commit_files(new_files, replace_buckets=need, epoch=None,
+                               epoch_stats=None, base_files=base.files)
             return
         need = [b for b, fs in by_bucket.items()
                 if len(fs) > 1 and sum(x.rows for x in fs) < int(0.8 * target_rows)]
@@ -514,7 +569,8 @@ class LakeTable:
             return
         df = self.read(buckets=need)
         new_files = self._write_bucketed(df, only_buckets=need)
-        self._commit_files(new_files, replace_buckets=need, epoch=None, epoch_stats=None)
+        self._commit_files(new_files, replace_buckets=need, epoch=None,
+                           epoch_stats=None, base_files=base.files)
 
 
 def _footer_stats(path: str, stat_cols: list[str]) -> tuple[int, dict]:
