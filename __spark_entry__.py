@@ -262,7 +262,9 @@ def q_cosine_topk(spark, sf):
 
 def q_minhash_near_dups(spark, sf):
     d = _t(spark, sf, "documents")
-    pairs = dedup.minhash_lsh_candidates(d, "doc_id", "text", n_hashes=32, bands=8)
+    # md5 hash family: bit-identical reproducible in the DuckDB oracle
+    pairs = dedup.minhash_lsh_candidates(d, "doc_id", "text", n_hashes=32, bands=8,
+                                         hash_family="md5")
     return pairs.filter(F.col("est_jaccard") >= 0.5).select("id_a", "id_b") \
         .orderBy("id_a", "id_b")
 
@@ -270,7 +272,8 @@ def q_minhash_near_dups(spark, sf):
 def q_simhash(spark, sf):
     d = _t(spark, sf, "documents")
     pairs = dedup.simhash_near_dups(d, "doc_id", "text", band_bits=16)
-    return pairs.filter(F.col("hamming") <= 8).select("id_a", "id_b", "hamming") \
+    return pairs.filter(F.col("hamming") <= 8) \
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming")) \
         .orderBy("id_a", "id_b")
 
 
@@ -337,6 +340,149 @@ def q_pivot(spark, sf):
     return out.orderBy("user_id")
 
 
+def q_replace(spark, sf):
+    n = _t(spark, sf, "nation")
+    out = ops.replace(n, n_name=F.upper(F.col("n_name")))
+    return out.select("n_nationkey", "n_name").orderBy("n_nationkey")
+
+
+def q_flatten(spark, sf):
+    """Real ops.flatten over a nested struct (built in-query — testdata is
+    flat parquet)."""
+    ev = _t(spark, sf, "events")
+    nested = ev.select(
+        "event_id",
+        F.struct(F.col("user_id").alias("uid"),
+                 F.struct(F.col("event_type").alias("t")).alias("inner")).alias("meta"),
+    )
+    flat = ops.flatten(nested)  # -> event_id, meta.uid, meta.inner.t
+    return flat.select(
+        "event_id",
+        F.col("`meta.uid`").alias("meta_uid"),
+        F.col("`meta.inner.t`").alias("meta_inner_t"),
+    ).orderBy("event_id")
+
+
+def q_unflatten(spark, sf):
+    ev = _t(spark, sf, "events")
+    dotted = ev.select(
+        F.col("user_id").alias("a.uid"),
+        F.col("value").alias("a.val"),
+        "event_id",
+    )
+    nested = ops.unflatten(dotted)  # -> a: struct<uid, val>, event_id
+    return nested.select(
+        F.col("a.uid").alias("uid"),
+        F.round(F.col("a.val") * 2, 6).alias("val2"),
+        "event_id",
+    ).orderBy("event_id")
+
+
+def q_agg_extra(spark, sf):
+    """distinct / any / all / sample aggregation functions (SURVEY §2.3)."""
+    ev = _t(spark, sf, "events")
+    pre = ev.select(
+        "event_type",
+        (F.col("user_id") % 5).alias("u5"),
+        (F.col("value") > 400).alias("big"),
+        (F.col("value") >= 0).alias("nonneg"),
+        F.upper("event_type").alias("uet"),  # constant per group -> sample is deterministic
+    )
+    out = ops.summarize(pre, [
+        ("u5s", "distinct", "u5"),
+        ("any_big", "any", "big"),
+        ("all_nonneg", "all", "nonneg"),
+        ("samp", "sample", "uet"),
+    ], by=["event_type"])
+    return out.select(
+        "event_type",
+        F.array_join(F.transform("u5s", lambda x: x.cast("string")), ",").alias("u5s"),
+        "any_big", "all_nonneg", "samp",
+    ).orderBy("event_type")
+
+
+_SIGMA_RULE = {
+    "title": "suspicious purchase",
+    "id": "a0000000-0000-0000-0000-000000000001",
+    "level": "high",
+    "detection": {
+        "selection": {"event_type": "purchase"},
+        "kw": {"props|contains": "7"},
+        "condition": "selection and kw",
+    },
+}
+
+
+def q_sigma(spark, sf):
+    from tenzir_spark.functions.sigma import sigma as sigma_op
+    ev = _t(spark, sf, "events")
+    out = sigma_op(ev, _SIGMA_RULE)
+    return out.select(
+        F.col("rule.title").alias("rule_title"),
+        F.col("event.event_id").alias("event_id"),
+    ).orderBy("event_id")
+
+
+def q_cast_unify(spark, sf):
+    """unify_streams: two-schema union with null-fill + widen (reference:
+    cast.hpp:387-499 record-cast lattice)."""
+    from tenzir_spark.operators.cast import unify_streams
+    ev = _t(spark, sf, "events")
+    a = ev.select("event_id", F.col("value").alias("v"))                # double
+    b = ev.select("event_id", F.col("user_id").alias("v"),             # bigint -> widens
+                  F.col("event_type").alias("t"))
+    u = unify_streams({"a": a, "b": b})
+    return u.select("_schema", "event_id", F.round("v", 6).alias("v"), "t") \
+        .orderBy("_schema", "event_id")
+
+
+def q_where_arith(spark, sf):
+    """Arithmetic + scalar function calls inside where expressions
+    (reference grammar: tql/parser.cpp:508-523 precedence climbing)."""
+    ev = _t(spark, sf, "events")
+    out = ops.where(ev, 'value * 2 + 1 > 500 && length(event_type) >= 5')
+    return out.select("event_id", F.round("value", 6).alias("value")).orderBy("event_id")
+
+
+def q_tql_pipeline(spark, sf):
+    """End-to-end pipeline from a TQL STRING (reference UX: tenzir exec
+    "from f | where ... | summarize ..."; tql/parser.cpp:310-402)."""
+    from tenzir_spark import parse_pipeline
+    p = parse_pipeline(
+        f"from {sf}/lineitem.parquet read parquet"
+        " | where l_quantity >= 49"
+        " | summarize n=count(.), q=sum(l_quantity) by l_returnflag"
+        " | sort l_returnflag",
+        spark=spark,
+    )
+    return p.df.select("l_returnflag", "n", F.round("q", 2).alias("q"))
+
+
+def q_read_zeek_tsv(spark, sf):
+    """zeek-tsv parser over a committed fixture (reference:
+    formats/zeek_tsv.cpp; golden-test shape tenzir/integration/tests.yaml)."""
+    from tenzir_spark.sources import formats
+    df = formats.read_zeek_tsv(spark, "/root/repo/fixtures/conn.log")
+    # NULL doubles sentinel'd to -1.0: the comparator fetches DuckDB via
+    # pandas, where a NULL double becomes NaN but Spark's stays None
+    return df.select(
+        "uid",
+        F.col("`id.orig_h`").alias("orig_h"),
+        F.col("`id.orig_p`").alias("orig_p"),
+        "proto",
+        F.coalesce("duration", F.lit(-1.0)).alias("duration"),
+    ).orderBy("uid")
+
+
+def q_read_cef(spark, sf):
+    from tenzir_spark.sources import formats
+    df = formats.read_cef(spark, "/root/repo/fixtures/events.cef")
+    return df.select(
+        "device_vendor", "name",
+        F.element_at("extension", "src").alias("src"),
+    ).orderBy("name")
+
+
 def q_cube(spark, sf):
     li = _t(spark, sf, "lineitem")
     return (li.cube("l_returnflag", "l_linestatus")
@@ -380,7 +526,110 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "pivot": q_pivot,
         "cube": q_cube,
+        "replace": q_replace,
+        "flatten": q_flatten,
+        "unflatten": q_unflatten,
+        "agg_extra": q_agg_extra,
+        "sigma": q_sigma,
+        "cast_unify": q_cast_unify,
+        "where_arith": q_where_arith,
+        "tql_pipeline": q_tql_pipeline,
+        "read_zeek_tsv": q_read_zeek_tsv,
+        "read_cef": q_read_cef,
     }
+
+
+def _minhash_oracle(n_hashes: int = 32, bands: int = 8, k: int = 5,
+                    seed: int = 1, thresh: float = 0.5) -> str:
+    """DuckDB recompute of the md5-family MinHash+LSH pipeline: same
+    shingles, ONE md5 per shingle -> 60-bit int, same (a_i*h+b_i) mod p
+    derived hashes (constants shared via dedup.minhash_params), same band
+    grouping — candidate pairs and estimates match Spark bit-for-bit.
+    (The bucket cap is a no-op at sf0.01: no bucket can exceed the doc
+    count, which is far below the 1024 default.)"""
+    from tenzir_spark.functions.dedup import _MH_PRIME, minhash_params
+
+    rpb = n_hashes // bands
+    params = minhash_params(n_hashes, seed)
+    a_list = "[" + ", ".join(str(a) for a, _ in params) + "]"
+    b_list = "[" + ", ".join(str(b) for _, b in params) + "]"
+    return f"""
+        WITH sh AS (
+          SELECT doc_id,
+                 unnest([substr(text, s, {k}) for s in range(1, length(text) - {k - 2})]) AS g
+          FROM documents
+          WHERE text IS NOT NULL AND length(text) >= {k}
+        ), hv AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(g), 1, 15))::BIGINT % {_MH_PRIME} AS h
+          FROM sh
+        ), mh AS (
+          SELECT doc_id, r.i AS i,
+                 min(({a_list}[r.i + 1] * h + {b_list}[r.i + 1]) % {_MH_PRIME}) AS m
+          FROM hv, range(0, {n_hashes}) r(i)
+          GROUP BY doc_id, r.i
+        ), sig AS (
+          SELECT doc_id, list(m ORDER BY i) AS s FROM mh GROUP BY doc_id
+        ), banded AS (
+          SELECT doc_id, t.b AS b,
+                 md5(array_to_string(s[t.b*{rpb}+1 : t.b*{rpb}+{rpb}], '|')) AS bh
+          FROM sig, range(0, {bands}) t(b)
+        ), pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+        )
+        SELECT p.id_a, p.id_b
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.id_a
+        JOIN sig sb ON sb.doc_id = p.id_b
+        WHERE len([i for i in range(1, {n_hashes + 1}) if sa.s[i] = sb.s[i]])
+              / {float(n_hashes)} >= {thresh}
+        ORDER BY id_a, id_b
+    """
+
+
+def _simhash_oracle(band_bits: int = 16, max_hamming: int = 8) -> str:
+    """DuckDB recompute of the md5-family SimHash: token hash = first 16
+    hex chars of md5 big-endian; bit j = bit (j%4) of nibble 16-(j//4);
+    signature bit j set when 2*sum(bit_j) >= n_tokens; candidates share a
+    ``band_bits`` LSB-ordered band."""
+    n_bands = 64 // band_bits
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+          FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+        ), th AS (
+          SELECT doc_id, len(t) AS n, unnest(t) AS tok FROM toks
+        ), bitsum AS (
+          SELECT doc_id, n, r.j AS j,
+                 sum(((strpos('0123456789abcdef', substr(md5(tok), 16 - (r.j // 4), 1)) - 1)
+                      >> (r.j % 4)) & 1) AS ones
+          FROM th, range(0, 64) r(j)
+          GROUP BY doc_id, n, r.j
+        ), sig AS (
+          SELECT doc_id,
+                 list(CASE WHEN 2 * ones >= n THEN 1 ELSE 0 END ORDER BY j) AS bits
+          FROM bitsum GROUP BY doc_id, n
+        ), banded AS (
+          SELECT doc_id, r.b AS b,
+                 array_to_string(bits[r.b*{band_bits}+1 : r.b*{band_bits}+{band_bits}], '') AS bh
+          FROM sig, range(0, {n_bands}) r(b)
+        ), pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+        ), scored AS (
+          SELECT p.id_a, p.id_b,
+                 CAST(len([i for i in range(1, 65) if sa.bits[i] != sb.bits[i]]) AS INTEGER) AS hamming
+          FROM pairs p
+          JOIN sig sa ON sa.doc_id = p.id_a
+          JOIN sig sb ON sb.doc_id = p.id_b
+        )
+        SELECT id_a, id_b, hamming FROM scored
+        WHERE hamming <= {max_hamming}
+        ORDER BY id_a, id_b
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -602,7 +851,90 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
             ORDER BY l_returnflag, l_linestatus
         """,
-        # minhash_near_dups / simhash / ann_lsh: hash-family internals are
-        # not SQL-expressible — driver records rows-only checks; exactness
-        # is pinned by tests/test_functions.py against hand-built fixtures.
+        "replace": """
+            SELECT n_nationkey, upper(n_name) AS n_name
+            FROM nation ORDER BY n_nationkey
+        """,
+        "flatten": """
+            SELECT event_id, user_id AS meta_uid, event_type AS meta_inner_t
+            FROM events ORDER BY event_id
+        """,
+        "unflatten": """
+            SELECT user_id AS uid, round(value * 2, 6) AS val2, event_id
+            FROM events ORDER BY event_id
+        """,
+        "agg_extra": """
+            SELECT event_type,
+                   array_to_string(list_sort(list_distinct(list(user_id % 5))), ',') AS u5s,
+                   bool_or(value > 400) AS any_big,
+                   bool_and(value >= 0) AS all_nonneg,
+                   first(upper(event_type)) AS samp
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "sigma": """
+            SELECT 'suspicious purchase' AS rule_title, event_id
+            FROM events
+            WHERE lower(event_type) = 'purchase' AND contains(lower(props), '7')
+            ORDER BY event_id
+        """,
+        "cast_unify": """
+            SELECT 'a' AS _schema, event_id, round(value, 6) AS v,
+                   CAST(NULL AS VARCHAR) AS t
+            FROM events
+            UNION ALL
+            SELECT 'b', event_id, round(CAST(user_id AS DOUBLE), 6), event_type
+            FROM events
+            ORDER BY _schema, event_id
+        """,
+        "where_arith": """
+            SELECT event_id, round(value, 6) AS value FROM events
+            WHERE value * 2 + 1 > 500 AND length(event_type) >= 5
+            ORDER BY event_id
+        """,
+        "tql_pipeline": """
+            SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS q
+            FROM lineitem WHERE l_quantity >= 49
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "read_zeek_tsv": """
+            WITH raw AS (
+              SELECT * FROM read_csv('/root/repo/fixtures/conn.log',
+                delim='\t', header=false, null_padding=true, auto_detect=false,
+                columns={'c1':'VARCHAR','c2':'VARCHAR','c3':'VARCHAR','c4':'VARCHAR',
+                         'c5':'VARCHAR','c6':'VARCHAR','c7':'VARCHAR'})
+              WHERE c1 NOT LIKE '#%'
+            )
+            SELECT nullif(nullif(c2,'-'),'(empty)') AS uid,
+                   nullif(nullif(c3,'-'),'(empty)') AS orig_h,
+                   CAST(nullif(nullif(c4,'-'),'(empty)') AS BIGINT) AS orig_p,
+                   c5 AS proto,
+                   coalesce(CAST(nullif(nullif(c6,'-'),'(empty)') AS DOUBLE), -1.0) AS duration
+            FROM raw ORDER BY uid
+        """,
+        "read_cef": """
+            SELECT regexp_extract(line, '^CEF:\\d+\\|([^|]*)\\|', 1) AS device_vendor,
+                   regexp_extract(line,
+                     '^CEF:\\d+\\|[^|]*\\|[^|]*\\|[^|]*\\|[^|]*\\|([^|]*)\\|', 1) AS name,
+                   nullif(regexp_extract(line, 'src=(\\S+)', 1), '') AS src
+            FROM read_csv('/root/repo/fixtures/events.cef', delim='\x01',
+                          header=false, columns={'line':'VARCHAR'}, auto_detect=false)
+            ORDER BY name
+        """,
+        "minhash_near_dups": _minhash_oracle(),
+        "simhash": _simhash_oracle(),
+        # ann_lsh oracle = exact brute-force top-k: the multiprobe
+        # OR-amplified candidate set provably contains the true top-10 at
+        # this scale (verified: identical id lists), so the approximate
+        # query must reproduce the exact ranking bit-for-bit
+        "ann_lsh": """
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(q.embedding AS DOUBLE[])), 4) AS cosine
+            FROM embeddings e,
+                 (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])) DESC,
+                     e.vec_id ASC
+            LIMIT 10
+        """,
     }

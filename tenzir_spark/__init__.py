@@ -21,6 +21,7 @@ except through Arrow-vectorized pandas UDFs.
 
 from tenzir_spark.session import get_spark
 from tenzir_spark.plans.pipeline import Pipeline
+from tenzir_spark.plans.tql import exec_pipeline, parse_pipeline
 
 __version__ = "0.1.0"
-__all__ = ["get_spark", "Pipeline", "__version__"]
+__all__ = ["get_spark", "Pipeline", "parse_pipeline", "exec_pipeline", "__version__"]

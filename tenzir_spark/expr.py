@@ -66,6 +66,24 @@ class Literal:
 
 
 @dataclass
+class BinOp:
+    """Arithmetic: + - * / % (reference parses binary ops by precedence
+    climbing, tql/parser.cpp:508-523; v4.3 wires == != + * — we support
+    the full arithmetic set)."""
+    lhs: Any
+    op: str
+    rhs: Any
+
+
+@dataclass
+class FuncCall:
+    """Scalar function call f(args...) (parsed by the reference at
+    tql/parser.cpp:422-439; the function library is engine-defined)."""
+    name: str
+    args: list
+
+
+@dataclass
 class Predicate:
     lhs: Any
     op: str
@@ -107,11 +125,12 @@ _TOKEN_RE = re.compile(
   | (?P<subnet>\d{1,3}(?:\.\d{1,3}){3}/\d{1,2})
   | (?P<ip>\d{1,3}(?:\.\d{1,3}){3}|[0-9a-fA-F:]*::[0-9a-fA-F:.]*)
   | (?P<time>\d{4}-\d{2}-\d{2}(?:[T ]\d{2}:\d{2}(?::\d{2}(?:\.\d+)?)?)?(?:Z|[+-]\d{2}:?\d{2})?)
-  | (?P<duration>[+-]?\d+(?:\.\d+)?\s*(?:ns|us|ms|s|sec|min|mins|h|hrs|d|days?|w|weeks?)\b)
-  | (?P<number>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<duration>\d+(?:\.\d+)?\s*(?:ns|us|ms|s|sec|min|mins|h|hrs|d|days?|w|weeks?)\b)
+  | (?P<number>(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<typex>:[A-Za-z_][A-Za-z0-9_.]*)
   | (?P<metax>\#[A-Za-z_][A-Za-z0-9_]*)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_.]*)
+  | (?P<arith>[+\-*/%])
     """,
     re.VERBOSE,
 )
@@ -201,10 +220,21 @@ class _Parser:
             self.next()
             return Negation(self.negation())
         if self.peek() and self.peek()[0] == "lparen":
-            # lookahead: parenthesized boolean expr
-            self.next()
-            node = self.disjunction()
-            self.expect("rparen")
+            # try a parenthesized BOOLEAN group; if a relop/arith follows
+            # the closing paren, it was an arithmetic group — backtrack
+            # and reparse as a predicate (e.g. "(a + 1) > 2")
+            mark = self.i
+            try:
+                self.next()
+                node = self.disjunction()
+                self.expect("rparen")
+            except ValueError:
+                self.i = mark
+                return self.predicate()
+            nxt = self.peek()
+            if nxt and nxt[0] in ("relop", "arith"):
+                self.i = mark
+                return self.predicate()
             return node
         return self.predicate()
 
@@ -222,11 +252,47 @@ class _Parser:
             return Predicate(TypeExtractor(lhs.type_name), "==", lhs)
         raise ValueError(f"cannot use {lhs} as a predicate")
 
+    # -- operand grammar: additive < multiplicative < unary < primary ----
+
     def operand(self):
+        return self.additive()
+
+    def additive(self):
+        node = self.multiplicative()
+        while self.peek() and self.peek()[0] == "arith" and self.peek()[1] in "+-":
+            op = self.next()[1]
+            node = BinOp(node, op, self.multiplicative())
+        return node
+
+    def multiplicative(self):
+        node = self.unary()
+        while self.peek() and self.peek()[0] == "arith" and self.peek()[1] in ("*", "/", "%"):
+            op = self.next()[1]
+            node = BinOp(node, op, self.unary())
+        return node
+
+    def unary(self):
+        tok = self.peek()
+        if tok and tok[0] == "arith" and tok[1] in "+-":
+            sign = self.next()[1]
+            inner = self.unary()
+            if sign == "+":
+                return inner
+            if isinstance(inner, Literal) and inner.type_name in ("int64", "double", "duration"):
+                return Literal(-inner.value, inner.type_name)
+            return BinOp(Literal(0, "int64"), "-", inner)
+        return self.primary()
+
+    def primary(self):
         tok = self.peek()
         if tok is None:
             raise ValueError("unexpected end of expression")
         kind, text = tok
+        if kind == "lparen":
+            self.next()
+            node = self.additive()
+            self.expect("rparen")
+            return node
         if kind == "lbrack":
             self.next()
             items = []
@@ -243,11 +309,11 @@ class _Parser:
         if kind == "string":
             return Literal(_unquote(text), "string")
         if kind == "number":
-            if re.fullmatch(r"[+-]?\d+", text):
+            if re.fullmatch(r"\d+", text):
                 return Literal(int(text), "int64")
             return Literal(float(text), "double")
         if kind == "duration":
-            m = re.fullmatch(r"([+-]?\d+(?:\.\d+)?)\s*([a-z]+)", text)
+            m = re.fullmatch(r"(\d+(?:\.\d+)?)\s*([a-z]+)", text)
             ns = float(m.group(1)) * _DUR_UNIT_NS[m.group(2)]
             return Literal(int(ns), "duration")
         if kind == "time":
@@ -266,6 +332,16 @@ class _Parser:
                 return Literal(_KEYWORDS[low], "bool")
             if low == "null" or low == "nil":
                 return Literal(None, "null")
+            if self.peek() and self.peek()[0] == "lparen":
+                # scalar function call f(arg, ...)
+                self.next()
+                args = []
+                while self.peek() and self.peek()[0] != "rparen":
+                    args.append(self.operand())
+                    if self.peek() and self.peek()[0] == "comma":
+                        self.next()
+                self.expect("rparen")
+                return FuncCall(low, args)
             return FieldExtractor(text)
         raise ValueError(f"unexpected token {tok}")
 
@@ -400,6 +476,15 @@ class Binder:
                     "in": "ni", "ni": "in", "!in": "!ni", "!ni": "!in"}
             lhs, rhs = rhs, lhs
             op = flip.get(op, op)
+        if isinstance(lhs, (BinOp, FuncCall)) or isinstance(rhs, (BinOp, FuncCall)):
+            # computed operands: compile each side to ONE Column (extractors
+            # resolve to their first match) and compare directly
+            lcol = self.value(lhs)
+            rcol = self.value(rhs)
+            if lcol is None or rcol is None:
+                return F.lit(False)
+            return _apply_relop(lcol, op, rcol,
+                                rhs if isinstance(rhs, Literal) else None)
         paths = self._resolve(lhs)
         if not paths:
             return F.lit(False)
@@ -408,6 +493,29 @@ class Binder:
         for c in cols[1:]:
             out = out | c
         return out
+
+    def value(self, node) -> Column | None:
+        """Compile an operand (literal / extractor / arithmetic / function
+        call) to a single Column; None when an extractor has no match."""
+        if isinstance(node, Literal):
+            return _lit_col(node, "", self)
+        if isinstance(node, (FieldExtractor, TypeExtractor, MetaExtractor)):
+            paths = self._resolve(node)
+            if not paths:
+                return None
+            if paths[0] == "__meta_schema__":
+                return (F.lit(self.schema_name) if self.schema_name is not None
+                        else F.lit(None).cast("string"))
+            return F.col(paths[0])
+        if isinstance(node, BinOp):
+            lc, rc = self.value(node.lhs), self.value(node.rhs)
+            if lc is None or rc is None:
+                return None
+            return {"+": lc + rc, "-": lc - rc, "*": lc * rc,
+                    "/": lc / rc, "%": lc % rc}[node.op]
+        if isinstance(node, FuncCall):
+            return _apply_func(node, self)
+        raise TypeError(f"cannot compile operand {node!r}")
 
     def _resolve(self, operand) -> list[str]:
         if isinstance(operand, FieldExtractor):
@@ -437,6 +545,70 @@ class Binder:
             rcol = F.col(rpaths[0])
             return _apply_relop(col, op, rcol, None)
         return _apply_relop(col, op, _lit_col(rhs, path, self), rhs)
+
+
+# scalar function library: name -> (min_args, max_args, builder over
+# compiled arg Columns). The reference parses f(x) calls
+# (tql/parser.cpp:422-439) but its v4.3 library is unwired — this set is
+# the engine-defined Spark-native library; all JVM-side, codegen'd.
+_FUNCS: dict[str, tuple[int, int, Any]] = {
+    "round": (1, 2, None),  # special-cased: scale must be a literal int
+    "floor": (1, 1, lambda a: F.floor(a[0])),
+    "ceil": (1, 1, lambda a: F.ceil(a[0])),
+    "abs": (1, 1, lambda a: F.abs(a[0])),
+    "sqrt": (1, 1, lambda a: F.sqrt(a[0])),
+    "exp": (1, 1, lambda a: F.exp(a[0])),
+    "ln": (1, 1, lambda a: F.log(a[0])),
+    "log10": (1, 1, lambda a: F.log10(a[0])),
+    "length": (1, 1, lambda a: F.length(a[0])),
+    "len": (1, 1, lambda a: F.length(a[0])),
+    "lower": (1, 1, lambda a: F.lower(a[0])),
+    "upper": (1, 1, lambda a: F.upper(a[0])),
+    "trim": (1, 1, lambda a: F.trim(a[0])),
+    "reverse": (1, 1, lambda a: F.reverse(a[0])),
+    "concat": (1, 99, lambda a: F.concat(*a)),
+    "coalesce": (1, 99, lambda a: F.coalesce(*a)),
+    "substr": (2, 3, lambda a: F.substr(*a)),
+    "starts_with": (2, 2, lambda a: a[0].startswith(a[1])),
+    "ends_with": (2, 2, lambda a: a[0].endswith(a[1])),
+    "contains": (2, 2, lambda a: a[0].contains(a[1])),
+    "year": (1, 1, lambda a: F.year(a[0])),
+    "month": (1, 1, lambda a: F.month(a[0])),
+    "day": (1, 1, lambda a: F.dayofmonth(a[0])),
+    "hour": (1, 1, lambda a: F.hour(a[0])),
+    "minute": (1, 1, lambda a: F.minute(a[0])),
+    "second": (1, 1, lambda a: F.second(a[0])),
+    "to_string": (1, 1, lambda a: a[0].cast("string")),
+    "to_int": (1, 1, lambda a: a[0].cast("long")),
+    "to_double": (1, 1, lambda a: a[0].cast("double")),
+    "to_time": (1, 1, lambda a: F.to_timestamp(a[0])),
+    "sha256": (1, 1, lambda a: F.sha2(a[0].cast("string"), 256)),
+    "md5": (1, 1, lambda a: F.md5(a[0].cast("string"))),
+}
+
+
+def _apply_func(call: FuncCall, binder: "Binder") -> Column | None:
+    spec = _FUNCS.get(call.name)
+    if spec is None:
+        raise ValueError(f"unknown function {call.name!r} "
+                         f"(available: {sorted(_FUNCS)})")
+    lo, hi, build = spec
+    if not (lo <= len(call.args) <= hi):
+        raise ValueError(f"{call.name}() takes {lo}..{hi} args, got {len(call.args)}")
+    if call.name == "round":
+        col = binder.value(call.args[0])
+        if col is None:
+            return None
+        if len(call.args) == 2:
+            scale = call.args[1]
+            if not (isinstance(scale, Literal) and isinstance(scale.value, int)):
+                raise ValueError("round() scale must be an integer literal")
+            return F.round(col, scale.value)
+        return F.round(col)
+    args = [binder.value(a) for a in call.args]
+    if any(a is None for a in args):
+        return None
+    return build(args)
 
 
 def _lit_col(lit: Literal, path: str, binder: Binder) -> Column:
@@ -510,6 +682,30 @@ def ip_in_subnet(col: Column, cidr: str) -> Column:
     return col.rlike(r"^\d+\.\d+\.\d+\.\d+$") & (
         as_int.bitwiseAND(F.lit(mask)) == F.lit(int(net.network_address))
     )
+
+
+def parse_operand(text: str):
+    """Parse a single operand (literal / extractor / arithmetic /
+    function call) — the RHS grammar of ``put x=<operand>``."""
+    p = _Parser(tokenize(text))
+    node = p.operand()
+    if p.peek() is not None:
+        raise ValueError(f"trailing tokens in operand: {p.toks[p.i:]}")
+    return node
+
+
+def compile_operand(
+    text: str,
+    df_or_schema: DataFrame | T.StructType,
+    type_hints: dict[str, str] | None = None,
+) -> Column:
+    """Compile an operand string to a Column bound against a schema
+    (missing extractors become typed nulls, matching the reference's
+    ``put`` semantics: put_extend_replace.cpp:142-157)."""
+    schema = df_or_schema.schema if isinstance(df_or_schema, DataFrame) else df_or_schema
+    node = parse_operand(text)
+    col = Binder(schema, type_hints=type_hints).value(node)
+    return col if col is not None else F.lit(None)
 
 
 def compile_expression(

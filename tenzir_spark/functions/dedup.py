@@ -67,13 +67,51 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
 # ---------------------------------------------------------------- minhash
 
 
-def minhash_signature(shingles: Column, n_hashes: int = 64, seed: int = 1) -> Column:
-    """Array of n minhashes: min over xxhash64(shingle, seed+i). Empty
-    shingle sets get nulls (excluded from candidates)."""
-    sigs = [
-        F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed + i))))
+_MH_PRIME = 2147483647  # 2^31 - 1: products stay under 2^62 (no overflow)
+
+
+def minhash_params(n_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) multiply-shift constants for the md5
+    hash family — shared by the Spark expressions AND the SQL-oracle
+    generator so both engines evaluate the identical integer formula."""
+    return [
+        (((seed * 1000003 + i * 7919 + 1) % (_MH_PRIME - 1)) + 1,
+         (seed * 999983 + i * 104729) % _MH_PRIME)
         for i in range(n_hashes)
     ]
+
+
+def md5_base_hash(col: Column) -> Column:
+    """60-bit integer from the first 15 hex chars of md5 — the ONE
+    expensive hash per shingle; the n minhash values derive from it with
+    exact modular arithmetic (classic (a*h+b) mod p family). Reproducible
+    anywhere: DuckDB computes ('0x' || substr(md5(g),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % F.lit(_MH_PRIME)
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 64, seed: int = 1,
+                      hash_family: str = "xxhash64") -> Column:
+    """Array of n minhashes: min over hash(shingle, i). Empty shingle sets
+    get nulls (excluded from candidates).
+
+    ``hash_family``:
+    - ``xxhash64`` (default): fastest, JVM-native 64-bit ints.
+    - ``md5``: one md5 per shingle -> 60-bit int -> n derived values via
+      (a_i*h + b_i) mod p. Bit-identical reproducible in any engine with
+      md5 (the DuckDB correctness oracle recomputes it).
+    """
+    if hash_family == "md5":
+        sigs = [
+            F.array_min(F.transform(
+                shingles,
+                lambda s, a=a, b=b: (F.lit(a) * md5_base_hash(s) + F.lit(b)) % F.lit(_MH_PRIME)))
+            for a, b in minhash_params(n_hashes, seed)
+        ]
+    else:
+        sigs = [
+            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed + i))))
+            for i in range(n_hashes)
+        ]
     return F.array(*sigs)
 
 
@@ -85,51 +123,101 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_k: int = 5,
     seed: int = 1,
+    hash_family: str = "xxhash64",
+    max_bucket: int = 1024,
+    cache_signatures: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) with their estimated
     Jaccard (fraction of agreeing minhashes).
 
-    Pipeline: signature -> split into ``bands`` bands -> hash each band ->
-    explode -> self-join on (band_idx, band_hash) -> distinct pairs ->
-    estimate. The self-join is an equi-join on the band key: Spark
-    shuffles both sides by band hash, so work is proportional to bucket
-    sizes (degenerate giant buckets — e.g. empty docs — are the caller's
-    filter responsibility; we drop null/empty texts)."""
+    Pipeline: signature -> band hashes -> explode (id, band-key) ONLY ->
+    self-join on the band key -> distinct id pairs -> rejoin signatures
+    once per surviving pair -> estimate.
+
+    Scale design:
+    - the banded self-join carries just (band-key, id) — signatures
+      (n_hashes x 8B each) never ride through the pair-exploding shuffle;
+    - ``max_bucket`` drops degenerate buckets (boilerplate/empty-ish docs
+      hashing identically) whose O(bucket^2) pairs would dominate: a
+      bucket larger than that is almost surely one giant duplicate class
+      better handled by exact_dedup on the band key;
+    - signatures are persisted (``cache_signatures``) because they feed
+      both the band explode and the two pair-side rejoins.
+    """
+    from pyspark.sql import Window
+
     rows_per_band = n_hashes // bands
-    sig = minhash_signature(char_shingles(text_col, shingle_k), n_hashes, seed)
-    with_sig = (
+    # signature via explode + single-pass hashing: computing the n_hashes
+    # elements as n array_min(transform(...)) expressions re-inlines (and
+    # re-computes) the shingle array once PER ELEMENT — Catalyst does not
+    # CSE across lambda functions, which made signatures the dominant cost.
+    # Exploding materializes each shingle exactly once; the n hashes are
+    # one projection pass; the groupBy gets map-side partial aggregation
+    # (a doc's shingles live in one partition post-explode, so the shuffle
+    # carries ~one row per doc).
+    # repartition by id BEFORE exploding: a small/few-partition source
+    # would otherwise hash everything on one core, and partitioning by the
+    # group key up front means the groupBy below needs no second exchange
+    ex = (
         df.select(F.col(id_col).alias("__id"), F.col(text_col))
         .filter(F.col(text_col).isNotNull() & (F.length(text_col) >= shingle_k))
-        .withColumn("__sig", sig)
+        .repartition(F.col("__id"))
+        .select("__id", F.explode(char_shingles(text_col, shingle_k)).alias("__g"))
     )
+    if hash_family == "md5":
+        # one md5 per shingle, n derived values by modular arithmetic —
+        # F.md5 costs ~10us/call, so calling it n times per shingle (as a
+        # naive per-seed family would) dominates everything else
+        ex = ex.select("__id", md5_base_hash(F.col("__g")).alias("__h"))
+        elems = [F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(_MH_PRIME)).alias(f"__h{i}")
+                 for i, (a, b) in enumerate(minhash_params(n_hashes, seed))]
+    else:
+        elems = [F.min(F.xxhash64(F.col("__g"), F.lit(seed + i))).alias(f"__h{i}")
+                 for i in range(n_hashes)]
+    with_sig = (
+        ex.groupBy("__id").agg(*elems)
+        .select("__id", F.array(*[F.col(f"__h{i}") for i in range(n_hashes)]).alias("__sig"))
+    )
+    if cache_signatures:
+        with_sig = with_sig.persist()
+
+    def band_hash(sl: Column) -> Column:
+        if hash_family == "md5":
+            return F.md5(F.concat_ws("|", F.transform(sl, lambda x: x.cast("string"))))
+        return F.xxhash64(sl)
+
     band = F.explode(
         F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
             lambda b: F.struct(
                 b.alias("band"),
-                F.xxhash64(F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band))
+                band_hash(F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band))
                  .alias("bhash"),
             ),
         )
     )
-    banded = with_sig.select("__id", "__sig", band.alias("__b"))
-    left = banded.select(
-        F.col("__b"), F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a"))
-    right = banded.select(
-        F.col("__b"), F.col("__id").alias("id_b"), F.col("__sig").alias("sig_b"))
+    banded = with_sig.select("__id", band.alias("__b"))
+    bucket_n = F.count(F.lit(1)).over(Window.partitionBy("__b"))
+    capped = (banded.withColumn("__n", bucket_n)
+              .filter(F.col("__n") <= max_bucket).drop("__n"))
+    left = capped.select("__b", F.col("__id").alias("id_a"))
+    right = capped.select("__b", F.col("__id").alias("id_b"))
     pairs = (
         left.join(right, "__b")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sa = with_sig.select(F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a"))
+    sb = with_sig.select(F.col("__id").alias("id_b"), F.col("__sig").alias("sig_b"))
+    est = pairs.join(sa, "id_a").join(sb, "id_b")
     agree = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
             lambda x: x,
         )
     )
-    return pairs.select(
+    return est.select(
         "id_a", "id_b",
         (agree.cast("double") / F.lit(float(n_hashes))).alias("est_jaccard"),
     )
@@ -145,13 +233,22 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     use_words: bool = True,
+    max_gram_docs: int | None = 4096,
 ) -> DataFrame:
     """EXACT Jaccard similarity over k-gram sets for all pairs sharing at
     least one gram (inverted-index self-join — never materializes the full
     n^2). Returns pairs >= threshold.
 
+    ``max_gram_docs`` caps the inverted-index posting list: a gram shared
+    by more than that many docs (stopword boilerplate) is dropped from the
+    index, bounding the worst bucket at O(cap^2) instead of O(n^2). Pairs
+    whose entire overlap is capped grams are missed — the standard
+    df-cutoff tradeoff; pass None for exact behavior.
+
     Scale path: run minhash_lsh_candidates first and verify only those;
     this operator IS the verifier when given a pre-filtered df."""
+    from pyspark.sql import Window
+
     sh = word_shingles(text_col, k) if use_words else char_shingles(text_col, k)
     base = (
         df.select(F.col(id_col).alias("__id"), sh.alias("__sh"))
@@ -159,6 +256,10 @@ def ngram_jaccard_pairs(
         .withColumn("__n", F.size("__sh"))
     )
     inv = base.select("__id", "__n", F.explode("__sh").alias("__g"))
+    if max_gram_docs is not None:
+        gram_n = F.count(F.lit(1)).over(Window.partitionBy("__g"))
+        inv = (inv.withColumn("__gn", gram_n)
+               .filter(F.col("__gn") <= max_gram_docs).drop("__gn"))
     a = inv.select(F.col("__g"), F.col("__id").alias("id_a"), F.col("__n").alias("n_a"))
     b = inv.select(F.col("__g"), F.col("__id").alias("id_b"), F.col("__n").alias("n_b"))
     inter = (
@@ -182,8 +283,9 @@ _SIMHASH_BITS = 64
 @F.pandas_udf(T.LongType())
 def simhash_udf(text: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens (Charikar '02), vectorized
-    with numpy per Arrow batch. Token hash = first 8 bytes of blake2b
-    (deterministic across processes, unlike Python hash())."""
+    with numpy per Arrow batch. Token hash = first 16 hex chars of md5
+    read big-endian — deterministic across processes AND reproducible in
+    any engine with md5 (the DuckDB oracle recomputes it bit-for-bit)."""
     import hashlib
 
     def one(s):
@@ -192,8 +294,8 @@ def simhash_udf(text: pd.Series) -> pd.Series:
         toks = s.split()
         if not toks:
             return 0
-        hashes = np.frombuffer(
-            b"".join(hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest() for t in toks),
+        hashes = np.array(
+            [int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16) for t in toks],
             dtype=np.uint64,
         )
         bits = ((hashes[:, None] >> np.arange(_SIMHASH_BITS, dtype=np.uint64)) & 1).astype(np.int32)

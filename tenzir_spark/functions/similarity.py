@@ -14,8 +14,11 @@ from __future__ import annotations
 import math
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -54,8 +57,41 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
-def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Random-hyperplane signature: bit i = sign(v . h_i), packed to long."""
+def _signature_pandas_udf(planes: list[list[float]]):
+    """Arrow-batched signature: one numpy matmul per batch against the
+    plane matrix (closed over — shipped once per task, not inlined into
+    the plan). At real embedding dims (768-1536) the literal-expression
+    path would put tens of thousands of literal nodes into the Catalyst
+    plan and run n_planes sequential F.aggregate folds per row; the
+    matmul is one BLAS call."""
+    mat = np.asarray(planes, dtype=np.float64)  # (n_planes, dim)
+    shifts = np.arange(mat.shape[0], dtype=np.uint64)
+
+    @F.pandas_udf(T.LongType())
+    def sig(vecs: pd.Series) -> pd.Series:
+        mask = vecs.notna()
+        out = np.zeros(len(vecs), dtype=np.int64)
+        if mask.any():
+            arr = np.stack([np.asarray(v, dtype=np.float64) for v in vecs[mask]])
+            bits = (arr @ mat.T) >= 0  # (batch, n_planes)
+            out[mask.to_numpy()] = (
+                (bits.astype(np.uint64) << shifts).sum(axis=1).astype(np.int64))
+        return pd.Series(out).where(mask)
+
+    return sig
+
+
+def lsh_signature(vec_col: Column, planes: list[list[float]],
+                  use_udf: bool | None = None) -> Column:
+    """Random-hyperplane signature: bit i = sign(v . h_i), packed to long.
+
+    Small dim*planes products stay as pure Column expressions (codegen'd,
+    no Python); past ~512 literal coefficients the vectorized pandas-UDF
+    matmul wins (plan stays tiny, Arrow batches amortize the transfer)."""
+    if use_udf is None:
+        use_udf = len(planes) * len(planes[0]) >= 512
+    if use_udf:
+        return _signature_pandas_udf(planes)(vec_col)
     bits = [
         F.when(dot(vec_col, F.array(*[F.lit(x) for x in h])) >= 0, F.lit(1)).otherwise(F.lit(0))
         for h in planes

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def head(df: DataFrame, n: int = 10, order_by: str | Column | None = None) -> DataFrame:
@@ -48,17 +49,50 @@ def unique(df: DataFrame, order_by: str | Column | None = None) -> DataFrame:
     order column this degrades to dropDuplicates() — identical result for
     the canonical ``sort | unique`` idiom the reference documents.
 
-    Scale note: the lag window is a single global sort (one range
-    partition pass); dropDuplicates is a hash shuffle with map-side
-    combine. Prefer the latter at 100 TB unless true uniq semantics on a
-    pre-sorted stream are required.
+    Scale design: rows are RANGE-partitioned by the order key, lag runs
+    per partition (parallel), and the one cross-partition comparison per
+    boundary uses each partition's last row — collected as O(partitions)
+    driver rows and broadcast back. No global single-reducer window.
     """
     if order_by is None:
         return df.dropDuplicates()
     cols = [c for c in df.columns]
-    w = Window.orderBy(order_by)
+    part = (df.repartitionByRange(order_by)
+            .withColumn("__pid", F.spark_partition_id())
+            .persist())
+    # last row of every partition (tiny: one row per partition)
+    last_rows = (part.groupBy("__pid")
+                 .agg(F.max_by(F.struct(*[F.col(c) for c in cols]), order_by).alias("__r"))
+                 .collect())
+    last_by_pid = {r["__pid"]: r["__r"] for r in last_rows}
+    pids = sorted(last_by_pid)
+    boundary = [
+        tuple([pid, True] + list(last_by_pid[prev_pid]))
+        for prev_pid, pid in zip(pids, pids[1:])
+    ]
+    w = Window.partitionBy("__pid").orderBy(order_by)
     prev = [F.lag(F.col(c)).over(w).alias(f"__p_{c}") for c in cols]
-    tagged = df.select(*cols, *prev)
+    tagged = part.select(
+        "__pid", *cols, *prev,
+        F.lag(F.lit(1)).over(w).isNull().alias("__first"))
+    if boundary:
+        spark = df.sparkSession
+        schema = T.StructType(
+            [T.StructField("__pid", T.IntegerType()),
+             T.StructField("__has_b", T.BooleanType())]
+            + [T.StructField(f"__b_{f.name}", f.dataType) for f in df.schema.fields])
+        bdf = spark.createDataFrame(boundary, schema)
+        tagged = tagged.join(F.broadcast(bdf), "__pid", "left")
+        # the first row of a partition has no lag(): its predecessor is the
+        # previous partition's last row (absent only for the very first row)
+        is_first = F.col("__first")
+        has_pred = (~is_first) | F.coalesce(F.col("__has_b"), F.lit(False))
+        same = None
+        for c in cols:
+            pc = F.when(is_first, F.col(f"__b_{c}")).otherwise(F.col(f"__p_{c}"))
+            eq = F.col(c).eqNullSafe(pc)
+            same = eq if same is None else (same & eq)
+        return tagged.filter(~(F.coalesce(same, F.lit(False)) & has_pred)).select(*cols)
     same = None
     for c in cols:
         eq = F.col(c).eqNullSafe(F.col(f"__p_{c}"))

@@ -154,15 +154,34 @@ def enumerate_rows(df: DataFrame, field: str = "#", order_by: str | Column | Non
     (enumerate.cpp:31); distributed Spark needs an explicit order — pass
     ``order_by``. Without one, falls back to a partition-monotonic id
     (stable but not dense across partitions — documented divergence).
+
+    The global enumeration is two-pass and fully distributed: range
+    partition by the order key, per-partition row numbers, then add
+    per-partition offsets from one O(partitions) count aggregate — never
+    a global single-reducer window (which would serialize every row
+    through one task at scale).
     """
     name = "idx" if field == "#" else field
-    if order_by is not None:
-        w = Window.orderBy(order_by)
-        if per_schema_col:
-            w = Window.partitionBy(per_schema_col).orderBy(order_by)
-        out = df.withColumn(name, F.row_number().over(w) - 1)
-    else:
+    if order_by is None:
         out = df.withColumn(name, F.monotonically_increasing_id())
+        return out.select(name, *[c for c in df.columns])
+    if per_schema_col:
+        w = Window.partitionBy(per_schema_col).orderBy(order_by)
+        out = df.withColumn(name, F.row_number().over(w) - 1)
+        return out.select(name, *[c for c in df.columns])
+    part = (df.repartitionByRange(order_by)
+            .withColumn("__pid", F.spark_partition_id())
+            .persist())
+    counts = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect()
+    offsets, acc = [], 0
+    for r in sorted(counts, key=lambda r: r["__pid"]):
+        offsets.append((r["__pid"], acc))
+        acc += r["__n"]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy(order_by)
+    out = (part.join(F.broadcast(off_df), "__pid", "left")
+           .withColumn(name, F.row_number().over(w) - 1 + F.coalesce("__off", F.lit(0))))
     return out.select(name, *[c for c in df.columns])
 
 

@@ -24,8 +24,16 @@ from tenzir_spark import operators as ops
 
 
 class Pipeline:
+    _pending_sink = None  # set by plans.tql when a string pipeline ends in a sink
+
     def __init__(self, df: DataFrame):
         self._df = df
+
+    def run(self):
+        """Execute the pending sink of a string-parsed pipeline (no-op
+        passthrough of .df when there is none)."""
+        from tenzir_spark.plans.tql import run_pipeline
+        return run_pipeline(self)
 
     # -- sources ------------------------------------------------------------
 

@@ -1,0 +1,377 @@
+"""TQL pipeline-string parser: ``"where x > 1 | select a b | head 5"``
+-> a runnable Pipeline.
+
+The reference's primary UX is a pipeline STRING (``tenzir exec "from f
+read json | where ... | summarize ..."``): the TQL parser splits on
+``|``, resolves each operator name against the plugin registry / alias
+table, and delegates argument parsing to the operator
+(libtenzir/src/tql/parser.cpp:310-402). This module is the Spark
+counterpart: each segment dispatches to the operator library, predicates
+and operands reuse the expr compiler, and the composed result is a lazy
+DataFrame that Catalyst optimizes — the reference's hand-rolled pushdown
+walk (pipeline.cpp:245-275) is not re-implemented.
+
+``exec_pipeline`` mirrors ``tenzir exec`` closure semantics loosely: a
+pipeline with no source requires ``source=``; a trailing sink executes on
+``.run()`` (exec.cpp:32-95 prepends stdin / appends stdout — driver-side
+I/O is out of scope here, file sinks are supported).
+"""
+
+from __future__ import annotations
+
+import re
+import shlex
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tenzir_spark.plans.pipeline import Pipeline
+from tenzir_spark.expr import compile_operand
+from tenzir_spark.sources import formats as fmt
+
+# ---------------------------------------------------------------------------
+# splitting
+# ---------------------------------------------------------------------------
+
+
+def split_pipeline(text: str) -> list[str]:
+    """Split on top-level '|' (quotes and parens respected; '||' is the
+    boolean OR inside expressions, never a segment boundary)."""
+    segs: list[str] = []
+    depth = 0
+    quote: str | None = None
+    cur: list[str] = []
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if quote:
+            cur.append(ch)
+            if ch == quote and text[i - 1] != "\\":
+                quote = None
+        elif ch in "\"'":
+            quote = ch
+            cur.append(ch)
+        elif ch in "([":
+            depth += 1
+            cur.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "|" and depth == 0:
+            if i + 1 < len(text) and text[i + 1] == "|":
+                cur.append("||")
+                i += 1
+            else:
+                segs.append("".join(cur).strip())
+                cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    if "".join(cur).strip():
+        segs.append("".join(cur).strip())
+    return [s for s in segs if s]
+
+
+def _split_top(text: str, sep: str = ",") -> list[str]:
+    """Split on a separator at paren/quote depth 0."""
+    out, depth, quote, cur = [], 0, None, []
+    for ch in text:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in "\"'":
+            quote = ch
+            cur.append(ch)
+        elif ch in "([":
+            depth += 1
+            cur.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            cur.append(ch)
+        elif ch == sep and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        out.append("".join(cur).strip())
+    return [x for x in out if x]
+
+
+# ---------------------------------------------------------------------------
+# format readers (from/read) and writers (to/write)
+# ---------------------------------------------------------------------------
+
+_READERS: dict[str, Callable] = {
+    "json": fmt.read_json,
+    "suricata": fmt.read_suricata,
+    "zeek-json": fmt.read_zeek_json,
+    "csv": fmt.read_csv,
+    "tsv": fmt.read_tsv,
+    "ssv": fmt.read_ssv,
+    "zeek-tsv": fmt.read_zeek_tsv,
+    "lines": fmt.read_lines,
+    "cef": fmt.read_cef,
+    "yaml": fmt.read_yaml,
+    "parquet": fmt.read_parquet,
+    "feather": fmt.read_feather,
+}
+
+_EXT_FORMAT = {
+    ".json": "json", ".ndjson": "json", ".jsonl": "json",
+    ".csv": "csv", ".tsv": "tsv", ".ssv": "ssv",
+    ".parquet": "parquet", ".feather": "feather",
+    ".yaml": "yaml", ".yml": "yaml", ".txt": "lines",
+}
+
+
+def _infer_format(path: str) -> str:
+    base = path.lower()
+    for z in (".gz", ".zst", ".bz2"):  # spark text-based readers handle codecs
+        if base.endswith(z):
+            base = base[: -len(z)]
+    for ext, f in _EXT_FORMAT.items():
+        if base.endswith(ext):
+            return f
+    raise ValueError(f"cannot infer format from {path!r}; use 'from {path} read <fmt>'")
+
+
+# ---------------------------------------------------------------------------
+# parse
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _Sink:
+    kind: str  # "parquet" | "json" | "csv" | "tsv" | "discard" | "import"
+    path: str | None = None
+
+
+def _kv_pairs(arg: str) -> dict[str, str]:
+    """Parse ``name=operand`` lists (comma- or space-separated at depth 0)."""
+    parts = _split_top(arg, ",") if "," in arg else _split_top(arg, " ")
+    out: dict[str, str] = {}
+    for p in parts:
+        if "=" not in p:
+            raise ValueError(f"expected name=value, got {p!r}")
+        name, val = p.split("=", 1)
+        out[name.strip()] = val.strip()
+    return out
+
+
+def _names(arg: str) -> list[str]:
+    return [t for t in re.split(r"[,\s]+", arg.strip()) if t]
+
+
+def parse_pipeline(text: str, spark: SparkSession | None = None,
+                   source: DataFrame | Pipeline | None = None) -> Pipeline:
+    """Parse a TQL pipeline string into a Pipeline.
+
+    Source operators (``from``) need ``spark``; source-less pipelines need
+    ``source``. A trailing sink (``to``/``write``/``save``/``discard``) is
+    recorded on the Pipeline and executes via ``.run()``.
+    """
+    segs = split_pipeline(text)
+    if not segs:
+        raise ValueError("empty pipeline")
+    p: Pipeline | None = (source if isinstance(source, Pipeline)
+                          else Pipeline(source) if source is not None else None)
+    sink: _Sink | None = None
+    read_fmt_pending: str | None = None
+
+    for seg in segs:
+        if sink is not None:
+            raise ValueError(f"operator after sink: {seg!r}")
+        m = re.match(r"^([A-Za-z_][\w-]*)\s*(.*)$", seg, re.S)
+        if not m:
+            raise ValueError(f"cannot parse operator segment {seg!r}")
+        op, arg = m.group(1), m.group(2).strip()
+
+        # -- sources -------------------------------------------------------
+        if op in ("from", "load"):
+            if spark is None:
+                raise ValueError("'from' requires a SparkSession")
+            toks = shlex.split(arg)
+            path = toks[0]
+            f = None
+            if len(toks) >= 3 and toks[1] == "read":
+                f = toks[2]
+            if f is None and op == "load":
+                read_fmt_pending = path  # defer until 'read <fmt>'
+                continue
+            f = f or _infer_format(path)
+            p = Pipeline(_READERS[f](spark, path))
+            continue
+        if op == "read":
+            f = shlex.split(arg)[0]
+            if read_fmt_pending is None:
+                raise ValueError("'read' without a preceding 'load'")
+            p = Pipeline(_READERS[f](spark, read_fmt_pending))
+            read_fmt_pending = None
+            continue
+        if op == "export":
+            raise ValueError("use Pipeline.export(table) for lake sources")
+
+        if p is None:
+            raise ValueError(f"pipeline has no source before {op!r}")
+        df = p.df
+
+        # -- transforms ------------------------------------------------------
+        if op == "where":
+            p = p.where(arg)
+        elif op == "select":
+            p = p.select(*_names(arg))
+        elif op == "drop":
+            p = p.drop(*_names(arg))
+        elif op in ("put", "extend", "replace"):
+            cols = {n: compile_operand(v, df) for n, v in _kv_pairs(arg).items()}
+            p = getattr(p, op)(**cols)
+        elif op == "rename":
+            p = p.rename(**_kv_pairs(arg))
+        elif op == "summarize":
+            mres = re.search(r"\bresolution\s+(\S+)\s*$", arg)
+            resolution = None
+            if mres:
+                resolution = mres.group(1)
+                arg = arg[: mres.start()].strip()
+            mby = re.search(r"\bby\b", arg)
+            by: list[str] = []
+            if mby:
+                by = _names(arg[mby.end():])
+                arg = arg[: mby.start()].strip()
+            aggs = _split_top(arg, ",")
+            kw = {}
+            if resolution:
+                # the reference floors ALL time keys (summarize.cpp:41-95);
+                # we bucket the first time-typed key
+                kw = {"resolution": _tql_duration(resolution), "time_col": by[0] if by else None}
+            p = p.summarize(aggs, by=by, **kw)
+        elif op == "sort":
+            toks = shlex.split(arg)
+            stable = "--stable" in toks
+            toks = [t for t in toks if t != "--stable"]
+            field = toks[0]
+            ascending = "desc" not in toks
+            nulls_first = True if "nulls-first" in toks else (False if "nulls-last" in toks else None)
+            p = p.sort(field, ascending=ascending, nulls_first=nulls_first)
+        elif op == "unique":
+            p = p.unique()
+        elif op == "head":
+            p = p.head(int(shlex.split(arg)[0]) if arg else 10)
+        elif op == "tail":
+            toks = shlex.split(arg)
+            n = int(toks[0]) if toks and toks[0].isdigit() else 10
+            order = _flag(toks, "--order-by")
+            p = p.tail(n, order_by=order) if order else p.tail(n, order_by=df.columns[0])
+        elif op == "taste":
+            toks = shlex.split(arg)
+            n = int(toks[0]) if toks and toks[0].isdigit() else 10
+            schema_col = _flag(toks, "--schema-col") or "_schema"
+            p = p.taste(n, schema_col=schema_col)
+        elif op == "top":
+            toks = shlex.split(arg)
+            cf = _flag(toks, "-c") or "count"
+            p = p.top(toks[0], count_field=cf)
+        elif op == "rare":
+            toks = shlex.split(arg)
+            cf = _flag(toks, "-c") or "count"
+            p = p.rare(toks[0], count_field=cf)
+        elif op == "flatten":
+            p = p.flatten(arg or ".")
+        elif op == "unflatten":
+            p = p.unflatten(arg or ".")
+        elif op == "enumerate":
+            toks = shlex.split(arg)
+            order = _flag(toks, "--order-by")
+            field = toks[0] if toks and not toks[0].startswith("--") else "#"
+            p = p.enumerate(field=field, order_by=order)
+        elif op == "hash":
+            toks = shlex.split(arg)
+            salt = _flag(toks, "-s")
+            p = p.hash(toks[-1], salt=salt)
+        elif op == "measure":
+            p = p.measure()
+        elif op == "pass":
+            pass
+        elif op == "batch":
+            pass  # execution knob; no-op (see operators.batch)
+        elif op == "repeat":
+            from tenzir_spark.operators import repeat as _repeat
+            p = Pipeline(_repeat(df, int(arg) if arg else 2))
+        elif op == "sigma":
+            rule_text = open(shlex.split(arg)[0]).read()
+            p = p.sigma(rule_text)
+        # -- sinks -----------------------------------------------------------
+        elif op in ("to", "save"):
+            toks = shlex.split(arg)
+            path = toks[0]
+            f = toks[2] if len(toks) >= 3 and toks[1] == "write" else _infer_format(path)
+            sink = _Sink(f, path)
+        elif op == "write":
+            sink = _Sink(shlex.split(arg)[0], None)
+        elif op == "discard":
+            sink = _Sink("discard")
+        else:
+            # user-defined alias (reference: tql/parser.cpp:100-115)
+            from tenzir_spark.plans.registry import aliases
+            if op in aliases():
+                p = p.alias(op, *shlex.split(arg))
+            else:
+                raise ValueError(f"unknown operator {op!r}")
+
+    if p is None:
+        raise ValueError("pipeline has no source")
+    p._pending_sink = sink
+    return p
+
+
+def _flag(toks: list[str], name: str) -> str | None:
+    if name in toks:
+        return toks[toks.index(name) + 1]
+    return None
+
+
+_DUR_SUFFIX = {"ns": "1 microsecond", "us": "1 microsecond"}  # sub-ms unsupported by F.window
+
+
+def _tql_duration(d: str) -> str:
+    """'1h' / '30min' / '10s' -> Spark interval string."""
+    m = re.fullmatch(r"(\d+(?:\.\d+)?)\s*([a-z]+)", d.strip())
+    if not m:
+        return d  # already a Spark interval string
+    n, unit = m.group(1), m.group(2)
+    unit_map = {"s": "seconds", "sec": "seconds", "min": "minutes", "mins": "minutes",
+                "h": "hours", "hrs": "hours", "d": "days", "day": "days", "days": "days",
+                "w": "weeks", "week": "weeks", "weeks": "weeks", "ms": "milliseconds"}
+    if unit not in unit_map:
+        raise ValueError(f"unsupported duration unit {unit!r}")
+    return f"{n} {unit_map[unit]}"
+
+
+def run_pipeline(p: Pipeline):
+    """Execute a parsed pipeline's sink (or return the DataFrame if it has
+    none) — the ``tenzir exec`` tail."""
+    sink: _Sink | None = getattr(p, "_pending_sink", None)
+    if sink is None:
+        return p.df
+    if sink.kind == "discard":
+        p.discard()
+        return None
+    if sink.kind == "parquet":
+        p.to_parquet(sink.path)
+        return None
+    if sink.kind == "json":
+        fmt.write_json(p.df, sink.path)
+        return None
+    if sink.kind in ("csv", "tsv", "ssv"):
+        fmt.write_xsv(p.df, sink.path, sep={"csv": ",", "tsv": "\t", "ssv": " "}[sink.kind])
+        return None
+    raise ValueError(f"unsupported sink {sink.kind!r}")
+
+
+def exec_pipeline(text: str, spark: SparkSession | None = None,
+                  source: DataFrame | Pipeline | None = None):
+    """Parse + run — ``tenzir exec`` for pipeline strings."""
+    return run_pipeline(parse_pipeline(text, spark=spark, source=source))

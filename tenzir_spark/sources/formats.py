@@ -153,24 +153,97 @@ def read_zeek_tsv(spark: SparkSession, path: str) -> DataFrame:
     lines = spark.read.text(path).filter(~F.col("value").startswith("#"))
     parts = F.split(F.col("value"), re.escape(sep))
     cols = []
+    _stringy = {"string", "addr", "subnet", "enum"}
     for i, (name, ztype) in enumerate(zip(fields, types)):
-        raw = parts.getItem(i)
-        raw = F.when((raw == unset) | (raw == empty), None).otherwise(raw)
+        raw0 = parts.getItem(i)
         base = ztype.split("[", 1)[0]  # vector[string] -> vector handled as string
+        # zeek distinguishes unset ('-' -> null) from set-but-empty
+        # ('(empty)' -> "" for string-like types, null otherwise)
+        if base in _stringy and not ztype.startswith(("set[", "vector[")):
+            raw = F.when(raw0 == unset, None) \
+                .otherwise(F.when(raw0 == empty, F.lit("")).otherwise(raw0))
+        else:
+            raw = F.when((raw0 == unset) | (raw0 == empty), None).otherwise(raw0)
         if ztype.startswith(("set[", "vector[")):
             col = F.split(raw, ",")
         elif base == "time":
             col = F.timestamp_seconds(raw.cast("double"))
+        elif base == "bool":
+            # zeek booleans are T/F
+            col = (F.when(raw == "T", F.lit(True))
+                   .when(raw == "F", F.lit(False))
+                   .otherwise(raw.cast("boolean")))
         else:
             col = raw.cast(_ZEEK_TYPE_MAP.get(base, T.StringType()))
         cols.append(col.alias(name))
     return lines.select(*cols)
 
 
-def write_zeek_tsv(df: DataFrame, path: str) -> None:
-    """Print back as plain TSV with a #fields header line (subset of the
-    reference's printer)."""
-    df.write.mode("overwrite").option("header", True).option("sep", "\t").csv(path)
+_ZEEK_OUT_TYPE = {
+    T.TimestampType: "time", T.TimestampNTZType: "time",
+    T.LongType: "count", T.IntegerType: "count", T.ShortType: "count",
+    T.DoubleType: "double", T.FloatType: "double",
+    T.BooleanType: "bool", T.StringType: "string",
+}
+
+
+def write_zeek_tsv(df: DataFrame, path: str, log_path: str = "tenzir") -> None:
+    """Zeek-native TSV printer: the full #separator/#set_separator/
+    #empty_field/#unset_field/#path/#fields/#types header block followed
+    by TSV rows, so ``read_zeek_tsv(write_zeek_tsv(df))`` round-trips
+    (reference printer: formats/zeek_tsv.cpp).
+
+    Rows are rendered distributed (one JVM concat_ws projection); the
+    final single-file assembly streams part files through the driver —
+    inherent to the single-stream .log format, not a data-scale path.
+    """
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    sep, unset, empty = "\t", "-", "(empty)"
+    names, ztypes, rendered = [], [], []
+    for f in df.schema.fields:
+        names.append(f.name)
+        col = F.col(f"`{f.name}`")
+        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
+            ztypes.append("time")
+            s = col.cast("double").cast("decimal(20,6)").cast("string")
+        elif isinstance(f.dataType, T.BooleanType):
+            ztypes.append("bool")
+            s = F.when(col, F.lit("T")).otherwise(F.lit("F"))
+        elif isinstance(f.dataType, (T.DoubleType, T.FloatType)):
+            ztypes.append("interval" if f.name == "duration" else "double")
+            s = col.cast("decimal(24,6)").cast("string")
+        elif isinstance(f.dataType, T.ArrayType):
+            ztypes.append("vector[string]")
+            s = F.array_join(col.cast("array<string>"), ",")
+        else:
+            ztypes.append(_ZEEK_OUT_TYPE.get(type(f.dataType), "string"))
+            s = col.cast("string")
+            if isinstance(f.dataType, T.StringType):
+                s = F.when(col == "", F.lit(empty)).otherwise(s)
+        rendered.append(F.coalesce(s, F.lit(unset)))
+    line = F.concat_ws(sep, *rendered)
+
+    tmp = _tempfile.mkdtemp(prefix="zeek_out_")
+    try:
+        df.select(line.alias("value")).write.mode("overwrite").text(tmp)
+        with open(path, "w") as out:
+            out.write("#separator \\x09\n")
+            out.write(f"#set_separator{sep},\n")
+            out.write(f"#empty_field{sep}{empty}\n")
+            out.write(f"#unset_field{sep}{unset}\n")
+            out.write(f"#path{sep}{log_path}\n")
+            out.write(f"#fields{sep}" + sep.join(names) + "\n")
+            out.write(f"#types{sep}" + sep.join(ztypes) + "\n")
+            for part in sorted(_os.listdir(tmp)):
+                if part.startswith("part-"):
+                    with open(_os.path.join(tmp, part)) as src:
+                        _shutil.copyfileobj(src, out)
+            out.write(f"#close{sep}-\n")
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
 
 
 # ------------------------------------------------------------------ cef

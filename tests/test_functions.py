@@ -77,10 +77,36 @@ def test_ngram_jaccard_exact(docs):
 
 
 def test_simhash_near_dups(docs):
-    pairs = dedup.simhash_near_dups(docs.filter("text != ''"), "doc_id", "text")
+    # band_bits=4 -> 16 bands: pigeonhole guarantees any pair with
+    # hamming <= 15 shares at least one band, so the near-dup (hamming
+    # ~11 under the md5 token-hash family) is deterministically caught
+    pairs = dedup.simhash_near_dups(docs.filter("text != ''"), "doc_id", "text",
+                                    band_bits=4)
     got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
     assert got[(0, 1)] == 0
     assert got.get((0, 2), 99) <= 12
+
+
+def test_simhash_matches_pure_python_reference():
+    # the UDF's md5 token-hash family is pinned by an engine-independent
+    # recompute (same invariant the DuckDB oracle relies on)
+    import hashlib
+    import numpy as np
+
+    def ref(s):
+        toks = s.split()
+        if not toks:
+            return 0
+        hs = np.array([int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+                       for t in toks], dtype=np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+        v = np.where(bits.sum(axis=0) * 2 >= len(toks), 1, 0).astype(np.uint64)
+        return int((v << np.arange(64, dtype=np.uint64)).sum().astype(np.int64))
+
+    import pandas as pd
+    got = dedup.simhash_udf.func(pd.Series(["the quick brown fox", "", None]))
+    assert got[0] == ref("the quick brown fox")
+    assert got[1] == 0 and pd.isna(got[2])
 
 
 def test_cosine_topk(spark):

@@ -1,0 +1,101 @@
+"""TQL pipeline-string parser tests.
+
+Golden-style cases shaped like the reference's integration suite
+(tenzir/integration/tests.yaml:851-857 runs
+``sort --stable proto | select ts uid | head 3`` over a zeek-tsv conn
+log and diffs stdout against a golden file); here we parse the same
+pipeline strings and assert the resulting rows.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from tenzir_spark import exec_pipeline, parse_pipeline
+from tenzir_spark.plans.tql import split_pipeline
+
+
+@pytest.fixture(scope="module")
+def conn_log(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tql")
+    p = d / "conn.log"
+    p.write_text(
+        "#separator \\x09\n"
+        "#set_separator\t,\n"
+        "#empty_field\t(empty)\n"
+        "#unset_field\t-\n"
+        "#path\tconn\n"
+        "#fields\tts\tuid\tid.orig_h\tid.orig_p\tproto\tduration\n"
+        "#types\ttime\tstring\taddr\tport\tenum\tinterval\n"
+        "1704067201.0\tC2\t10.0.0.2\t80\tudp\t0.5\n"
+        "1704067200.5\tC1\t10.0.0.1\t1234\ttcp\t0.25\n"
+        "1704067202.0\tC3\t10.0.0.3\t443\ttcp\t1.5\n"
+    )
+    return str(p)
+
+
+def test_split_pipeline_respects_quotes_and_or():
+    segs = split_pipeline('where a == "x|y" || b > 1 | select a b | head 5')
+    assert segs == ['where a == "x|y" || b > 1', "select a b", "head 5"]
+
+
+def test_golden_sort_select_head(spark, conn_log):
+    # tests.yaml:851-857 shape: read zeek-tsv, sort, select, head
+    out = exec_pipeline(
+        f"from {conn_log} read zeek-tsv | sort uid | select uid proto | head 2",
+        spark=spark,
+    )
+    assert [tuple(r) for r in out.collect()] == [("C1", "tcp"), ("C2", "udp")]
+
+
+def test_golden_where_arithmetic(spark, conn_log):
+    out = exec_pipeline(
+        f"from {conn_log} read zeek-tsv | where duration * 2 >= 1.0 | select uid",
+        spark=spark,
+    )
+    assert sorted(r.uid for r in out.collect()) == ["C2", "C3"]
+
+
+def test_golden_summarize_by(spark, conn_log):
+    out = exec_pipeline(
+        f"from {conn_log} read zeek-tsv"
+        " | summarize n=count(.), total=sum(duration) by proto | sort proto",
+        spark=spark,
+    )
+    rows = out.collect()
+    assert [(r.proto, r.n) for r in rows] == [("tcp", 2), ("udp", 1)]
+    assert abs(rows[0].total - 1.75) < 1e-9
+
+
+def test_put_extend_function_calls(spark):
+    df = spark.createDataFrame([Row(a=1, b="x"), Row(a=2, b="yy")])
+    out = exec_pipeline(
+        "extend c=a * 10 + 1, blen=length(b) | put a=a, c=c, blen=blen, u=upper(b)",
+        source=df,
+    )
+    got = {r.a: (r.c, r.blen, r.u) for r in out.collect()}
+    assert got == {1: (11, 1, "X"), 2: (21, 2, "YY")}
+
+
+def test_sink_and_roundtrip(spark, tmp_path, conn_log):
+    dest = str(tmp_path / "out.parquet")
+    exec_pipeline(
+        f"from {conn_log} read zeek-tsv | select uid | to {dest} write parquet",
+        spark=spark,
+    )
+    back = spark.read.parquet(dest)
+    assert back.count() == 3
+
+
+def test_parse_rejects_unknown_operator(spark, conn_log):
+    with pytest.raises(ValueError, match="unknown operator"):
+        parse_pipeline(f"from {conn_log} read zeek-tsv | frobnicate x", spark=spark)
+
+
+def test_load_read_split(spark, conn_log):
+    # from f read g  ==  load f | read g (reference rewrite,
+    # from_load_read.cpp:19)
+    out = exec_pipeline(f"load {conn_log} | read zeek-tsv | top proto", spark=spark)
+    rows = out.collect()
+    assert rows[0].proto == "tcp" and rows[0]["count"] == 2
