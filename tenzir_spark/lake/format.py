@@ -118,37 +118,78 @@ def _meta_path(root: str, version: int) -> str:
     return os.path.join(root, META_DIR, f"v{version:08d}.json")
 
 
-def write_snapshot_atomic(root: str, snap: Snapshot) -> None:
-    """Atomic, conflict-detecting snapshot publish.
+class LocalFileIO:
+    """Filesystem seam for the lake's METADATA operations: list, read,
+    atomic conditional put. All bulk data moves through Spark (which
+    already speaks s3a/gs/hdfs) — only this O(files) metadata layer needs
+    a per-store backend, exactly like Iceberg's FileIO abstraction.
 
-    O_CREAT|O_EXCL fails if the version already exists — optimistic
-    concurrency exactly like Iceberg's metadata swap. Data is written to a
-    temp file first and linked in so a crash never leaves a half snapshot.
+    Backend contract for ``put_if_absent``: publish-or-fail atomically.
+    - local fs: fsynced temp + hard link (EEXIST -> conflict)
+    - S3: PUT with If-None-Match:* (or a DynamoDB/catalog CAS)
+    - HDFS: create() with overwrite=false
     """
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def is_dir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def list(self, path: str) -> list[str]:
+        return sorted(os.listdir(path))
+
+    def read_bytes(self, path: str) -> bytes:
+        with open(path, "rb") as fh:
+            return fh.read()
+
+    def open_read(self, path: str):
+        """Binary file-like for footer reads (pyarrow accepts it)."""
+        return open(path, "rb")
+
+    def put_if_absent(self, path: str, data: bytes) -> None:
+        """Atomically create ``path`` with ``data``; CommitConflict if it
+        already exists. The temp file is fully written and fsynced before
+        the link, so a reader can never observe a partial file."""
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            raise CommitConflict(f"{path} already exists")
+        finally:
+            os.unlink(tmp)
+
+    def put(self, path: str, data: bytes) -> None:
+        with open(path, "wb") as fh:
+            fh.write(data)
+
+
+DEFAULT_IO = LocalFileIO()
+
+
+def write_snapshot_atomic(root: str, snap: Snapshot, io: LocalFileIO | None = None) -> None:
+    """Atomic, conflict-detecting snapshot publish — optimistic
+    concurrency exactly like Iceberg's metadata swap, through the FileIO
+    seam (put_if_absent)."""
+    io = io or DEFAULT_IO
     path = _meta_path(root, snap.version)
-    tmp = path + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as fh:
-        json.dump(snap.to_json(), fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    # publish the fully-written, fsynced temp file with a hard link: the
-    # destination either does not exist or is complete — a crash can never
-    # leave a truncated snapshot. link() failing with EEXIST is the
-    # optimistic-concurrency signal (Iceberg's atomic metadata swap).
     try:
-        os.link(tmp, path)
-    except FileExistsError:
+        io.put_if_absent(path, json.dumps(snap.to_json()).encode("utf-8"))
+    except CommitConflict:
         raise CommitConflict(f"snapshot v{snap.version} already committed")
-    finally:
-        os.unlink(tmp)
 
 
-def latest_snapshot(root: str) -> Snapshot | None:
+def latest_snapshot(root: str, io: LocalFileIO | None = None) -> Snapshot | None:
+    io = io or DEFAULT_IO
     meta = os.path.join(root, META_DIR)
-    if not os.path.isdir(meta):
+    if not io.is_dir(meta):
         return None
     versions = sorted(
-        int(n[1:9]) for n in os.listdir(meta)
+        int(n[1:9]) for n in io.list(meta)
         if n.startswith("v") and n.endswith(".json")
     )
     if not versions:
@@ -157,8 +198,7 @@ def latest_snapshot(root: str) -> Snapshot | None:
     # damage) — commits publish atomically, so a valid one always exists
     for v in reversed(versions):
         try:
-            with open(_meta_path(root, v)) as fh:
-                return Snapshot.from_json(json.load(fh))
+            return Snapshot.from_json(json.loads(io.read_bytes(_meta_path(root, v))))
         except (json.JSONDecodeError, KeyError):
             continue
     return None

@@ -14,9 +14,11 @@ from pyspark.sql import types as T
 
 from tenzir_spark.lake.format import (
     DATA_DIR,
+    DEFAULT_IO,
     CommitConflict,
     ConcurrentMergeConflict,
     DataFile,
+    LocalFileIO,
     Snapshot,
     bucket_expr,
     latest_snapshot,
@@ -38,17 +40,24 @@ _WIDEN_OK = {
 
 
 class LakeTable:
-    def __init__(self, spark: SparkSession, root: str, snapshot: Snapshot):
+    def __init__(self, spark: SparkSession, root: str, snapshot: Snapshot,
+                 io: LocalFileIO | None = None):
         self.spark = spark
         self.root = root
         self.snapshot = snapshot
+        # FileIO seam: all O(files) metadata I/O (snapshot list/read/
+        # conditional-put, data-file listing, checkpoint writes) goes
+        # through this object so an object-store backend is a swap here,
+        # not a rewrite — Iceberg's FileIO shape. Bulk data always moves
+        # through Spark, which speaks s3a/gs natively.
+        self.io = io or DEFAULT_IO
 
     # ------------------------------------------------------------------ ctor
 
     @classmethod
     def create(cls, spark: SparkSession, root: str, schema: T.StructType,
                key_col: str, num_buckets: int = 16,
-               write_mode: str = "cow") -> "LakeTable":
+               write_mode: str = "cow", io: LocalFileIO | None = None) -> "LakeTable":
         """``write_mode``:
 
         - ``cow`` (copy-on-write): merge rewrites touched buckets; reads
@@ -62,8 +71,9 @@ class LakeTable:
         """
         if write_mode not in ("cow", "mor"):
             raise ValueError("write_mode must be 'cow' or 'mor'")
-        os.makedirs(os.path.join(root, "_meta"), exist_ok=True)
-        os.makedirs(os.path.join(root, DATA_DIR), exist_ok=True)
+        io = io or DEFAULT_IO
+        io.makedirs(os.path.join(root, "_meta"))
+        io.makedirs(os.path.join(root, DATA_DIR))
         if key_col not in schema.fieldNames():
             raise ValueError(f"key column {key_col!r} not in schema")
         snap = Snapshot(
@@ -71,22 +81,24 @@ class LakeTable:
             files=[], num_buckets=num_buckets, key_col=key_col, ledger={},
             properties={"created_at": str(time.time()), "write_mode": write_mode},
         )
-        write_snapshot_atomic(root, snap)
-        return cls(spark, root, snap)
+        write_snapshot_atomic(root, snap, io)
+        return cls(spark, root, snap, io)
 
     @property
     def mode(self) -> str:
         return self.snapshot.properties.get("write_mode", "cow")
 
     @classmethod
-    def load(cls, spark: SparkSession, root: str) -> "LakeTable":
-        snap = latest_snapshot(root)
+    def load(cls, spark: SparkSession, root: str,
+             io: LocalFileIO | None = None) -> "LakeTable":
+        io = io or DEFAULT_IO
+        snap = latest_snapshot(root, io)
         if snap is None:
             raise FileNotFoundError(f"no lake table at {root}")
-        return cls(spark, root, snap)
+        return cls(spark, root, snap, io)
 
     def refresh(self) -> "LakeTable":
-        self.snapshot = latest_snapshot(self.root)
+        self.snapshot = latest_snapshot(self.root, self.io)
         return self
 
     # ------------------------------------------------------------------ read
@@ -427,16 +439,16 @@ class LakeTable:
         (df.write.mode("overwrite").partitionBy("__b").parquet(out_dir))
         files: list[DataFile] = []
         schema_epoch = len(self.snapshot.schema_log)
-        for bdir in sorted(os.listdir(out_dir)):
+        for bdir in self.io.list(out_dir):
             if not bdir.startswith("__b="):
                 continue
             bucket = int(bdir.split("=")[1])
-            for name in sorted(os.listdir(os.path.join(out_dir, bdir))):
+            for name in self.io.list(os.path.join(out_dir, bdir)):
                 if not name.endswith(".parquet"):
                     continue
                 fpath = os.path.join(out_dir, bdir, name)
                 rel = os.path.relpath(fpath, self.root)
-                rows, stats = _footer_stats(fpath, stat_cols)
+                rows, stats = _footer_stats(fpath, stat_cols, self.io)
                 files.append(DataFile(rel, bucket, rows, schema_epoch, stats, kind))
         return files
 
@@ -456,7 +468,7 @@ class LakeTable:
             if rb is not None and base_files is not None else None
         )
         for _ in range(max_retries):
-            snap = latest_snapshot(self.root)
+            snap = latest_snapshot(self.root, self.io)
             if epoch is not None and epoch in snap.ledger:
                 self.snapshot = snap
                 return  # someone else applied this epoch — converged
@@ -479,7 +491,7 @@ class LakeTable:
                 ledger=ledger, properties=snap.properties,
             )
             try:
-                write_snapshot_atomic(self.root, new_snap)
+                write_snapshot_atomic(self.root, new_snap, self.io)
                 self.snapshot = new_snap
                 return
             except CommitConflict:
@@ -505,7 +517,7 @@ class LakeTable:
             "commit_epoch": pa.array([r[4] for r in rows], pa.float64()),
         })
         cp_dir = os.path.join(self.root, CHECKPOINT_DIR)
-        os.makedirs(cp_dir, exist_ok=True)
+        self.io.makedirs(cp_dir)
         if pq is not None:
             pq.write_table(tbl, os.path.join(cp_dir, f"cp-{epoch}-{uuid.uuid4().hex[:8]}.parquet"))
 
@@ -577,11 +589,13 @@ class LakeTable:
                            epoch_stats=None, base_files=base.files)
 
 
-def _footer_stats(path: str, stat_cols: list[str]) -> tuple[int, dict]:
-    """Exact per-file stats from the parquet footer (no data read)."""
+def _footer_stats(path: str, stat_cols: list[str],
+                  io: LocalFileIO | None = None) -> tuple[int, dict]:
+    """Exact per-file stats from the parquet footer (no data read) —
+    opened through the FileIO seam (pyarrow accepts any file-like)."""
     if pq is None:
         return 0, {}
-    md = pq.ParquetFile(path).metadata
+    md = pq.ParquetFile((io or DEFAULT_IO).open_read(path)).metadata
     rows = md.num_rows
     stats: dict[str, dict] = {}
     name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}

@@ -39,6 +39,11 @@ def _widen(a: T.DataType, b: T.DataType) -> T.DataType:
         return unify_struct(a, b)
     if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
         return T.ArrayType(_widen(a.elementType, b.elementType), True)
+    if isinstance(a, T.MapType) and isinstance(b, T.MapType):
+        # map<K,V> widens key- and value-wise (reference: type.hpp:1074
+        # map type; cast lattice treats containers element-wise)
+        return T.MapType(_widen(a.keyType, b.keyType),
+                         _widen(a.valueType, b.valueType), True)
     if isinstance(a, (T.TimestampType, T.TimestampNTZType)) and \
        isinstance(b, (T.TimestampType, T.TimestampNTZType)):
         return T.TimestampType()

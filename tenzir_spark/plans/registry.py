@@ -26,7 +26,9 @@ OPERATORS = [
 FORMATS = ["json", "suricata", "zeek-json", "csv", "tsv", "ssv", "zeek-tsv",
            "cef", "lines", "yaml", "parquet", "feather"]
 
-CONNECTORS = ["file", "directory", "s3a://", "gs://", "kafka (structured streaming)",
+CONNECTORS = ["file", "directory", "s3a://", "gs://",
+              "kafka (structured streaming; offset-spec translation)",
+              "http/https/ftp (driver spool, sources.net)",
               "stdin/stdout (driver)"]
 
 AGGREGATION_FUNCTIONS_DOC = [
@@ -51,8 +53,60 @@ def aliases() -> list[str]:
 
 
 def show(spark: SparkSession, aspect: str) -> DataFrame:
-    """Introspection source: `show operators|formats|connectors|
-    aggregation-functions|aliases|tables`."""
+    """Introspection source mirroring the reference's 11 aspect files
+    (libtenzir/builtins/aspects/{build,config,connectors,dependencies,
+    fields,formats,operators,partitions,plugins,types,version}.cpp):
+
+    ``show operators|formats|connectors|aggregation-functions|functions|
+    aliases|types|version|build|dependencies|config|plugins|tables``.
+    ``fields``/``partitions`` need an object — use show_fields(df) /
+    show_partitions(table).
+    """
+    if aspect == "tables":
+        return spark.sql("SHOW TABLES")
+    if aspect == "version":
+        import pyspark
+
+        from tenzir_spark import __version__
+        rows = [("tenzir_spark", __version__), ("pyspark", pyspark.__version__)]
+        return spark.createDataFrame(rows, "component string, version string")
+    if aspect == "build":
+        rows = [("master", spark.sparkContext.master),
+                ("spark_version", spark.version),
+                ("python", __import__("sys").version.split()[0])]
+        return spark.createDataFrame(rows, "key string, value string")
+    if aspect == "dependencies":
+        deps = []
+        for mod in ("pyspark", "pyarrow", "pandas", "numpy", "duckdb", "yaml"):
+            try:
+                m = __import__(mod)
+                deps.append((mod, getattr(m, "__version__", "?")))
+            except ImportError:
+                pass
+        return spark.createDataFrame(deps, "dependency string, version string")
+    if aspect == "config":
+        rows = [(k, v) for k, v in spark.sparkContext.getConf().getAll()
+                if not k.startswith("spark.driver.extra")]
+        return spark.createDataFrame(sorted(rows), "key string, value string")
+    if aspect == "plugins":
+        import tenzir_spark
+        import pkgutil
+        mods = [m.name for m in pkgutil.walk_packages(
+            tenzir_spark.__path__, prefix="tenzir_spark.")]
+        return spark.createDataFrame([(m,) for m in sorted(mods)], "plugin string")
+    if aspect == "types":
+        # the reference's type table (type.hpp:52-56) with our Spark mapping
+        rows = [("null", "void"), ("bool", "boolean"), ("int64", "bigint"),
+                ("uint64", "bigint/decimal(20,0)"), ("double", "double"),
+                ("duration", "bigint (ns)"), ("time", "timestamp"),
+                ("string", "string"), ("ip", "string (canonical)"),
+                ("subnet", "struct<addr,prefix>"), ("enumeration", "string"),
+                ("list", "array"), ("map", "map"), ("record", "struct")]
+        return spark.createDataFrame(rows, "tenzir_type string, spark_type string")
+    if aspect == "functions":
+        from tenzir_spark.expr import _FUNCS
+        rows = [(n, f"{lo}..{hi} args") for n, (lo, hi, _) in sorted(_FUNCS.items())]
+        return spark.createDataFrame(rows, "function string, arity string")
     data = {
         "operators": OPERATORS,
         "formats": FORMATS,
@@ -60,8 +114,30 @@ def show(spark: SparkSession, aspect: str) -> DataFrame:
         "aggregation-functions": AGGREGATION_FUNCTIONS_DOC,
         "aliases": aliases(),
     }
-    if aspect == "tables":
-        return spark.sql("SHOW TABLES")
     if aspect not in data:
-        raise ValueError(f"unknown aspect {aspect!r}; one of {sorted(data) + ['tables']}")
+        known = sorted(data) + ["tables", "version", "build", "dependencies",
+                                "config", "plugins", "types", "functions"]
+        raise ValueError(f"unknown aspect {aspect!r}; one of {known}")
     return spark.createDataFrame([(x,) for x in data[aspect]], f"{aspect.replace('-', '_')} string")
+
+
+def show_fields(df: DataFrame) -> DataFrame:
+    """`show fields` over a concrete frame (aspects/fields.cpp): dotted
+    leaf paths with types."""
+    from tenzir_spark.expr import leaf_paths
+    rows = [(p, dt.simpleString()) for p, dt in leaf_paths(df.schema)]
+    return df.sparkSession.createDataFrame(rows, "field string, type string")
+
+
+def show_partitions(table) -> DataFrame:
+    """`show partitions` over a lake table (aspects/partitions.cpp):
+    one row per data file with stats — the catalog-synopsis view."""
+    rows = [
+        (f.path, f.bucket, f.rows, f.kind, f.schema_epoch,
+         str(f.stats.get(table.snapshot.key_col, {}).get("min")),
+         str(f.stats.get(table.snapshot.key_col, {}).get("max")))
+        for f in table.snapshot.files
+    ]
+    return table.spark.createDataFrame(
+        rows, "path string, bucket int, rows long, kind string,"
+              " schema_epoch int, key_min string, key_max string")

@@ -211,6 +211,12 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
             p = Pipeline(_READERS[f](spark, read_fmt_pending))
             read_fmt_pending = None
             continue
+        if op == "show":
+            if spark is None:
+                raise ValueError("'show' requires a SparkSession")
+            from tenzir_spark.plans.registry import show as _show
+            p = Pipeline(_show(spark, shlex.split(arg)[0]))
+            continue
         if op == "export":
             raise ValueError("use Pipeline.export(table) for lake sources")
 

@@ -3,6 +3,8 @@ from tenzir_spark.streaming.stream import (
     follow_json,
     windowed_summarize,
     stream_cdc_apply,
+    stream_sessionize,
 )
 
-__all__ = ["follow_parquet", "follow_json", "windowed_summarize", "stream_cdc_apply"]
+__all__ = ["follow_parquet", "follow_json", "windowed_summarize",
+           "stream_cdc_apply", "stream_sessionize"]

@@ -56,6 +56,61 @@ def windowed_summarize(
     )
 
 
+def stream_sessionize(
+    stream: DataFrame,
+    key_col: str,
+    time_col: str,
+    gap_seconds: int = 1800,
+):
+    """Custom stateful operator via applyInPandasWithState: continuous
+    per-key sessionization (inactivity gap splits sessions) whose state
+    (last event time, session/event counters) survives across
+    micro-batches — the pattern for operators Spark's built-ins can't
+    express (the reference's continuous per-key dataflow, §2.6).
+
+    Emits one update row per key per micro-batch:
+    (key, n_sessions, n_events).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    key_field = stream.schema[key_col]
+    out_schema = T.StructType([
+        T.StructField(key_col, key_field.dataType),
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("last_epoch", T.DoubleType()),
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ])
+
+    def fn(key, pdf_iter, state):
+        last_epoch, n_sessions, n_events = (
+            state.get if state.exists else (None, 0, 0))
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            ts = pd.to_datetime(pdf[time_col]).sort_values()
+            epochs = ts.astype("int64").to_numpy() / 1e9
+            # vectorized gap detection within the batch; the boundary to
+            # the previous batch uses the carried state
+            gaps = (epochs[1:] - epochs[:-1]) > gap_seconds
+            first_new = 1 if (last_epoch is None
+                              or epochs[0] - last_epoch > gap_seconds) else 0
+            n_sessions += first_new + int(gaps.sum())
+            n_events += len(epochs)
+            last_epoch = float(epochs[-1])
+        state.update((last_epoch, n_sessions, n_events))
+        yield pd.DataFrame({key_col: [key[0]],
+                            "n_sessions": [n_sessions],
+                            "n_events": [n_events]})
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout)
+
+
 def stream_cdc_apply(
     stream: DataFrame,
     table,

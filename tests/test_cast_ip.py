@@ -91,3 +91,17 @@ def test_pseudonymize_prefix_preserving(spark):
     # different seed -> different mapping
     df4 = df.withColumn("p", ipf.make_pseudonymize_udf("other")(F.col("ip")))
     assert {r.p for r in df4.collect()} != set(got.values())
+
+
+def test_unify_map_columns(spark):
+    """map<K,V> widens key- and value-wise in the cast lattice
+    (reference type.hpp:1074; cast lattice is container-element-wise)."""
+    from tenzir_spark.operators.cast import unify_streams
+
+    a = spark.createDataFrame([(1, {"x": 1})], "id long, m map<string,int>")
+    b = spark.createDataFrame([(2, {"y": 2.5})], "id long, m map<string,double>")
+    u = unify_streams([a, b], schema_col=None)
+    assert {f.name: f.dataType for f in u.schema.fields}["m"].simpleString() \
+        == "map<string,double>"
+    got = {r.id: r.m for r in u.collect()}
+    assert got[1] == {"x": 1.0} and got[2] == {"y": 2.5}

@@ -162,3 +162,37 @@ def test_multimodal_decode_stub_raises(spark):
     pdf = media.limit(1).toPandas()
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_batch(pdf)
+
+
+def test_ann_lsh_high_dim_udf_path(spark):
+    """dim 256 x 6 planes x 4 tables crosses the literal-bloat threshold:
+    signatures must go through the broadcast-matrix pandas-UDF matmul
+    (plan stays small) and still recover the exact nearest neighbor."""
+    import time
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(400, 256)).astype("float32")
+    vecs[7] = vecs[0] + rng.normal(scale=0.01, size=256).astype("float32")  # near-dup of 0
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)])
+    q = [float(x) for x in vecs[0]]
+    t0 = time.time()
+    got = [r.vec_id for r in similarity.ann_topk_lsh(df, q, k=2).collect()]
+    dt = time.time() - t0
+    assert got[0] == 0 and got[1] == 7
+    assert dt < 30  # one matmul per Arrow batch, not 6k plan literals
+
+
+def test_lsh_signature_udf_matches_expression_path(spark):
+    """Both signature implementations agree bit-for-bit away from the
+    decision boundary (same planes, same sign convention)."""
+    from tenzir_spark.functions.similarity import _hyperplanes, lsh_signature
+
+    planes = _hyperplanes(8, 6, seed=3)
+    df = spark.createDataFrame(
+        [Row(v=[float(i + j) for j in range(8)]) for i in range(20)])
+    expr_sig = df.select(lsh_signature(F.col("v"), planes, use_udf=False).alias("s")).collect()
+    udf_sig = df.select(lsh_signature(F.col("v"), planes, use_udf=True).alias("s")).collect()
+    assert [r.s for r in expr_sig] == [r.s for r in udf_sig]

@@ -114,3 +114,53 @@ def test_compact(table, spark):
     after = len(table.snapshot.files)
     assert after <= before
     assert table.read().count() == 15
+
+
+def test_fileio_seam_custom_backend(spark, tmp_path):
+    """All metadata I/O routes through the FileIO object (the Iceberg
+    FileIO shape): a wrapper backend observes every snapshot publish and
+    listing, proving an object-store backend is a swap, not a rewrite."""
+    from tenzir_spark.lake.format import LocalFileIO
+
+    class CountingIO(LocalFileIO):
+        def __init__(self):
+            self.puts = 0
+            self.lists = 0
+
+        def put_if_absent(self, path, data):
+            self.puts += 1
+            return super().put_if_absent(path, data)
+
+        def list(self, path):
+            self.lists += 1
+            return super().list(path)
+
+    io = CountingIO()
+    t = LakeTable.create(spark, str(tmp_path / "io_t"), SCHEMA, "url",
+                         num_buckets=2, io=io)
+    _merge(t, spark, [("a", "insert", 1, 10), ("b", "insert", 2, 20)], 0)
+    assert io.puts >= 2  # create + merge snapshots published through the seam
+    assert io.lists >= 1  # data-file listing through the seam
+    # reload through the same backend and verify state
+    t2 = LakeTable.load(spark, str(tmp_path / "io_t"), io=io)
+    assert {r.url: r.v for r in t2.read().collect()} == {"a": 10, "b": 20}
+
+
+def test_concurrent_merge_conflict_recomputes(spark, tmp_path):
+    """Two writers merging different epochs into overlapping buckets must
+    BOTH land (the round-1 bug dropped one silently): writer B's commit
+    detects A's interleaved commit, recomputes against the refreshed
+    table, and retries."""
+    root = str(tmp_path / "ct")
+    a = LakeTable.create(spark, root, SCHEMA, "url", num_buckets=2)
+    b = LakeTable.load(spark, root)
+    _merge(a, spark, [("a", "insert", 1, 1), ("b", "insert", 2, 2)], 0)
+    b.refresh()
+    # interleave: A commits epoch 1 while B holds a stale snapshot, then
+    # B merges epoch 2 touching the same buckets
+    _merge(a, spark, [("a", "update", 3, 30)], 1)
+    _merge(b, spark, [("b", "update", 4, 40)], 2)
+    a.refresh()
+    got = {r.url: r.v for r in a.read().collect()}
+    assert got == {"a": 30, "b": 40}  # neither epoch's update was lost
+    assert set(a.snapshot.ledger) == {"0", "1", "2"}

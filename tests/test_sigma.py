@@ -90,3 +90,42 @@ def test_show_aspects(spark):
     assert "summarize" in ops_list and "deduplicate" in ops_list
     with pytest.raises(ValueError):
         show(spark, "nope")
+
+
+def test_show_aspects_cover_reference_set(spark):
+    """The reference ships 11 aspect files (libtenzir/builtins/aspects/);
+    every one has a counterpart here (fields/partitions take an object)."""
+    for aspect in ("operators", "formats", "connectors",
+                   "aggregation-functions", "functions", "aliases",
+                   "version", "build", "dependencies", "config",
+                   "plugins", "types"):
+        df = show(spark, aspect)
+        assert df.count() > 0 or aspect == "aliases", aspect
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown aspect"):
+        show(spark, "nonsense")
+
+
+def test_show_fields_and_partitions(spark, tmp_path):
+    from pyspark.sql import types as T
+    from tenzir_spark.lake import LakeTable
+    from tenzir_spark.plans.registry import show_fields, show_partitions
+
+    df = spark.createDataFrame([(1, ("a", 2.0))], "id long, rec struct<s:string,d:double>")
+    fields = {r.field: r.type for r in show_fields(df).collect()}
+    assert fields == {"id": "bigint", "rec.s": "string", "rec.d": "double"}
+
+    schema = T.StructType([T.StructField("k", T.StringType(), False),
+                           T.StructField("v", T.LongType(), True)])
+    t = LakeTable.create(spark, str(tmp_path / "pt"), schema, "k", num_buckets=2)
+    t.append(spark.createDataFrame([("a", 1), ("b", 2)], schema))
+    parts = show_partitions(t).collect()
+    assert sum(r.rows for r in parts) == 2
+    assert all(r.kind == "base" for r in parts)
+
+
+def test_tql_show_source(spark):
+    from tenzir_spark import exec_pipeline
+    out = exec_pipeline("show formats | where formats ni 'zeek' | sort formats", spark=spark)
+    got = [r.formats for r in out.collect()]
+    assert "zeek-json" in got and "zeek-tsv" in got

@@ -62,3 +62,43 @@ def test_stream_cdc_apply_exactly_once(spark, tmp_path):
     q2.awaitTermination(60)
     table.refresh()
     assert table.read().count() == n
+
+
+def test_stream_sessionize_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState carries per-key session state across
+    micro-batches: two files processed one-per-trigger must yield the
+    same counts as a batch sessionization."""
+    import datetime as dt
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    schema = T.StructType([T.StructField("user_id", T.LongType()),
+                           T.StructField("ts", T.TimestampType())])
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def mk(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(str(src / name))
+
+    # user 1: events at 0s, 10s | batch 2: 20s (same session), 1h (new)
+    # user 2: one event per batch, 2h apart -> 2 sessions
+    spark.createDataFrame(
+        [(1, t0), (1, t0 + dt.timedelta(seconds=10)), (2, t0)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(
+        [(1, t0 + dt.timedelta(seconds=20)), (1, t0 + dt.timedelta(hours=1)),
+         (2, t0 + dt.timedelta(hours=2))], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(str(src)))
+    out = streaming.stream_sessionize(stream, "user_id", "ts", gap_seconds=1800)
+    q = (out.writeStream.format("memory").queryName("sess_out")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT user_id, max(n_sessions) AS ns, max(n_events) AS ne "
+        "FROM sess_out GROUP BY user_id").collect()
+    got = {r.user_id: (r.ns, r.ne) for r in rows}
+    assert got[1] == (2, 4)  # 0s/10s/20s one session, 1h later a second
+    assert got[2] == (2, 2)

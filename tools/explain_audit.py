@@ -20,7 +20,10 @@ import __spark_entry__ as entrymod  # noqa: E402
 from tenzir_spark.session import get_spark  # noqa: E402
 
 AUDIT = ["where_select", "summarize", "sort", "join_agg", "tpch_q6",
-         "dedup_max_lsn", "top", "cosine_topk", "exact_dedup"]
+         "dedup_max_lsn", "top", "cosine_topk", "exact_dedup",
+         # round-2 additions: the formerly-weak plans (global window /
+         # signature-carrying shuffle) and the new expression surface
+         "enumerate", "minhash_near_dups", "where_arith", "tql_pipeline"]
 
 
 def plan_of(df) -> str:
