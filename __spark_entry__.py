@@ -483,6 +483,43 @@ def q_read_cef(spark, sf):
     ).orderBy("name")
 
 
+def q_unique_adjacent(spark, sf):
+    """True uniq semantics: remove CONSECUTIVE duplicate rows in stream
+    order (reference unique.cpp:79-88); the order column is synthetic, so
+    the duplicate test covers only the payload columns."""
+    ev = _t(spark, sf, "events").select("event_id", "event_type")
+    out = ops.unique(ev, order_by="event_id", compare_cols=["event_type"])
+    return out.orderBy("event_id")
+
+
+def q_measure(spark, sf):
+    """measure emits per-(partition, schema) counts; summed per schema
+    they must equal the input counts exactly (partition split is
+    nondeterministic, the totals are not)."""
+    ev = _t(spark, sf, "events")
+    m = ops.measure(ev, schema_col="event_type")
+    return (m.groupBy("schema").agg(F.sum("events").cast("long").alias("total"))
+            .orderBy("schema"))
+
+
+def q_repeat(spark, sf):
+    r = _t(spark, sf, "region")
+    out = ops.repeat(r.select("r_regionkey"), 3)
+    return (out.groupBy("r_regionkey").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("r_regionkey"))
+
+
+def q_subnet_filter(spark, sf):
+    """ip-typed extractor + CIDR containment through the expression
+    compiler (reference subnet semantics: type.hpp:742, expressions.md
+    short forms) — JVM mask arithmetic, no UDF."""
+    from tenzir_spark.sources import formats
+    df = formats.read_zeek_tsv(spark, "/root/repo/fixtures/conn.log")
+    out = ops.where(df, "orig_h in 10.0.0.0/8",
+                    type_hints={"id.orig_h": "ip"})
+    return out.select("uid", F.col("`id.orig_h`").alias("orig_h")).orderBy("uid")
+
+
 def q_cube(spark, sf):
     li = _t(spark, sf, "lineitem")
     return (li.cube("l_returnflag", "l_linestatus")
@@ -536,6 +573,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tql_pipeline": q_tql_pipeline,
         "read_zeek_tsv": q_read_zeek_tsv,
         "read_cef": q_read_cef,
+        "unique_adjacent": q_unique_adjacent,
+        "measure": q_measure,
+        "repeat": q_repeat,
+        "subnet_filter": q_subnet_filter,
     }
 
 
@@ -904,8 +945,8 @@ def oracle_sql() -> dict[str, str]:
                          'c5':'VARCHAR','c6':'VARCHAR','c7':'VARCHAR'})
               WHERE c1 NOT LIKE '#%'
             )
-            SELECT nullif(nullif(c2,'-'),'(empty)') AS uid,
-                   nullif(nullif(c3,'-'),'(empty)') AS orig_h,
+            SELECT CASE WHEN c2 = '-' THEN NULL WHEN c2 = '(empty)' THEN '' ELSE c2 END AS uid,
+                   CASE WHEN c3 = '-' THEN NULL WHEN c3 = '(empty)' THEN '' ELSE c3 END AS orig_h,
                    CAST(nullif(nullif(c4,'-'),'(empty)') AS BIGINT) AS orig_p,
                    c5 AS proto,
                    coalesce(CAST(nullif(nullif(c6,'-'),'(empty)') AS DOUBLE), -1.0) AS duration
@@ -919,6 +960,43 @@ def oracle_sql() -> dict[str, str]:
             FROM read_csv('/root/repo/fixtures/events.cef', delim='\x01',
                           header=false, columns={'line':'VARCHAR'}, auto_detect=false)
             ORDER BY name
+        """,
+        "subnet_filter": """
+            WITH raw AS (
+              SELECT * FROM read_csv('/root/repo/fixtures/conn.log',
+                delim='\t', header=false, null_padding=true, auto_detect=false,
+                columns={'c1':'VARCHAR','c2':'VARCHAR','c3':'VARCHAR','c4':'VARCHAR',
+                         'c5':'VARCHAR','c6':'VARCHAR','c7':'VARCHAR'})
+              WHERE c1 NOT LIKE '#%'
+            ), ips AS (
+              SELECT c2 AS uid, nullif(nullif(c3,'-'),'(empty)') AS orig_h FROM raw
+            )
+            SELECT uid, orig_h FROM ips
+            WHERE orig_h IS NOT NULL
+              AND regexp_matches(orig_h, '^\\d+\\.\\d+\\.\\d+\\.\\d+$')
+              AND ((CAST(string_split(orig_h, '.')[1] AS BIGINT) * 16777216
+                  + CAST(string_split(orig_h, '.')[2] AS BIGINT) * 65536
+                  + CAST(string_split(orig_h, '.')[3] AS BIGINT) * 256
+                  + CAST(string_split(orig_h, '.')[4] AS BIGINT)) & 4278190080)
+                  = 167772160
+            ORDER BY uid
+        """,
+        "unique_adjacent": """
+            SELECT event_id, event_type FROM (
+              SELECT event_id, event_type,
+                     lag(event_type) OVER (ORDER BY event_id) AS p
+              FROM events
+            ) WHERE p IS NULL OR event_type <> p
+            ORDER BY event_id
+        """,
+        "measure": """
+            SELECT event_type AS schema, count(*) AS total
+            FROM events GROUP BY event_type ORDER BY schema
+        """,
+        "repeat": """
+            SELECT r_regionkey, count(*) AS n
+            FROM region, range(0, 3) t(i)
+            GROUP BY r_regionkey ORDER BY r_regionkey
         """,
         "minhash_near_dups": _minhash_oracle(),
         "simhash": _simhash_oracle(),

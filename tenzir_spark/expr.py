@@ -417,12 +417,22 @@ class Binder:
                  concepts: dict[str, list[str]] | None = None):
         self.schema = schema
         self.leaves = leaf_paths(schema)
+        # flat top-level names that CONTAIN dots (zeek's `id.orig_h`)
+        # must be backtick-resolved, not treated as nested paths
+        self._dotted_flat = {n for n in schema.fieldNames() if "." in n}
         self.type_hints = type_hints or {}
         self.schema_name = schema_name
         # taxonomy concepts: one name -> many per-schema field extractors
         # (reference: catalog.cpp resolves expressions against taxonomies
         # before partition lookup; web/docs/data-model/taxonomies.md)
         self.concepts = concepts or {}
+
+    def col(self, path: str) -> Column:
+        """Column for a resolved leaf path; dotted FLAT names get
+        backticks so Spark does not interpret them as struct access."""
+        if path in self._dotted_flat:
+            return F.col(f"`{path}`")
+        return F.col(path)
 
     def field_matches(self, suffix: str) -> list[str]:
         if suffix in self.concepts:
@@ -506,7 +516,7 @@ class Binder:
             if paths[0] == "__meta_schema__":
                 return (F.lit(self.schema_name) if self.schema_name is not None
                         else F.lit(None).cast("string"))
-            return F.col(paths[0])
+            return self.col(paths[0])
         if isinstance(node, BinOp):
             lc, rc = self.value(node.lhs), self.value(node.rhs)
             if lc is None or rc is None:
@@ -536,13 +546,13 @@ class Binder:
                    else (F.col("_schema") if any(p == "_schema" for p, _ in self.leaves)
                          else F.lit(None).cast("string")))
         else:
-            col = F.col(path)
+            col = self.col(path)
         if not isinstance(rhs, Literal):
             # extractor-vs-extractor comparison: resolve rhs to first match
             rpaths = self._resolve(rhs)
             if not rpaths:
                 return F.lit(False)
-            rcol = F.col(rpaths[0])
+            rcol = self.col(rpaths[0])
             return _apply_relop(col, op, rcol, None)
         return _apply_relop(col, op, _lit_col(rhs, path, self), rhs)
 

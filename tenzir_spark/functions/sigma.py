@@ -82,7 +82,7 @@ def _field_pred(binder: Binder, field: str, value: Any) -> Column:
     values = value if isinstance(value, list) else [value]
     out = None
     for p in paths:
-        col = F.col(p)
+        col = binder.col(p)
         vp = None
         for v in values:  # any-of across listed values
             one = _value_pred(col, v, modifiers)
@@ -109,7 +109,7 @@ def _selection_pred(binder: Binder, sel: Any) -> Column:
         for kw in sel:
             kwp = None
             for path in binder.type_matches("string"):
-                one = F.lower(F.col(path).cast("string")).contains(str(kw).lower())
+                one = F.lower(binder.col(path).cast("string")).contains(str(kw).lower())
                 kwp = one if kwp is None else (kwp | one)
             kwp = kwp if kwp is not None else F.lit(False)
             out = kwp if out is None else (out | kwp)

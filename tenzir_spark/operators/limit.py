@@ -40,7 +40,8 @@ def taste(df: DataFrame, n: int = 10, schema_col: str = "_schema",
     )
 
 
-def unique(df: DataFrame, order_by: str | Column | None = None) -> DataFrame:
+def unique(df: DataFrame, order_by: str | Column | None = None,
+           compare_cols: list[str] | None = None) -> DataFrame:
     """Remove adjacent duplicate rows (Unix ``uniq``). Reference:
     unique.cpp:18 (duplicate test :79-88 compares consecutive rows).
 
@@ -53,10 +54,16 @@ def unique(df: DataFrame, order_by: str | Column | None = None) -> DataFrame:
     per partition (parallel), and the one cross-partition comparison per
     boundary uses each partition's last row — collected as O(partitions)
     driver rows and broadcast back. No global single-reducer window.
+
+    ``compare_cols`` restricts the duplicate test to a subset — the
+    faithful translation when the ordering column is synthetic (the
+    reference's stream order is implicit, never part of the row).
     """
     if order_by is None:
-        return df.dropDuplicates()
-    cols = [c for c in df.columns]
+        return df.dropDuplicates(compare_cols)
+    out_cols = [c for c in df.columns]
+    cols = list(compare_cols) if compare_cols else out_cols
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
     part = (df.repartitionByRange(order_by)
             .withColumn("__pid", F.spark_partition_id())
             .persist())
@@ -73,14 +80,14 @@ def unique(df: DataFrame, order_by: str | Column | None = None) -> DataFrame:
     w = Window.partitionBy("__pid").orderBy(order_by)
     prev = [F.lag(F.col(c)).over(w).alias(f"__p_{c}") for c in cols]
     tagged = part.select(
-        "__pid", *cols, *prev,
+        "__pid", *out_cols, *prev,
         F.lag(F.lit(1)).over(w).isNull().alias("__first"))
     if boundary:
         spark = df.sparkSession
         schema = T.StructType(
             [T.StructField("__pid", T.IntegerType()),
              T.StructField("__has_b", T.BooleanType())]
-            + [T.StructField(f"__b_{f.name}", f.dataType) for f in df.schema.fields])
+            + [T.StructField(f"__b_{c}", dtypes[c]) for c in cols])
         bdf = spark.createDataFrame(boundary, schema)
         tagged = tagged.join(F.broadcast(bdf), "__pid", "left")
         # the first row of a partition has no lag(): its predecessor is the
@@ -92,12 +99,12 @@ def unique(df: DataFrame, order_by: str | Column | None = None) -> DataFrame:
             pc = F.when(is_first, F.col(f"__b_{c}")).otherwise(F.col(f"__p_{c}"))
             eq = F.col(c).eqNullSafe(pc)
             same = eq if same is None else (same & eq)
-        return tagged.filter(~(F.coalesce(same, F.lit(False)) & has_pred)).select(*cols)
+        return tagged.filter(~(F.coalesce(same, F.lit(False)) & has_pred)).select(*out_cols)
     same = None
     for c in cols:
         eq = F.col(c).eqNullSafe(F.col(f"__p_{c}"))
         same = eq if same is None else (same & eq)
-    return tagged.filter(~F.coalesce(same, F.lit(False))).select(*cols)
+    return tagged.filter(~F.coalesce(same, F.lit(False))).select(*out_cols)
 
 
 def deduplicate(df: DataFrame, key: str | list[str], order_col: str,

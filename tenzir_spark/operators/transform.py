@@ -47,7 +47,9 @@ def _rebuild(schema: T.StructType, keep: set[str], prefix: str = "") -> list[Col
             if sub:
                 cols.append(F.struct(*sub).alias(field.name))
         elif path in keep:
-            cols.append(F.col(path).alias(field.name))
+            # top-level names may CONTAIN dots (zeek `id.orig_h`) — quote
+            ref = F.col(f"`{path}`") if prefix == "" else F.col(path)
+            cols.append(ref.alias(field.name))
     return cols
 
 

@@ -198,6 +198,10 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
             f = None
             if len(toks) >= 3 and toks[1] == "read":
                 f = toks[2]
+            if path == "-":
+                # stdin connector (reference: connectors/dash.cpp) —
+                # driver-side spool, then the normal distributed reader
+                path = _spool_stdin(f or "json")
             if f is None and op == "load":
                 read_fmt_pending = path  # defer until 'read <fmt>'
                 continue
@@ -313,8 +317,11 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
         elif op in ("to", "save"):
             toks = shlex.split(arg)
             path = toks[0]
-            f = toks[2] if len(toks) >= 3 and toks[1] == "write" else _infer_format(path)
-            sink = _Sink(f, path)
+            if path == "-":
+                sink = _Sink("stdout")
+            else:
+                f = toks[2] if len(toks) >= 3 and toks[1] == "write" else _infer_format(path)
+                sink = _Sink(f, path)
         elif op == "write":
             sink = _Sink(shlex.split(arg)[0], None)
         elif op == "discard":
@@ -337,6 +344,21 @@ def _flag(toks: list[str], name: str) -> str | None:
     if name in toks:
         return toks[toks.index(name) + 1]
     return None
+
+
+def _spool_stdin(fmt: str) -> str:
+    """Spool stdin to a temp file so the distributed readers can parse it
+    (the reference's `-` dash connector, connectors/dash.cpp:1-49)."""
+    import sys
+    import tempfile
+
+    suffix = {"json": ".json", "csv": ".csv", "tsv": ".tsv",
+              "lines": ".txt"}.get(fmt, ".json")
+    fd, spool = tempfile.mkstemp(prefix="tenzir_stdin_", suffix=suffix)
+    import os as _os
+    with _os.fdopen(fd, "w") as out:
+        out.write(sys.stdin.read())
+    return spool
 
 
 _DUR_SUFFIX = {"ns": "1 microsecond", "us": "1 microsecond"}  # sub-ms unsupported by F.window
@@ -364,6 +386,12 @@ def run_pipeline(p: Pipeline):
         return p.df
     if sink.kind == "discard":
         p.discard()
+        return None
+    if sink.kind == "stdout":
+        # `to -` / tenzir exec default sink: NDJSON to stdout. Driver-side
+        # by nature — results only, never the bulk path.
+        for line in p.df.toJSON().toLocalIterator():
+            print(line)
         return None
     if sink.kind == "parquet":
         p.to_parquet(sink.path)

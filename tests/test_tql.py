@@ -99,3 +99,14 @@ def test_load_read_split(spark, conn_log):
     out = exec_pipeline(f"load {conn_log} | read zeek-tsv | top proto", spark=spark)
     rows = out.collect()
     assert rows[0].proto == "tcp" and rows[0]["count"] == 2
+
+
+def test_stdin_stdout_dash_connector(spark, monkeypatch, capsys):
+    """`from - read json | ... | to -` — the reference's dash connector
+    (connectors/dash.cpp) as driver-side spool + NDJSON print."""
+    import io
+
+    monkeypatch.setattr("sys.stdin", io.StringIO('{"a": 3}\n{"a": 1}\n{"a": 2}\n'))
+    exec_pipeline("from - read json | where a >= 2 | sort a | to -", spark=spark)
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out == ['{"a":2}', '{"a":3}']
