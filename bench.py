@@ -26,7 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "where_select", "summarize", "summarize_resolution", "sort", "top",
     "dedup_max_lsn", "join_agg", "tpch_q6", "exact_dedup", "text_stats",
-    "fingerprint", "minhash_near_dups", "cosine_topk",
+    "fingerprint", "minhash_near_dups", "simhash", "ngram_jaccard",
+    "cosine_topk", "ann_lsh", "where_arith", "tql_pipeline",
 ]
 
 
@@ -74,7 +75,7 @@ def bench_cdc(spark, n_events: int, n_salts: int = 16) -> tuple[float, int, floa
         # best-of-N trials (fresh table each, shared log): the sandbox is a
         # shared VM with noisy neighbors — identical runs vary 2x+; the
         # best trial reflects the engine, the rest reflects the host
-        trials = max(1, int(os.environ.get("BENCH_TRIALS", "2")))
+        trials = max(1, int(os.environ.get("BENCH_TRIALS", "3")))
         dt = None
         compact_dt = None
         for trial in range(trials):

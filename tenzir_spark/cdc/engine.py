@@ -134,17 +134,24 @@ class CdcEngine:
 
     def run(self, change_log: DataFrame, epochs: list[int] | None = None) -> list[dict]:
         """Tail the log in epoch order (resumable: already-applied epochs
-        short-circuit via the ledger)."""
+        short-circuit via the ledger).
+
+        ONE upfront scan discovers both the epoch list and every epoch's
+        schema directives (collect_list skips the nulls of non-schema
+        rows) — serial pre-work is a single job regardless of epoch
+        count, which matters because per-epoch serial cost is the Amdahl
+        term of the whole apply path (BASELINE.md)."""
         if epochs is None:
-            epochs = [
-                r[0] for r in
-                change_log.select("epoch").distinct().orderBy("epoch").collect()
-            ]
-        # one job fetches every epoch's schema directives (they are rare:
-        # O(epochs) rows), saving a per-epoch collect
-        desc = {}
-        for r in (change_log.filter(F.col("op") == "schema")
-                  .select("epoch", "schema_descriptor").collect()):
-            desc.setdefault(r[0], []).append(r[1])
+            rows = (change_log.groupBy("epoch").agg(
+                F.collect_list(F.when(F.col("op") == "schema",
+                                      F.col("schema_descriptor"))).alias("ds"))
+                .collect())
+            epochs = sorted(r["epoch"] for r in rows)
+            desc = {r["epoch"]: [d for d in r["ds"] if d] for r in rows}
+        else:
+            desc = {}
+            for r in (change_log.filter(F.col("op") == "schema")
+                      .select("epoch", "schema_descriptor").collect()):
+                desc.setdefault(r[0], []).append(r[1])
         return [self.apply_epoch(change_log, e, descriptors=desc.get(e, []))
                 for e in epochs]

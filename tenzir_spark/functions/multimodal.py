@@ -75,6 +75,91 @@ def extract_image_features(df: DataFrame, deterministic_fake: bool = False) -> D
     return df.filter(F.col("kind") == "image").mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id long, content binary, "
+    "meta struct<mime:string,width:int,height:int,duration_ms:bigint>"
+)
+
+FRAME_SCHEMA = "media_id long, frame_idx int, ts_ms long, frame binary"
+
+AUDIO_FEATURES_SCHEMA = "media_id long, duration_ms long, feature array<float>"
+
+
+def resize_images(df: DataFrame, width: int, height: int,
+                  deterministic_fake: bool = False) -> DataFrame:
+    """mapInPandas image resize. Real pipelines plug PIL here; the fake
+    path re-derives deterministic bytes from (content, dims) and updates
+    the metadata so downstream schema/partition behavior is production-
+    shaped."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "image resize requires PIL (not in this container); "
+                    "pass deterministic_fake=True for the test double")
+            salt = f":{width}x{height}".encode()
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "content": pdf["content"].map(
+                    lambda c: hashlib.sha256((bytes(c) if c is not None else b"") + salt).digest()),
+                "meta": pdf["meta"].map(lambda m: {
+                    "mime": (m or {}).get("mime"),
+                    "width": width, "height": height,
+                    "duration_ms": (m or {}).get("duration_ms"),
+                }),
+            })
+
+    return df.filter(F.col("kind") == "image").mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_video_frames(df: DataFrame, every_ms: int = 500,
+                        deterministic_fake: bool = False) -> DataFrame:
+    """mapInPandas frame sampling: one output row per sampled frame
+    (media_id, frame_idx, ts_ms, frame bytes). Real pipelines plug ffmpeg;
+    the fake path derives frame bytes from (content, idx). Row explosion
+    happens executor-side inside the Arrow batch — frames never transit
+    the driver."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "frame sampling requires ffmpeg (not in this container); "
+                    "pass deterministic_fake=True for the test double")
+            out = {"media_id": [], "frame_idx": [], "ts_ms": [], "frame": []}
+            for _, row in pdf.iterrows():
+                dur = (row["meta"] or {}).get("duration_ms") or 0
+                content = bytes(row["content"]) if row["content"] is not None else b""
+                for i in range(max(int(dur // every_ms), 0)):
+                    out["media_id"].append(row["media_id"])
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(i * every_ms)
+                    out["frame"].append(
+                        hashlib.sha256(content + f":f{i}".encode()).digest())
+            yield pd.DataFrame(out)
+
+    return df.filter(F.col("kind") == "video").mapInPandas(run, FRAME_SCHEMA)
+
+
+def extract_audio_features(df: DataFrame, dim: int = 8,
+                           deterministic_fake: bool = False) -> DataFrame:
+    """mapInPandas audio featurization (real pipelines: torchaudio /
+    librosa); fake path mirrors the image one."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "audio decoding requires torchaudio/librosa (not in this "
+                    "container); pass deterministic_fake=True for the test double")
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "duration_ms": pdf["meta"].map(lambda m: (m or {}).get("duration_ms")),
+                "feature": pdf["content"].map(
+                    lambda c: _fake_feature(bytes(c) if c is not None else b"", dim)),
+            })
+
+    return df.filter(F.col("kind") == "audio").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
 def gen_fake_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
     """Deterministic fake media table for tests (binary payload derived
     from the id — no external data)."""

@@ -183,6 +183,15 @@ def write_snapshot_atomic(root: str, snap: Snapshot, io: LocalFileIO | None = No
         raise CommitConflict(f"snapshot v{snap.version} already committed")
 
 
+def snapshot_at(root: str, version: int, io: LocalFileIO | None = None) -> Snapshot:
+    """Load an EXACT snapshot version — time travel (Iceberg
+    snapshot-id reads; the reference keeps no history, this is a lake
+    capability). Snapshots are immutable once published, so any
+    committed version stays readable until a GC policy removes it."""
+    io = io or DEFAULT_IO
+    return Snapshot.from_json(json.loads(io.read_bytes(_meta_path(root, version))))
+
+
 def latest_snapshot(root: str, io: LocalFileIO | None = None) -> Snapshot | None:
     io = io or DEFAULT_IO
     meta = os.path.join(root, META_DIR)

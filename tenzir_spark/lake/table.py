@@ -90,8 +90,15 @@ class LakeTable:
 
     @classmethod
     def load(cls, spark: SparkSession, root: str,
-             io: LocalFileIO | None = None) -> "LakeTable":
+             io: LocalFileIO | None = None,
+             version: int | None = None) -> "LakeTable":
+        """Open the table at the latest snapshot, or time-travel to an
+        exact ``version`` (snapshots are immutable; Iceberg
+        snapshot-id-read semantics)."""
         io = io or DEFAULT_IO
+        if version is not None:
+            from tenzir_spark.lake.format import snapshot_at
+            return cls(spark, root, snapshot_at(root, version, io), io)
         snap = latest_snapshot(root, io)
         if snap is None:
             raise FileNotFoundError(f"no lake table at {root}")

@@ -196,3 +196,30 @@ def test_lsh_signature_udf_matches_expression_path(spark):
     expr_sig = df.select(lsh_signature(F.col("v"), planes, use_udf=False).alias("s")).collect()
     udf_sig = df.select(lsh_signature(F.col("v"), planes, use_udf=True).alias("s")).collect()
     assert [r.s for r in expr_sig] == [r.s for r in udf_sig]
+
+
+def test_multimodal_resize_and_frames_and_audio(spark):
+    media = multimodal.gen_fake_media(spark, 60)
+    resized = multimodal.resize_images(media, 32, 32, deterministic_fake=True)
+    rows = resized.collect()
+    assert rows and all(r.meta.width == 32 and r.meta.height == 32 for r in rows)
+    # deterministic: same input -> same resized bytes
+    again = {r.media_id: bytes(r.content) for r in
+             multimodal.resize_images(media, 32, 32, deterministic_fake=True).collect()}
+    assert all(again[r.media_id] == bytes(r.content) for r in rows)
+
+    frames = multimodal.sample_video_frames(media, every_ms=500,
+                                            deterministic_fake=True)
+    n_videos = media.filter("kind = 'video'").count()
+    fr = frames.collect()
+    assert len(fr) == n_videos * 2  # duration 1000ms / 500ms = 2 frames each
+    assert all(r.ts_ms == r.frame_idx * 500 for r in fr)
+
+    audio = multimodal.extract_audio_features(media, deterministic_fake=True)
+    au = audio.collect()
+    assert len(au) == media.filter("kind = 'audio'").count()
+    assert all(len(r.feature) == 8 for r in au)
+
+    # real path stays an honest stub (executors wrap it in PythonException)
+    with pytest.raises(Exception, match="requires PIL"):
+        multimodal.resize_images(media, 8, 8).collect()

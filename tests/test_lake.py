@@ -164,3 +164,17 @@ def test_concurrent_merge_conflict_recomputes(spark, tmp_path):
     got = {r.url: r.v for r in a.read().collect()}
     assert got == {"a": 30, "b": 40}  # neither epoch's update was lost
     assert set(a.snapshot.ledger) == {"0", "1", "2"}
+
+
+def test_time_travel_read(spark, tmp_path):
+    """Snapshots are immutable: loading an older version reads the table
+    as of that commit (Iceberg snapshot-id semantics)."""
+    root = str(tmp_path / "tt")
+    t = LakeTable.create(spark, root, SCHEMA, "url", num_buckets=2)
+    _merge(t, spark, [("a", "insert", 1, 10)], 0)
+    v_after_first = t.snapshot.version
+    _merge(t, spark, [("a", "update", 2, 99), ("b", "insert", 3, 30)], 1)
+    now = {r.url: r.v for r in t.read().collect()}
+    assert now == {"a": 99, "b": 30}
+    old = LakeTable.load(spark, root, version=v_after_first)
+    assert {r.url: r.v for r in old.read().collect()} == {"a": 10}
