@@ -520,6 +520,17 @@ def q_subnet_filter(spark, sf):
     return out.select("uid", F.col("`id.orig_h`").alias("orig_h")).orderBy("uid")
 
 
+def q_read_suricata(spark, sf):
+    """suricata EVE-JSON selector routing (_schema = 'suricata.' +
+    event_type; reference json.cpp:1119) over a committed fixture."""
+    from tenzir_spark.sources import formats
+    df = formats.read_suricata(spark, "/root/repo/fixtures/eve.json")
+    return df.select(
+        "_schema", "src_ip", "dest_port",
+        F.col("dns.rrname").alias("rrname"),
+    ).orderBy("_schema", "src_ip", "dest_port")
+
+
 def q_cube(spark, sf):
     li = _t(spark, sf, "lineitem")
     return (li.cube("l_returnflag", "l_linestatus")
@@ -577,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "measure": q_measure,
         "repeat": q_repeat,
         "subnet_filter": q_subnet_filter,
+        "read_suricata": q_read_suricata,
     }
 
 
@@ -960,6 +972,12 @@ def oracle_sql() -> dict[str, str]:
             FROM read_csv('/root/repo/fixtures/events.cef', delim='\x01',
                           header=false, columns={'line':'VARCHAR'}, auto_detect=false)
             ORDER BY name
+        """,
+        "read_suricata": """
+            SELECT 'suricata.' || event_type AS _schema, src_ip, dest_port,
+                   dns.rrname AS rrname
+            FROM read_json_auto('/root/repo/fixtures/eve.json')
+            ORDER BY _schema, src_ip, dest_port
         """,
         "subnet_filter": """
             WITH raw AS (

@@ -250,8 +250,14 @@ def ngram_jaccard_pairs(
     from pyspark.sql import Window
 
     sh = word_shingles(text_col, k) if use_words else char_shingles(text_col, k)
+    # repartition before shingling (small sources are one partition —
+    # one core would tokenize everything) and persist the inverted index:
+    # both self-join sides consume it, so without the cache the whole
+    # tokenize+explode lineage runs twice
     base = (
-        df.select(F.col(id_col).alias("__id"), sh.alias("__sh"))
+        df.select(F.col(id_col).alias("__id"), F.col(text_col) if isinstance(text_col, str) else text_col)
+        .repartition(F.col("__id"))
+        .select("__id", sh.alias("__sh"))
         .filter(F.size("__sh") > 0)
         .withColumn("__n", F.size("__sh"))
     )
@@ -260,6 +266,7 @@ def ngram_jaccard_pairs(
         gram_n = F.count(F.lit(1)).over(Window.partitionBy("__g"))
         inv = (inv.withColumn("__gn", gram_n)
                .filter(F.col("__gn") <= max_gram_docs).drop("__gn"))
+    inv = inv.persist()
     a = inv.select(F.col("__g"), F.col("__id").alias("id_a"), F.col("__n").alias("n_a"))
     b = inv.select(F.col("__g"), F.col("__id").alias("id_b"), F.col("__n").alias("n_b"))
     inter = (

@@ -206,6 +206,27 @@ def compile_rule(rule_yaml: str | dict, df_or_schema) -> tuple[Column, dict]:
     return _compile_condition(cond, sels), meta
 
 
+def load_rules(path: str) -> list[dict]:
+    """Load Sigma rules from a YAML file or a DIRECTORY of *.yml/*.yaml
+    files (the reference's ``sigma <rule|dir>``; its --refresh-interval
+    hot reload maps to re-invoking this per micro-batch in streaming)."""
+    import os
+
+    if yaml is None:  # pragma: no cover
+        raise NotImplementedError("sigma needs PyYAML")
+    if os.path.isdir(path):
+        rules: list[dict] = []
+        for name in sorted(os.listdir(path)):
+            if name.endswith((".yml", ".yaml")):
+                with open(os.path.join(path, name)) as fh:
+                    rules.extend(d for d in yaml.safe_load_all(fh) if d)
+        if not rules:
+            raise ValueError(f"no sigma rules (*.yml) under {path!r}")
+        return rules
+    with open(path) as fh:
+        return [d for d in yaml.safe_load_all(fh) if d]
+
+
 def sigma(df: DataFrame, rules: list[str | dict] | str | dict) -> DataFrame:
     """The sigma operator: emit matching events wrapped with rule
     metadata — output schema {rule: struct<title,id,level>, event:

@@ -38,6 +38,26 @@ AGGREGATION_FUNCTIONS_DOC = [
 
 _ALIASES: dict[str, Callable[..., DataFrame]] = {}
 
+# named lake tables so TQL strings can `export <name>` / `import <name>`
+# (the reference's node storage engine is implicit; here tables register
+# explicitly — the catalog-by-name shape)
+_TABLES: dict[str, object] = {}
+
+
+def register_table(name: str, table) -> None:
+    _TABLES[name] = table
+
+
+def get_table(name: str):
+    if name not in _TABLES:
+        raise ValueError(f"unknown table {name!r}; register_table() it first "
+                         f"(known: {sorted(_TABLES)})")
+    return _TABLES[name]
+
+
+def tables() -> list[str]:
+    return sorted(_TABLES)
+
 
 def register_alias(name: str, fn: Callable[..., DataFrame]) -> None:
     """Define a reusable pipeline macro: fn(df, *args) -> df."""

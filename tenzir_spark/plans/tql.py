@@ -145,8 +145,9 @@ def _infer_format(path: str) -> str:
 
 @dataclass
 class _Sink:
-    kind: str  # "parquet" | "json" | "csv" | "tsv" | "discard" | "import"
+    kind: str  # "parquet" | "json" | "csv" | "tsv" | "stdout" | "discard" | "import"
     path: str | None = None
+    epoch: int | None = None
 
 
 def _kv_pairs(arg: str) -> dict[str, str]:
@@ -222,7 +223,12 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
             p = Pipeline(_show(spark, shlex.split(arg)[0]))
             continue
         if op == "export":
-            raise ValueError("use Pipeline.export(table) for lake sources")
+            # source from a registered lake table (reference export.cpp:34;
+            # bucket/stat pruning happens inside LakeTable.read via the
+            # downstream filter — Catalyst pushes it into the scans)
+            from tenzir_spark.plans.registry import get_table
+            p = Pipeline(get_table(shlex.split(arg)[0]).read())
+            continue
 
         if p is None:
             raise ValueError(f"pipeline has no source before {op!r}")
@@ -311,8 +317,8 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
             from tenzir_spark.operators import repeat as _repeat
             p = Pipeline(_repeat(df, int(arg) if arg else 2))
         elif op == "sigma":
-            rule_text = open(shlex.split(arg)[0]).read()
-            p = p.sigma(rule_text)
+            from tenzir_spark.functions.sigma import load_rules
+            p = p.sigma(load_rules(shlex.split(arg)[0]))
         # -- sinks -----------------------------------------------------------
         elif op in ("to", "save"):
             toks = shlex.split(arg)
@@ -324,6 +330,13 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
                 sink = _Sink(f, path)
         elif op == "write":
             sink = _Sink(shlex.split(arg)[0], None)
+        elif op == "import":
+            # sink into a registered lake table under the exactly-once
+            # ledger (reference import.cpp:70); --epoch defaults to the
+            # next unapplied integer epoch
+            toks = shlex.split(arg)
+            sink = _Sink("import", toks[0])
+            sink.epoch = int(_flag(toks, "--epoch")) if _flag(toks, "--epoch") else None
         elif op == "discard":
             sink = _Sink("discard")
         else:
@@ -387,6 +400,24 @@ def run_pipeline(p: Pipeline):
     if sink.kind == "discard":
         p.discard()
         return None
+    if sink.kind == "import":
+        from pyspark.sql import functions as F
+
+        from tenzir_spark.plans.registry import get_table
+        table = get_table(sink.path)
+        epoch = sink.epoch
+        if epoch is None:
+            applied = [int(e) for e in table.snapshot.ledger if str(e).lstrip("-").isdigit()]
+            epoch = (max(applied) + 1) if applied else 0
+        df = p.df
+        # plain event streams lack CDC columns: default to upsert
+        # semantics with a constant lsn (callers wanting ordered-replay
+        # semantics provide op/lsn explicitly)
+        if "op" not in df.columns:
+            df = df.withColumn("op", F.lit("upsert"))
+        if "lsn" not in df.columns:
+            df = df.withColumn("lsn", F.lit(0).cast("long"))
+        return table.merge(df, epoch, pre_deduplicated=False)
     if sink.kind == "stdout":
         # `to -` / tenzir exec default sink: NDJSON to stdout. Driver-side
         # by nature — results only, never the bulk path.

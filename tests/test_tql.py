@@ -110,3 +110,55 @@ def test_stdin_stdout_dash_connector(spark, monkeypatch, capsys):
     exec_pipeline("from - read json | where a >= 2 | sort a | to -", spark=spark)
     out = capsys.readouterr().out.strip().splitlines()
     assert out == ['{"a":2}', '{"a":3}']
+
+
+def test_tql_export_import_lake_roundtrip(spark, tmp_path):
+    """`export <table> | where ... | import <other>` — the reference's
+    storage operators driven from a pipeline string, under the
+    exactly-once ledger."""
+    from pyspark.sql import types as T
+
+    from tenzir_spark.lake import LakeTable
+    from tenzir_spark.plans.registry import register_table
+
+    schema = T.StructType([T.StructField("k", T.StringType(), False),
+                           T.StructField("v", T.LongType(), True)])
+    src = LakeTable.create(spark, str(tmp_path / "src"), schema, "k", num_buckets=2)
+    src.append(spark.createDataFrame([("a", 1), ("b", 20), ("c", 300)], schema))
+    dst = LakeTable.create(spark, str(tmp_path / "dst"), schema, "k",
+                           num_buckets=2, write_mode="mor")
+    register_table("tql_src", src)
+    register_table("tql_dst", dst)
+
+    exec_pipeline("export tql_src | where v >= 20 | import tql_dst", spark=spark)
+    dst.refresh()
+    got = {r.k: r.v for r in dst.read().collect()}
+    assert got == {"b": 20, "c": 300}
+    # replaying the same epoch is a no-op (exactly-once)
+    exec_pipeline("export tql_src | where v >= 20 | import tql_dst --epoch 0",
+                  spark=spark)
+    dst.refresh()
+    assert {r.k: r.v for r in dst.read().collect()} == {"b": 20, "c": 300}
+
+
+def test_sigma_rule_directory(spark, tmp_path):
+    from tenzir_spark.functions.sigma import load_rules
+
+    d = tmp_path / "rules"
+    d.mkdir()
+    (d / "r1.yml").write_text(
+        "title: one\ndetection:\n  sel:\n    event_type: purchase\n  condition: sel\n")
+    (d / "r2.yaml").write_text(
+        "title: two\ndetection:\n  sel:\n    event_type: error\n  condition: sel\n")
+    rules = load_rules(str(d))
+    assert [r["title"] for r in rules] == ["one", "two"]
+    from pyspark.sql import Row
+    df = spark.createDataFrame([Row(event_type="purchase", v=1),
+                                Row(event_type="view", v=2),
+                                Row(event_type="error", v=3)])
+    from tenzir_spark.functions.sigma import sigma as sigma_op
+    out = sigma_op(df, rules)
+    got = sorted((r.rule.title, r.event.event_type) for r in out.collect())
+    assert got == [("one", "purchase"), ("two", "error")] or \
+           got == [("one", "purchase"), ("two", "error")][::-1] or \
+           sorted(got) == [("one", "purchase"), ("two", "error")]
