@@ -249,23 +249,31 @@ def ngram_jaccard_pairs(
     this operator IS the verifier when given a pre-filtered df."""
     from pyspark.sql import Window
 
-    sh = word_shingles(text_col, k) if use_words else char_shingles(text_col, k)
-    # repartition before shingling (small sources are one partition —
-    # one core would tokenize everything) and persist the inverted index:
-    # both self-join sides consume it, so without the cache the whole
-    # tokenize+explode lineage runs twice
-    base = (
-        df.select(F.col(id_col).alias("__id"), F.col(text_col) if isinstance(text_col, str) else text_col)
+    sh = word_shingles("__t", k) if use_words else char_shingles("__t", k)
+    # shape matters here:
+    # - only a CHEAP predicate before the repartition (an expensive
+    #   filter like size(shingles)>0 commutes below the exchange and
+    #   would evaluate the whole shingle expression on the source's —
+    #   often single — input partition);
+    # - shingles are computed exactly once, inside the explode select
+    #   (re-referencing the aliased column in later selects re-inlines
+    #   the expression — Catalyst collapses projections);
+    # - the per-doc set size rides along via a count window over __id,
+    #   which the explicit repartition already clusters (no exchange).
+    inv = (
+        df.select(F.col(id_col).alias("__id"),
+                  (F.col(text_col) if isinstance(text_col, str) else text_col).alias("__t"))
+        .filter(F.length(F.trim("__t")) > 0)
         .repartition(F.col("__id"))
-        .select("__id", sh.alias("__sh"))
-        .filter(F.size("__sh") > 0)
-        .withColumn("__n", F.size("__sh"))
+        .select("__id", F.explode(sh).alias("__g"))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("__id")))
     )
-    inv = base.select("__id", "__n", F.explode("__sh").alias("__g"))
     if max_gram_docs is not None:
         gram_n = F.count(F.lit(1)).over(Window.partitionBy("__g"))
         inv = (inv.withColumn("__gn", gram_n)
                .filter(F.col("__gn") <= max_gram_docs).drop("__gn"))
+    # both self-join sides consume the index: cache it or the whole
+    # tokenize+explode lineage runs twice
     inv = inv.persist()
     a = inv.select(F.col("__g"), F.col("__id").alias("id_a"), F.col("__n").alias("n_a"))
     b = inv.select(F.col("__g"), F.col("__id").alias("id_b"), F.col("__n").alias("n_b"))
