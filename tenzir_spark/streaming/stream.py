@@ -56,6 +56,23 @@ def windowed_summarize(
     )
 
 
+def stream_deduplicate(
+    stream: DataFrame,
+    keys: list[str],
+    watermark_col: str,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Continuous key dedup with bounded state: duplicates arriving
+    within the watermark window are dropped, state for keys older than
+    the watermark is evicted (dropDuplicatesWithinWatermark). This is the
+    streaming analog of `unique`/exact dedup — the reference's continuous
+    engine keeps unbounded per-operator state (§2.6); the watermark bound
+    is what makes the operator survive an infinite stream.
+    """
+    return (stream.withWatermark(watermark_col, delay)
+            .dropDuplicatesWithinWatermark(keys))
+
+
 def stream_sessionize(
     stream: DataFrame,
     key_col: str,

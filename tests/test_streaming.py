@@ -102,3 +102,23 @@ def test_stream_sessionize_state_across_batches(spark, tmp_path):
     got = {r.user_id: (r.ns, r.ne) for r in rows}
     assert got[1] == (2, 4)  # 0s/10s/20s one session, 1h later a second
     assert got[2] == (2, 2)
+
+
+def test_stream_deduplicate_within_watermark(spark, tmp_path):
+    import datetime as dt
+
+    src = tmp_path / "dd_src"
+    schema = T.StructType([T.StructField("k", T.StringType()),
+                           T.StructField("ts", T.TimestampType())])
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    spark.createDataFrame(
+        [("a", t0), ("a", t0 + dt.timedelta(seconds=5)),   # dup within window
+         ("b", t0), ("a", t0 + dt.timedelta(seconds=9))],  # another dup
+        schema).coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = streaming.stream_deduplicate(stream, ["k"], "ts", delay="1 minute")
+    q = (out.writeStream.format("memory").queryName("dd_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT k FROM dd_out").collect()
+    assert sorted(r.k for r in rows) == ["a", "b"]
