@@ -28,9 +28,21 @@ def where(df: DataFrame, expr: str | Column, type_hints: dict[str, str] | None =
 
 
 def _match_paths(df: DataFrame, extractors: Iterable[str]) -> list[str]:
+    """Resolve field extractors (suffix semantics) AND type extractors
+    (':string', ':time', ...) — the same operand forms `where` accepts
+    (reference: select.cpp:58-67 resolves generic extractors)."""
+    from tenzir_spark.expr import Binder
+
     leaves = leaf_paths(df.schema)
+    binder = None
     out: list[str] = []
     for ex in extractors:
+        if ex.startswith(":"):
+            binder = binder or Binder(df.schema)
+            for p in binder.type_matches(ex[1:]):
+                if p not in out:
+                    out.append(p)
+            continue
         for p, _ in leaves:
             if _suffix_matches(p, ex) and p not in out:
                 out.append(p)
@@ -106,9 +118,17 @@ def replace(df: DataFrame, **fields: Column) -> DataFrame:
 
 
 def rename(df: DataFrame, **mapping: str) -> DataFrame:
-    """rename(new=old, ...) — metadata-only rename. Reference: rename.cpp:75."""
+    """rename(new=old, ...) — metadata-only rename; ``old`` may be a
+    suffix extractor resolving to one top-level column (reference:
+    rename.cpp:75 renames via extractors)."""
     out = df
     for new, old in mapping.items():
+        if old not in out.columns:
+            matches = [c for c in out.columns if _suffix_matches(c, old)]
+            if len(matches) == 1:
+                old = matches[0]
+            elif len(matches) > 1:
+                raise ValueError(f"rename: extractor {old!r} is ambiguous: {matches}")
         out = out.withColumnRenamed(old, new)
     return out
 

@@ -146,3 +146,20 @@ def test_measure(mini):
     m = ops.measure(mini, schema_col="schema")
     total = m.agg(F.sum("events")).collect()[0][0]
     assert total == 5
+
+
+def test_select_drop_type_extractors(spark):
+    from pyspark.sql import Row
+    df = spark.createDataFrame([Row(a="x", n=1, t=2.5, b="y")])
+    out = ops.select(df, ":string")
+    assert out.columns == ["a", "b"]
+    out2 = ops.drop(df, ":string")
+    assert out2.columns == ["n", "t"]
+
+
+def test_driver_contract_parity():
+    """Every queries() entry must carry an oracle_sql() entry (the no-
+    oracle driver path records a weaker check — never regress into it)."""
+    import __spark_entry__ as e
+    q, o = set(e.queries()), set(e.oracle_sql())
+    assert q == o, f"missing oracles: {sorted(q - o)}; orphans: {sorted(o - q)}"
