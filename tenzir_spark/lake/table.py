@@ -212,7 +212,21 @@ class LakeTable:
         ``{"op":"rename","from":"lang","to":"language"}``,
         ``{"op":"widen","name":"n","type":"bigint"}``. Metadata-only —
         existing files are re-interpreted at read time via _align().
+
+        Concurrent commits are handled by refresh-and-retry: the ops are
+        idempotent against an already-evolved schema (re-adds and
+        completed renames skip), so replaying them on the refreshed
+        snapshot converges — the north rule's "schema evolution racing
+        concurrent commits" case (SURVEY §7 hard part 5).
         """
+        for _ in range(20):
+            try:
+                return self._alter_once(ops)
+            except CommitConflict:
+                self.refresh()
+        raise CommitConflict("exhausted alter retries")
+
+    def _alter_once(self, ops: list[dict]) -> None:
         snap = self.snapshot
         fields = {f.name: f for f in snap.schema.fields}
         new_fields = list(snap.schema.fields)
@@ -526,7 +540,13 @@ class LakeTable:
         cp_dir = os.path.join(self.root, CHECKPOINT_DIR)
         self.io.makedirs(cp_dir)
         if pq is not None:
-            pq.write_table(tbl, os.path.join(cp_dir, f"cp-{epoch}-{uuid.uuid4().hex[:8]}.parquet"))
+            # atomic publish: write complete, then rename — a crash never
+            # leaves a truncated parquet for checkpoints() to choke on
+            name = f"cp-{epoch}-{uuid.uuid4().hex[:8]}.parquet"
+            dest = os.path.join(cp_dir, name)
+            tmp = os.path.join(cp_dir, "." + name + ".tmp")  # dotfile: Spark readers skip it
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, dest)
 
     def checkpoints(self) -> DataFrame:
         path = os.path.join(self.root, CHECKPOINT_DIR)

@@ -178,3 +178,21 @@ def test_time_travel_read(spark, tmp_path):
     assert now == {"a": 99, "b": 30}
     old = LakeTable.load(spark, root, version=v_after_first)
     assert {r.url: r.v for r in old.read().collect()} == {"a": 10}
+
+
+def test_alter_retries_through_concurrent_commit(spark, tmp_path):
+    """Schema evolution racing a concurrent commit converges: the loser
+    refreshes and replays its (idempotent) ops (SURVEY §7 hard part 5)."""
+    root = str(tmp_path / "ar")
+    a = LakeTable.create(spark, root, SCHEMA, "url", num_buckets=2)
+    b = LakeTable.load(spark, root)
+    # a commits data; b (stale snapshot) alters — its first snapshot
+    # version collides with a's and must retry on the refreshed state
+    _merge(a, spark, [("x", "insert", 1, 1)], 0)
+    b.alter([{"op": "add", "name": "tags", "type": "string"}])
+    a.refresh()
+    assert "tags" in a.snapshot.schema.fieldNames()
+    assert "0" in a.snapshot.ledger  # the data commit survived too
+    # idempotent replay of the same alter is a no-op
+    b.alter([{"op": "add", "name": "tags", "type": "string"}])
+    assert [f.name for f in b.snapshot.schema.fields].count("tags") == 1
