@@ -493,8 +493,17 @@ class Binder:
             rcol = self.value(rhs)
             if lcol is None or rcol is None:
                 return F.lit(False)
-            return _apply_relop(lcol, op, rcol,
-                                rhs if isinstance(rhs, Literal) else None)
+            out = _apply_relop(lcol, op, rcol,
+                               rhs if isinstance(rhs, Literal) else None)
+            # a computed predicate cannot reach parquet PushedFilters; when
+            # the lhs is LINEAR in one column with literal coefficients,
+            # conjoin a redundant (strictly weaker) range on the bare
+            # column — Catalyst pushes it into the scan for row-group
+            # skipping while the original predicate keeps exact semantics
+            bound = self._linear_bound(lhs, op, rhs)
+            if bound is not None:
+                out = out & bound
+            return out
         paths = self._resolve(lhs)
         if not paths:
             return F.lit(False)
@@ -526,6 +535,65 @@ class Binder:
         if isinstance(node, FuncCall):
             return _apply_func(node, self)
         raise TypeError(f"cannot compile operand {node!r}")
+
+    def _linear_bound(self, lhs, op: str, rhs) -> Column | None:
+        """For ``a*x + b  relop  c`` (x one extractor, a/b/c numeric
+        literals), derive a REDUNDANT range on x — weakened outward by a
+        relative epsilon so it is a necessary condition even under
+        floating-point evaluation differences. Pushdown-only: the exact
+        original predicate is always conjoined by the caller."""
+        from fractions import Fraction
+
+        if op not in ("<", "<=", ">", ">=") or not isinstance(rhs, Literal):
+            return None
+        if not isinstance(rhs.value, (int, float)) or isinstance(rhs.value, bool):
+            return None
+
+        def walk(node):
+            """-> (a, b, path|None) with node == a*x + b; constants have
+            a == 0 and path None; raises on non-linear shapes."""
+            if isinstance(node, Literal):
+                if isinstance(node.value, bool) or not isinstance(node.value, (int, float)):
+                    raise ValueError
+                return Fraction(0), Fraction(node.value), None
+            if isinstance(node, FieldExtractor):
+                paths = self._resolve(node)
+                if len(paths) != 1:
+                    raise ValueError  # ambiguous extractor: no safe bound
+                return Fraction(1), Fraction(0), paths[0]
+            if isinstance(node, BinOp):
+                la, lb, lp = walk(node.lhs)
+                ra, rb, rp = walk(node.rhs)
+                if lp and rp and lp != rp:
+                    raise ValueError
+                p = lp or rp
+                if node.op == "+":
+                    return la + ra, lb + rb, p
+                if node.op == "-":
+                    return la - ra, lb - rb, p
+                if node.op == "*":
+                    # linear only when one side is constant
+                    if la != 0 and ra != 0:
+                        raise ValueError
+                    if ra == 0:
+                        return la * rb, lb * rb, lp
+                    return ra * lb, rb * lb, rp
+                raise ValueError  # / and % are not handled
+            raise ValueError
+
+        try:
+            a, b, path = walk(lhs)
+        except (ValueError, ZeroDivisionError):
+            return None
+        if path is None or a == 0:
+            return None
+        q = (Fraction(rhs.value) - b) / a
+        flipped = a < 0
+        qf = float(q)
+        eps = max(abs(qf) * 1e-9, 1e-9)
+        col = self.col(path)
+        lower = (op in (">", ">=")) != flipped  # x is bounded below
+        return col >= F.lit(qf - eps) if lower else col <= F.lit(qf + eps)
 
     def _resolve(self, operand) -> list[str]:
         if isinstance(operand, FieldExtractor):

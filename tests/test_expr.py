@@ -118,3 +118,32 @@ def test_concept_taxonomy(conn):
         "source_address == 8.8.8.8", conn,
         concepts={"source_address": ["orig_h", "no_such"]}))
     assert out2.count() == 0
+
+
+def test_linear_bound_pushdown(spark, tmp_path):
+    """Arithmetic predicates gain a redundant bare-column range that
+    reaches parquet PushedFilters; results stay exact (the original
+    predicate is conjoined)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from tenzir_spark import operators as ops
+
+    p = str(tmp_path / "lin.parquet")
+    spark.createDataFrame([(i, float(i)) for i in range(1000)], "id long, v double") \
+        .write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    out = ops.where(df, "v * 2 + 1 > 501")
+    assert out.count() == 1000 - 251  # v > 250
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "GreaterThanOrEqual(v," in plan  # the redundant bound pushed
+
+    # negative coefficient flips the bound direction
+    out2 = ops.where(df, "10 - v * 2 >= 4")   # v <= 3
+    assert out2.count() == 4
+    # non-linear shapes opt out silently
+    out3 = ops.where(df, "v * v > 4")
+    assert out3.count() == 1000 - 3
