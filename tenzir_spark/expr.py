@@ -762,6 +762,36 @@ def ip_in_subnet(col: Column, cidr: str) -> Column:
     )
 
 
+def load_concepts(path: str) -> dict[str, list[str]]:
+    """Load taxonomy concepts from a YAML file shaped like the
+    reference's taxonomy modules (web/docs/data-model/taxonomies.md):
+
+        concepts:
+          - concept:
+              name: source_ip
+              fields: [zeek.conn.id.orig_h, suricata.flow.src_ip]
+
+    Also accepts the plain mapping form {name: [field, ...]}. The result
+    feeds compile_expression(concepts=...) / Binder(concepts=...)."""
+    try:
+        import yaml
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError("concepts need PyYAML") from exc
+    with open(path) as fh:
+        doc = yaml.safe_load(fh) or {}
+    out: dict[str, list[str]] = {}
+    if isinstance(doc, dict) and "concepts" in doc:
+        for entry in doc["concepts"] or []:
+            c = entry.get("concept", entry) if isinstance(entry, dict) else {}
+            name = c.get("name")
+            if name:
+                out.setdefault(name, []).extend(c.get("fields") or [])
+    else:
+        for name, fields in (doc or {}).items():
+            out[name] = list(fields)
+    return out
+
+
 def parse_operand(text: str):
     """Parse a single operand (literal / extractor / arithmetic /
     function call) — the RHS grammar of ``put x=<operand>``."""

@@ -105,3 +105,19 @@ def test_unify_map_columns(spark):
         == "map<string,double>"
     got = {r.id: r.m for r in u.collect()}
     assert got[1] == {"x": 1.0} and got[2] == {"y": 2.5}
+
+
+def test_uint64_parquet_roundtrip(spark, tmp_path):
+    """uint64 policy (SURVEY §1.2): parquet UINT64 loads as Spark
+    DECIMAL(20,0) losslessly (values above int64 range included); the
+    widen lattice admits bigint -> decimal(20,0)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "u64.parquet")
+    big = 2**63 + 41  # not representable as int64
+    pq.write_table(pa.table({"u": pa.array([1, big], pa.uint64())}), p)
+    df = spark.read.parquet(p)
+    assert df.schema["u"].dataType.simpleString() == "decimal(20,0)"
+    vals = sorted(int(r.u) for r in df.collect())
+    assert vals == [1, big]

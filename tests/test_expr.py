@@ -147,3 +147,23 @@ def test_linear_bound_pushdown(spark, tmp_path):
     # non-linear shapes opt out silently
     out3 = ops.where(df, "v * v > 4")
     assert out3.count() == 1000 - 3
+
+
+def test_load_concepts_yaml(tmp_path, spark):
+    from tenzir_spark.expr import load_concepts
+    from pyspark.sql import Row
+
+    p = tmp_path / "taxonomy.yaml"
+    p.write_text(
+        "concepts:\n"
+        "  - concept:\n"
+        "      name: source_ip\n"
+        "      fields: [orig_h, src_ip]\n")
+    concepts = load_concepts(str(p))
+    assert concepts == {"source_ip": ["orig_h", "src_ip"]}
+    df = spark.createDataFrame([Row(src_ip="10.0.0.1", x=1),
+                                Row(src_ip="8.8.8.8", x=2)])
+    # concepts thread through compile_expression (and ops.where)
+    from tenzir_spark.expr import compile_expression
+    pred = compile_expression('source_ip == "8.8.8.8"', df, concepts=concepts)
+    assert [r.x for r in df.filter(pred).collect()] == [2]
