@@ -80,6 +80,7 @@ def bench_cdc(spark, n_events: int, n_salts: int = 16) -> tuple[float, int, floa
         trials = max(1, int(os.environ.get("BENCH_TRIALS", "2")))
         dt = None
         compact_dt = None
+        trial_secs: list[float] = []
         for trial in range(trials):
             table = LakeTable.create(
                 spark, os.path.join(root, f"pages{trial}"), pages_schema(), "url",
@@ -92,10 +93,11 @@ def bench_cdc(spark, n_events: int, n_salts: int = 16) -> tuple[float, int, floa
             t1 = time.perf_counter()
             table.compact()  # maintenance cost reported separately
             c = time.perf_counter() - t1
+            trial_secs.append(round(d, 3))
             dt = d if dt is None else min(dt, d)
             compact_dt = c if compact_dt is None else min(compact_dt, c)
             shutil.rmtree(os.path.join(root, f"pages{trial}"), ignore_errors=True)
-        return dt, n_events, compact_dt
+        return dt, n_events, compact_dt, trial_secs
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -137,7 +139,7 @@ def main():
         _force(df)
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    cdc_sec, cdc_events, compact_sec = bench_cdc(spark, n_cdc)
+    cdc_sec, cdc_events, compact_sec, cdc_trials = bench_cdc(spark, n_cdc)
     timings["cdc_apply"] = round(cdc_sec, 3)
     timings["cdc_compact"] = round(compact_sec, 3)
     throughput = cdc_events / cdc_sec if cdc_sec > 0 else 0.0
@@ -151,6 +153,9 @@ def main():
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cores": int(cpus),
         "cdc_events": cdc_events,
+        # per-trial apply seconds: the shared VM's throughput varies 2-4x
+        # run-to-run (BASELINE.md), so the spread contextualizes "value"
+        "cdc_trial_secs": cdc_trials,
     }))
     if scratch:
         shutil.rmtree(scratch, ignore_errors=True)
