@@ -260,9 +260,14 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
             aggs = _split_top(arg, ",")
             kw = {}
             if resolution:
-                # the reference floors ALL time keys (summarize.cpp:41-95);
-                # we bucket the first time-typed key
-                kw = {"resolution": _tql_duration(resolution), "time_col": by[0] if by else None}
+                # the reference floors time keys (summarize.cpp:41-95);
+                # bucket the first TIME-TYPED by-key, not merely by[0]
+                from pyspark.sql import types as T
+                tkeys = [b for b in by if b in df.columns and isinstance(
+                    df.schema[b].dataType,
+                    (T.TimestampType, T.TimestampNTZType, T.DateType))]
+                kw = {"resolution": _tql_duration(resolution),
+                      "time_col": (tkeys or by or [None])[0]}
             p = p.summarize(aggs, by=by, **kw)
         elif op == "sort":
             toks = shlex.split(arg)
