@@ -167,6 +167,18 @@ class LocalFileIO:
         with open(path, "wb") as fh:
             fh.write(data)
 
+    def delete(self, path: str) -> None:
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            pass
+
+    def walk_files(self, path: str) -> list[str]:
+        out = []
+        for dirpath, _dirs, names in os.walk(path):
+            out.extend(os.path.join(dirpath, n) for n in names)
+        return sorted(out)
+
 
 DEFAULT_IO = LocalFileIO()
 

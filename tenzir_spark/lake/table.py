@@ -519,6 +519,41 @@ class LakeTable:
                 continue
         raise CommitConflict("exhausted snapshot commit retries")
 
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Retention GC — the reference's disk-monitor eviction
+        (libtenzir/src/disk_monitor.cpp) ≅ Iceberg expire_snapshots:
+        drop all but the newest ``keep_last`` snapshot files and delete
+        data files no kept snapshot references (CoW-replaced and
+        compacted-away files are reclaimed here, never at commit time —
+        readers of retained snapshots stay consistent).
+
+        Time travel to an expired version stops working — that is the
+        retention contract. Run only when no reader holds a snapshot
+        older than the kept window.
+        """
+        from tenzir_spark.lake.format import META_DIR, snapshot_at
+
+        keep_last = max(1, int(keep_last))
+        meta_dir = os.path.join(self.root, META_DIR)
+        versions = sorted(
+            int(n[1:9]) for n in self.io.list(meta_dir)
+            if n.startswith("v") and n.endswith(".json"))
+        kept, expired = versions[-keep_last:], versions[:-keep_last]
+        referenced: set[str] = set()
+        for v in kept:
+            for f in snapshot_at(self.root, v, self.io).files:
+                referenced.add(os.path.normpath(os.path.join(self.root, f.path)))
+        removed_files = 0
+        data_root = os.path.join(self.root, DATA_DIR)
+        for path in self.io.walk_files(data_root):
+            if os.path.normpath(path) not in referenced and path.endswith(".parquet"):
+                self.io.delete(path)
+                removed_files += 1
+        for v in expired:
+            self.io.delete(os.path.join(meta_dir, f"v{v:08d}.json"))
+        self.refresh()
+        return {"snapshots_removed": len(expired), "files_removed": removed_files}
+
     def _write_checkpoints(self, epoch: str, files: list[DataFile], entry: dict) -> None:
         """Per-partition lineage/metrics rows (north rule A3 table).
 

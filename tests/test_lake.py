@@ -196,3 +196,22 @@ def test_alter_retries_through_concurrent_commit(spark, tmp_path):
     # idempotent replay of the same alter is a no-op
     b.alter([{"op": "add", "name": "tags", "type": "string"}])
     assert [f.name for f in b.snapshot.schema.fields].count("tags") == 1
+
+
+def test_expire_snapshots_reclaims_replaced_files(spark, tmp_path):
+    """CoW merges replace bucket files; expire_snapshots reclaims every
+    file no retained snapshot references, and the live read is intact."""
+    root = str(tmp_path / "gc")
+    t = LakeTable.create(spark, root, SCHEMA, "url", num_buckets=2)
+    for e in range(3):  # repeated updates -> several superseded file sets
+        _merge(t, spark, [("a", "update", e * 2 + 1, e), ("b", "update", e * 2 + 2, e * 10)], e)
+    import os as _os
+    data_root = _os.path.join(root, "data")
+    before = len(t.io.walk_files(data_root))
+    res = t.expire_snapshots(keep_last=1)
+    after = len([p for p in t.io.walk_files(data_root) if p.endswith(".parquet")])
+    assert res["snapshots_removed"] >= 2 and res["files_removed"] >= 1
+    assert after < before
+    assert {r.url: r.v for r in t.read().collect()} == {"a": 2, "b": 20}
+    # ledger survives inside the retained snapshot (idempotency intact)
+    assert set(t.snapshot.ledger) == {"0", "1", "2"}
