@@ -151,8 +151,12 @@ class _Sink:
 
 
 def _kv_pairs(arg: str) -> dict[str, str]:
-    """Parse ``name=operand`` lists (comma- or space-separated at depth 0)."""
-    parts = _split_top(arg, ",") if "," in arg else _split_top(arg, " ")
+    """Parse ``name=operand`` lists. Comma-separated when a top-level
+    comma exists; otherwise split only BEFORE the next ``name=`` token so
+    operands may contain spaces (``put y=a + 1 z=b * 2``)."""
+    parts: list[str] = []
+    for chunk in _split_top(arg, ","):
+        parts.extend(p for p in re.split(r"\s+(?=[A-Za-z_][\w.]*\s*=)", chunk.strip()) if p)
     out: dict[str, str] = {}
     for p in parts:
         if "=" not in p:
@@ -270,9 +274,7 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
                       "time_col": (tkeys or by or [None])[0]}
             p = p.summarize(aggs, by=by, **kw)
         elif op == "sort":
-            toks = shlex.split(arg)
-            stable = "--stable" in toks
-            toks = [t for t in toks if t != "--stable"]
+            toks = [t for t in shlex.split(arg) if t != "--stable"]
             field = toks[0]
             ascending = "desc" not in toks
             nulls_first = True if "nulls-first" in toks else (False if "nulls-last" in toks else None)

@@ -162,3 +162,12 @@ def test_sigma_rule_directory(spark, tmp_path):
     assert got == [("one", "purchase"), ("two", "error")] or \
            got == [("one", "purchase"), ("two", "error")][::-1] or \
            sorted(got) == [("one", "purchase"), ("two", "error")]
+
+
+def test_put_operands_with_spaces(spark):
+    from pyspark.sql import Row
+    df = spark.createDataFrame([Row(a=3, b=4)])
+    out = exec_pipeline("put y=a + 1 z=b * 2, w=concat('v', to_string(a))",
+                        source=df)
+    r = out.collect()[0]
+    assert (r.y, r.z, r.w) == (4, 8, "v3")
