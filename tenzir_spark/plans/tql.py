@@ -188,6 +188,16 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
 
     for seg in segs:
         if sink is not None:
+            # `write <fmt> | save <path>` — the reference's split form
+            # (to_write_save.cpp fuses them; we fill the path in)
+            msave = re.match(r"^save\s+(\S+)\s*$", seg)
+            if sink.path is None and sink.kind not in ("stdout", "discard") and msave:
+                path = msave.group(1)
+                if path == "-":
+                    sink = _Sink("stdout")
+                else:
+                    sink.path = path
+                continue
             raise ValueError(f"operator after sink: {seg!r}")
         m = re.match(r"^([A-Za-z_][\w-]*)\s*(.*)$", seg, re.S)
         if not m:

@@ -171,3 +171,13 @@ def test_put_operands_with_spaces(spark):
                         source=df)
     r = out.collect()[0]
     assert (r.y, r.z, r.w) == (4, 8, "v3")
+
+
+def test_write_then_save_split_form(spark, tmp_path, conn_log):
+    # `write <fmt> | save <path>` == `to <path> write <fmt>`
+    # (reference fuses them: to_write_save.cpp:267)
+    dest = str(tmp_path / "split.parquet")
+    exec_pipeline(
+        f"from {conn_log} read zeek-tsv | select uid | write parquet | save {dest}",
+        spark=spark)
+    assert spark.read.parquet(dest).count() == 3
