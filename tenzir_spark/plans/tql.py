@@ -209,6 +209,8 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
             if spark is None:
                 raise ValueError("'from' requires a SparkSession")
             toks = shlex.split(arg)
+            follow = "--follow" in toks
+            toks = [t for t in toks if t != "--follow"]
             path = toks[0]
             f = None
             if len(toks) >= 3 and toks[1] == "read":
@@ -221,7 +223,24 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
                 read_fmt_pending = path  # defer until 'read <fmt>'
                 continue
             f = f or _infer_format(path)
-            p = Pipeline(_READERS[f](spark, path))
+            if follow:
+                # `file --follow` (reference file.cpp:233) — a Structured
+                # Streaming source over a growing directory; the schema
+                # comes from a static read of what exists now
+                schema = _READERS[f](spark, path).schema
+                stream_readers = {
+                    "json": lambda: spark.readStream.schema(schema).json(path),
+                    "csv": lambda: spark.readStream.schema(schema)
+                        .options(header=True).csv(path),
+                    "parquet": lambda: spark.readStream.schema(schema).parquet(path),
+                    "lines": lambda: spark.readStream.text(path)
+                        .withColumnRenamed("value", "line"),
+                }
+                if f not in stream_readers:
+                    raise ValueError(f"--follow supports json/csv/parquet/lines, not {f!r}")
+                p = Pipeline(stream_readers[f]())
+            else:
+                p = Pipeline(_READERS[f](spark, path))
             continue
         if op == "read":
             f = shlex.split(arg)[0]
@@ -414,6 +433,19 @@ def run_pipeline(p: Pipeline):
     sink: _Sink | None = getattr(p, "_pending_sink", None)
     if sink is None:
         return p.df
+    if p.df.isStreaming:
+        # streaming pipelines sink through writeStream; availableNow
+        # drains what exists then stops (callers wanting a continuous
+        # query use the streaming module directly)
+        if sink.kind not in ("parquet", "json", "csv"):
+            raise ValueError(f"streaming sink {sink.kind!r} unsupported")
+        q = (p.df.writeStream.format(sink.kind)
+             .option("path", sink.path)
+             .option("checkpointLocation", sink.path.rstrip("/") + "_checkpoint")
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return None
     if sink.kind == "discard":
         p.discard()
         return None

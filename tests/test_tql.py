@@ -9,6 +9,8 @@ pipeline strings and assert the resulting rows.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import Row
 
@@ -181,3 +183,25 @@ def test_write_then_save_split_form(spark, tmp_path, conn_log):
         f"from {conn_log} read zeek-tsv | select uid | write parquet | save {dest}",
         spark=spark)
     assert spark.read.parquet(dest).count() == 3
+
+
+def test_follow_file_streaming_pipeline(spark, tmp_path):
+    """`from <dir> --follow read json | where ... | to <dir>` — the
+    reference's follow connector as a Structured Streaming pipeline
+    (availableNow drains existing files then stops)."""
+    import json as _json
+
+    src = tmp_path / "grow"
+    src.mkdir()
+    (src / "a.json").write_text('{"v": 1}\n{"v": 5}\n')
+    (src / "b.json").write_text('{"v": 9}\n')
+    dest = str(tmp_path / "sunk")
+    exec_pipeline(
+        f"from {src} --follow read json | where v >= 5 | to {dest} write json",
+        spark=spark)
+    rows = []
+    for name in os.listdir(dest):
+        if name.startswith("part-"):
+            with open(os.path.join(dest, name)) as fh:
+                rows += [_json.loads(l) for l in fh if l.strip()]
+    assert sorted(r["v"] for r in rows) == [5, 9]
