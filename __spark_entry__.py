@@ -114,6 +114,25 @@ def q_summarize_resolution(spark, sf):
     ).orderBy("bucket")
 
 
+def q_summarize_res_nokey(spark, sf):
+    """resolution given but the time key NOT in `by`: the engine appends
+    the floored time key (reference summarize.cpp:41-95 floors the time
+    key it finds — never a silent no-op)."""
+    ev = _t(spark, sf, "events")
+    out = ops.summarize(
+        ev,
+        [("n", "count_star", "."), ("total", "sum", "value")],
+        by=["event_type"],
+        resolution="1 hour",
+        time_col="ts",
+    )
+    return out.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "n", F.round("total", 2).alias("total"),
+    ).orderBy("event_type", "bucket")
+
+
 def q_sort(spark, sf):
     o = _t(spark, sf, "orders")
     return ops.sort(o, "o_totalprice", ascending=False).limit(100) \
@@ -546,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rename": q_rename,
         "summarize": q_summarize,
         "summarize_resolution": q_summarize_resolution,
+        "summarize_res_nokey": q_summarize_res_nokey,
         "sort": q_sort,
         "head": q_head,
         "tail": q_tail,
@@ -714,6 +734,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
                    count(*) AS n, round(sum(value), 2) AS total
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "summarize_res_nokey": """
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+                   count(*) AS n, round(sum(value), 2) AS total
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "sort": """
             SELECT o_orderkey, o_totalprice FROM orders

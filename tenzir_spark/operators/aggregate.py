@@ -93,9 +93,12 @@ def summarize(
             keys.append(F.window(F.col(k), resolution).start.alias(k))
         else:
             keys.append(F.col(k))
-    if resolution and time_col and time_col not in [str(k) for k in by]:
-        # resolution given but time key not in by: still bucket it
-        pass
+    if resolution and time_col and time_col not in [k for k in by if isinstance(k, str)]:
+        # resolution given but the time key absent from `by`: the reference
+        # floors the time key it finds and groups by it regardless
+        # (summarize.cpp:41-95 FloorTemporal) — append the floored key so
+        # the option is never a silent no-op
+        keys.append(F.window(F.col(time_col), resolution).start.alias(time_col))
     agg_cols = [_agg_column(a) for a in aggs]
     if keys:
         return df.groupBy(*keys).agg(*agg_cols)
