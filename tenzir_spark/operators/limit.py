@@ -50,61 +50,58 @@ def unique(df: DataFrame, order_by: str | Column | None = None,
     order column this degrades to dropDuplicates() — identical result for
     the canonical ``sort | unique`` idiom the reference documents.
 
-    Scale design: rows are RANGE-partitioned by the order key, lag runs
-    per partition (parallel), and the one cross-partition comparison per
-    boundary uses each partition's last row — collected as O(partitions)
-    driver rows and broadcast back. No global single-reducer window.
+    Scale design: rows get a DETERMINISTIC range-bucket id (a pure
+    function of the order key — operators.rangekey), lag runs per bucket
+    (parallel), and each bucket's first row compares against the previous
+    non-empty bucket's last row, carried through an O(buckets) aggregate
+    + lag window and broadcast back. One lazy plan: no global
+    single-reducer window, no persist, no driver collect of row data.
 
     ``compare_cols`` restricts the duplicate test to a subset — the
     faithful translation when the ordering column is synthetic (the
     reference's stream order is implicit, never part of the row).
     """
+    from tenzir_spark.operators.rangekey import with_range_pid
+
     if order_by is None:
         return df.dropDuplicates(compare_cols)
     out_cols = [c for c in df.columns]
     cols = list(compare_cols) if compare_cols else out_cols
-    dtypes = {f.name: f.dataType for f in df.schema.fields}
-    part = (df.repartitionByRange(order_by)
-            .withColumn("__pid", F.spark_partition_id())
-            .persist())
-    # last row of every partition (tiny: one row per partition)
-    last_rows = (part.groupBy("__pid")
-                 .agg(F.max_by(F.struct(*[F.col(c) for c in cols]), order_by).alias("__r"))
-                 .collect())
-    last_by_pid = {r["__pid"]: r["__r"] for r in last_rows}
-    pids = sorted(last_by_pid)
-    boundary = [
-        tuple([pid, True] + list(last_by_pid[prev_pid]))
-        for prev_pid, pid in zip(pids, pids[1:])
-    ]
+    ocol = F.col(order_by) if isinstance(order_by, str) else order_by
+    part = with_range_pid(df, order_by)
+    if part is None:
+        # exotic order-key type: global window (small-input fallback)
+        w = Window.orderBy(order_by)
+        prev = [F.lag(F.col(c)).over(w).alias(f"__p_{c}") for c in cols]
+        tagged = df.select(*out_cols, *prev)
+        same = None
+        for c in cols:
+            eq = F.col(c).eqNullSafe(F.col(f"__p_{c}"))
+            same = eq if same is None else (same & eq)
+        return tagged.filter(~F.coalesce(same, F.lit(False))).select(*out_cols)
+    # previous non-empty bucket's last row, shifted to be each bucket's
+    # cross-boundary predecessor (tiny: one row per bucket)
+    lastr = part.groupBy("__pid").agg(
+        F.max_by(F.struct(*[F.col(c) for c in cols]), ocol).alias("__r"))
+    bdf = (lastr.select(
+        "__pid", F.lag("__r").over(Window.orderBy("__pid")).alias("__b"))
+        .filter(F.col("__b").isNotNull()))
     w = Window.partitionBy("__pid").orderBy(order_by)
     prev = [F.lag(F.col(c)).over(w).alias(f"__p_{c}") for c in cols]
     tagged = part.select(
         "__pid", *out_cols, *prev,
         F.lag(F.lit(1)).over(w).isNull().alias("__first"))
-    if boundary:
-        spark = df.sparkSession
-        schema = T.StructType(
-            [T.StructField("__pid", T.IntegerType()),
-             T.StructField("__has_b", T.BooleanType())]
-            + [T.StructField(f"__b_{c}", dtypes[c]) for c in cols])
-        bdf = spark.createDataFrame(boundary, schema)
-        tagged = tagged.join(F.broadcast(bdf), "__pid", "left")
-        # the first row of a partition has no lag(): its predecessor is the
-        # previous partition's last row (absent only for the very first row)
-        is_first = F.col("__first")
-        has_pred = (~is_first) | F.coalesce(F.col("__has_b"), F.lit(False))
-        same = None
-        for c in cols:
-            pc = F.when(is_first, F.col(f"__b_{c}")).otherwise(F.col(f"__p_{c}"))
-            eq = F.col(c).eqNullSafe(pc)
-            same = eq if same is None else (same & eq)
-        return tagged.filter(~(F.coalesce(same, F.lit(False)) & has_pred)).select(*out_cols)
+    tagged = tagged.join(F.broadcast(bdf), "__pid", "left")
+    # the first row of a bucket has no lag(): its predecessor is the
+    # previous bucket's last row (absent only for the very first bucket)
+    is_first = F.col("__first")
+    has_pred = (~is_first) | F.col("__b").isNotNull()
     same = None
     for c in cols:
-        eq = F.col(c).eqNullSafe(F.col(f"__p_{c}"))
+        pc = F.when(is_first, F.col("__b").getField(c)).otherwise(F.col(f"__p_{c}"))
+        eq = F.col(c).eqNullSafe(pc)
         same = eq if same is None else (same & eq)
-    return tagged.filter(~F.coalesce(same, F.lit(False))).select(*out_cols)
+    return tagged.filter(~(F.coalesce(same, F.lit(False)) & has_pred)).select(*out_cols)
 
 
 def deduplicate(df: DataFrame, key: str | list[str], order_col: str,

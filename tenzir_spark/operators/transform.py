@@ -177,12 +177,17 @@ def enumerate_rows(df: DataFrame, field: str = "#", order_by: str | Column | Non
     ``order_by``. Without one, falls back to a partition-monotonic id
     (stable but not dense across partitions — documented divergence).
 
-    The global enumeration is two-pass and fully distributed: range
-    partition by the order key, per-partition row numbers, then add
-    per-partition offsets from one O(partitions) count aggregate — never
-    a global single-reducer window (which would serialize every row
-    through one task at scale).
+    The global enumeration is fully distributed and a SINGLE lazy plan:
+    rows get a deterministic range-bucket id (a pure function of the
+    order key — see operators.rangekey), per-bucket row numbers run in
+    parallel, and bucket offsets come from an O(buckets) count aggregate
+    cumulated with a tiny window. Because the bucket id is data-derived
+    (not sampled partitioner state), no persist() is needed for the two
+    plan branches to agree — fixing the cache leak repartitionByRange +
+    spark_partition_id required, and removing the driver collect.
     """
+    from tenzir_spark.operators.rangekey import with_range_pid
+
     name = "idx" if field == "#" else field
     if order_by is None:
         out = df.withColumn(name, F.monotonically_increasing_id())
@@ -191,19 +196,20 @@ def enumerate_rows(df: DataFrame, field: str = "#", order_by: str | Column | Non
         w = Window.partitionBy(per_schema_col).orderBy(order_by)
         out = df.withColumn(name, F.row_number().over(w) - 1)
         return out.select(name, *[c for c in df.columns])
-    part = (df.repartitionByRange(order_by)
-            .withColumn("__pid", F.spark_partition_id())
-            .persist())
-    counts = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect()
-    offsets, acc = [], 0
-    for r in sorted(counts, key=lambda r: r["__pid"]):
-        offsets.append((r["__pid"], acc))
-        acc += r["__n"]
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    part = with_range_pid(df, order_by)
+    if part is None:
+        # order key with no monotone numeric proxy (array/struct/map):
+        # global window — documented small-input fallback
+        w = Window.orderBy(order_by)
+        out = df.withColumn(name, F.row_number().over(w) - 1)
+        return out.select(name, *[c for c in df.columns])
+    counts = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "__pid", F.coalesce(F.sum("__n").over(wo), F.lit(0)).alias("__off"))
     w = Window.partitionBy("__pid").orderBy(order_by)
-    out = (part.join(F.broadcast(off_df), "__pid", "left")
-           .withColumn(name, F.row_number().over(w) - 1 + F.coalesce("__off", F.lit(0))))
+    out = (part.join(F.broadcast(offs), "__pid")
+           .withColumn(name, F.row_number().over(w) - 1 + F.col("__off")))
     return out.select(name, *[c for c in df.columns])
 
 
