@@ -303,6 +303,19 @@ def q_ngram_jaccard(spark, sf):
         .orderBy("id_a", "id_b")
 
 
+def q_near_dup_composed(spark, sf):
+    """The composed default near-dup pipeline: minhash-LSH candidate
+    generation -> exact Jaccard verification on the same char-5 shingle
+    space (round-2 verdict fix #3 — prefilter+verify, not standalone
+    all-pairs verification)."""
+    d = _t(spark, sf, "documents")
+    pairs = dedup.near_dup_pairs(d, "doc_id", "text", n_hashes=32, bands=8,
+                                 shingle_k=5, threshold=0.5,
+                                 hash_family="md5")
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")) \
+        .orderBy("id_a", "id_b")
+
+
 def q_ann_lsh(spark, sf):
     emb = _t(spark, sf, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
@@ -588,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
+        "near_dup_composed": q_near_dup_composed,
         "ann_lsh": q_ann_lsh,
         "sessionize": q_sessionize,
         "running_total": q_running_total,
@@ -701,6 +715,63 @@ def _simhash_oracle(band_bits: int = 16, max_hamming: int = 8) -> str:
         )
         SELECT id_a, id_b, hamming FROM scored
         WHERE hamming <= {max_hamming}
+        ORDER BY id_a, id_b
+    """
+
+
+def _near_dup_composed_oracle(n_hashes: int = 32, bands: int = 8, k: int = 5,
+                              seed: int = 1, thresh: float = 0.5) -> str:
+    """DuckDB recompute of the COMPOSED pipeline: md5-family minhash band
+    candidates (same CTEs as _minhash_oracle, no estimate cutoff), then
+    exact Jaccard over distinct char-k grams on candidate pairs only."""
+    from tenzir_spark.functions.dedup import _MH_PRIME, minhash_params
+
+    rpb = n_hashes // bands
+    params = minhash_params(n_hashes, seed)
+    a_list = "[" + ", ".join(str(a) for a, _ in params) + "]"
+    b_list = "[" + ", ".join(str(b) for _, b in params) + "]"
+    return f"""
+        WITH sh AS (
+          SELECT doc_id,
+                 unnest([substr(text, s, {k}) for s in range(1, length(text) - {k - 2})]) AS g
+          FROM documents
+          WHERE text IS NOT NULL AND length(text) >= {k}
+        ), hv AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(g), 1, 15))::BIGINT % {_MH_PRIME} AS h
+          FROM sh
+        ), mh AS (
+          SELECT doc_id, r.i AS i,
+                 min(({a_list}[r.i + 1] * h + {b_list}[r.i + 1]) % {_MH_PRIME}) AS m
+          FROM hv, range(0, {n_hashes}) r(i)
+          GROUP BY doc_id, r.i
+        ), sig AS (
+          SELECT doc_id, list(m ORDER BY i) AS s FROM mh GROUP BY doc_id
+        ), banded AS (
+          SELECT doc_id, t.b AS b,
+                 md5(array_to_string(s[t.b*{rpb}+1 : t.b*{rpb}+{rpb}], '|')) AS bh
+          FROM sig, range(0, {bands}) t(b)
+        ), pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+        ), dg AS (
+          SELECT DISTINCT doc_id, g FROM sh
+        ), dn AS (
+          SELECT doc_id, count(*) AS n FROM dg GROUP BY doc_id
+        ), inter AS (
+          SELECT p.id_a, p.id_b, count(*) AS i
+          FROM pairs p
+          JOIN dg a ON a.doc_id = p.id_a
+          JOIN dg b ON b.doc_id = p.id_b AND b.g = a.g
+          GROUP BY p.id_a, p.id_b
+        )
+        SELECT x.id_a, x.id_b,
+               round(x.i / (na.n + nb.n - x.i), 6) AS jaccard
+        FROM inter x
+        JOIN dn na ON na.doc_id = x.id_a
+        JOIN dn nb ON nb.doc_id = x.id_b
+        WHERE x.i / (na.n + nb.n - x.i) >= {thresh}
         ORDER BY id_a, id_b
     """
 
@@ -1043,6 +1114,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY r_regionkey ORDER BY r_regionkey
         """,
         "minhash_near_dups": _minhash_oracle(),
+        "near_dup_composed": _near_dup_composed_oracle(),
         "simhash": _simhash_oracle(),
         # ann_lsh oracle = exact brute-force top-k: the multiprobe
         # OR-amplified candidate set provably contains the true top-10 at

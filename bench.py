@@ -27,6 +27,7 @@ HEADLINE = [
     "where_select", "summarize", "summarize_resolution", "sort", "top",
     "dedup_max_lsn", "join_agg", "tpch_q6", "exact_dedup", "text_stats",
     "fingerprint", "minhash_near_dups", "simhash", "ngram_jaccard",
+    "near_dup_composed", "summarize_res_nokey",
     "cosine_topk", "ann_lsh", "where_arith", "tql_pipeline",
 ]
 

@@ -130,22 +130,26 @@ def minhash_lsh_candidates(
     """Candidate near-duplicate pairs (id_a < id_b) with their estimated
     Jaccard (fraction of agreeing minhashes).
 
-    Pipeline: signature -> band hashes -> explode (id, band-key) ONLY ->
-    self-join on the band key -> distinct id pairs -> rejoin signatures
-    once per surviving pair -> estimate.
+    Pipeline: signature -> band hashes -> group by band bucket
+    (collecting the members' (id, signature) structs) -> intra-bucket
+    pair combos with the Jaccard estimate computed INLINE -> distinct
+    pairs. Three shuffles total (signature groupBy, bucket groupBy, pair
+    dedup), each carrying O(docs) or O(pairs) rows.
 
     Scale design:
-    - the banded self-join carries just (band-key, id) — signatures
-      (n_hashes x 8B each) never ride through the pair-exploding shuffle;
+    - signatures are evaluated exactly once — the earlier band SELF-JOIN
+      form re-ran the whole signature lineage on both sides (Catalyst
+      does not reuse differently-aliased exchanges) and needed two more
+      rejoins for the estimate, ~7 shuffles of plan for the same answer;
     - ``max_bucket`` drops degenerate buckets (boilerplate/empty-ish docs
       hashing identically) whose O(bucket^2) pairs would dominate: a
       bucket larger than that is almost surely one giant duplicate class
-      better handled by exact_dedup on the band key;
-    - signatures are persisted (``cache_signatures``) because they feed
-      both the band explode and the two pair-side rejoins.
+      better handled by exact_dedup on the band key. It also bounds the
+      collected struct array at max_bucket * (8 + 8*n_hashes) bytes
+      (~0.5 MiB at the defaults) — no group-row blowup;
+    - ``cache_signatures`` is retained for API compatibility but unused:
+      the single-consumer pipeline needs no persist (and leaks none).
     """
-    from pyspark.sql import Window
-
     rows_per_band = n_hashes // bands
     # signature via explode + single-pass hashing: computing the n_hashes
     # elements as n array_min(transform(...)) expressions re-inlines (and
@@ -155,15 +159,20 @@ def minhash_lsh_candidates(
     # one projection pass; the groupBy gets map-side partial aggregation
     # (a doc's shingles live in one partition post-explode, so the shuffle
     # carries ~one row per doc).
-    # repartition by id BEFORE exploding: a small/few-partition source
-    # would otherwise hash everything on one core, and partitioning by the
-    # group key up front means the groupBy below needs no second exchange
-    ex = (
+    base = (
         df.select(F.col(id_col).alias("__id"), F.col(text_col))
         .filter(F.col(text_col).isNotNull() & (F.length(text_col) >= shingle_k))
-        .repartition(F.col("__id"))
-        .select("__id", F.explode(char_shingles(text_col, shingle_k)).alias("__g"))
     )
+    # repartition by id BEFORE exploding ONLY for narrow sources (one
+    # parquet split would hash everything on one core); at scale the
+    # source is already wide and this full-text shuffle is skipped —
+    # map-side partial aggregation makes the signature groupBy carry one
+    # row per doc per input partition either way (round-2 verdict #8)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par, F.col("__id"))
+    ex = base.select(
+        "__id", F.explode(char_shingles(text_col, shingle_k)).alias("__g"))
     if hash_family == "md5":
         # one md5 per shingle, n derived values by modular arithmetic —
         # F.md5 costs ~10us/call, so calling it n times per shingle (as a
@@ -178,8 +187,6 @@ def minhash_lsh_candidates(
         ex.groupBy("__id").agg(*elems)
         .select("__id", F.array(*[F.col(f"__h{i}") for i in range(n_hashes)]).alias("__sig"))
     )
-    if cache_signatures:
-        with_sig = with_sig.persist()
 
     def band_hash(sl: Column) -> Column:
         if hash_family == "md5":
@@ -196,34 +203,111 @@ def minhash_lsh_candidates(
             ),
         )
     )
-    banded = with_sig.select("__id", band.alias("__b"))
-    bucket_n = F.count(F.lit(1)).over(Window.partitionBy("__b"))
-    capped = (banded.withColumn("__n", bucket_n)
-              .filter(F.col("__n") <= max_bucket).drop("__n"))
-    left = capped.select("__b", F.col("__id").alias("id_a"))
-    right = capped.select("__b", F.col("__id").alias("id_b"))
-    pairs = (
-        left.join(right, "__b")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    sa = with_sig.select(F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a"))
-    sb = with_sig.select(F.col("__id").alias("id_b"), F.col("__sig").alias("sig_b"))
-    est = pairs.join(sa, "id_a").join(sb, "id_b")
-    agree = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
-            lambda x: x,
-        )
-    )
-    return est.select(
-        "id_a", "id_b",
-        (agree.cast("double") / F.lit(float(n_hashes))).alias("est_jaccard"),
-    )
+    banded = with_sig.select("__id", "__sig", band.alias("__b"))
+    buckets = (banded.groupBy("__b")
+               .agg(F.collect_list(F.struct("__id", "__sig")).alias("__items"))
+               .filter((F.size("__items") >= 2) & (F.size("__items") <= max_bucket)))
+    combos = F.flatten(F.transform(
+        F.col("__items"),
+        lambda x, i: F.transform(
+            F.slice(F.col("__items"), i + 2,
+                    F.greatest(F.size("__items") - i - 1, F.lit(0))),
+            lambda y: F.struct(
+                F.least(x["__id"], y["__id"]).alias("id_a"),
+                F.greatest(x["__id"], y["__id"]).alias("id_b"),
+                (F.size(F.filter(
+                    F.zip_with(x["__sig"], y["__sig"], lambda p, q: p == q),
+                    lambda z: z,
+                )).cast("double") / F.lit(float(n_hashes))).alias("est_jaccard"),
+            ),
+        ),
+    ))
+    return (buckets.select(F.explode(combos).alias("__p"))
+            .select("__p.id_a", "__p.id_b", "__p.est_jaccard")
+            .dropDuplicates(["id_a", "id_b"]))
 
 
 # ---------------------------------------------------------------- jaccard
+
+
+def verify_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    candidates: DataFrame,
+    k: int = 5,
+    use_words: bool = False,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT Jaccard verification restricted to ``candidates`` (id_a,
+    id_b) — the verify half of the candidate-generate -> verify pipeline.
+
+    Only docs appearing in a candidate pair are tokenized (semi-join
+    BEFORE the shingle projection so the pruning reaches the scan), and
+    the distinct-shingle arrays join once per pair: cost is
+    O(candidate docs + candidate pairs), independent of corpus size —
+    the composed 100 TB shape, vs the standalone inverted-index
+    self-join whose worst bucket is O(cap^2)."""
+    sh = word_shingles(F.col(text_col), k) if use_words \
+        else char_shingles(F.col(text_col), k)
+    ids = (candidates.select(F.col("id_a").alias(id_col))
+           .unionAll(candidates.select(F.col("id_b").alias(id_col)))
+           .distinct())
+    docs = (df.join(ids, id_col, "left_semi")
+            .select(F.col(id_col).alias("__id"), sh.alias("__sh")))
+    a = docs.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
+    b = docs.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
+    j = candidates.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    union = F.size("__sha") + F.size("__shb") - inter
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    keep = [c for c in candidates.columns]
+    return (j.withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select(*keep, "jaccard"))
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    seed: int = 1,
+    hash_family: str = "xxhash64",
+    max_bucket: int = 1024,
+    cache_candidates: bool = True,
+) -> DataFrame:
+    """The DEFAULT near-duplicate pipeline: MinHash+LSH candidate
+    generation -> exact Jaccard verification on the same shingle space.
+    Returns (id_a, id_b, est_jaccard, jaccard) with jaccard >= threshold.
+
+    This is the composition the standalone operators document: LSH bounds
+    the pair count (never O(n^2)), the verifier removes LSH's false
+    positives, and only candidate docs are re-tokenized. No estimate
+    cutoff is applied before verification — the exact Jaccard is the
+    filter, so banding is the only recall loss.
+
+    ``cache_candidates`` persists AND eagerly materializes the
+    candidate-pair frame (O(pairs) id/estimate rows — small relative to
+    the corpus): the verifier consumes it from three plan branches (both
+    id sides + the pair join) which would otherwise each re-run the whole
+    signature pipeline — lazy persist alone doesn't help because AQE
+    schedules the branches concurrently, racing ahead of cache
+    population. The count that forces it is one extra O(1)-result job
+    over data the cache keeps anyway."""
+    cand = minhash_lsh_candidates(
+        df, id_col, text_col, n_hashes=n_hashes, bands=bands,
+        shingle_k=shingle_k, seed=seed, hash_family=hash_family,
+        max_bucket=max_bucket)
+    if cache_candidates:
+        cand = cand.persist()
+        cand.count()
+    return verify_jaccard_pairs(df, id_col, text_col, cand,
+                                k=shingle_k, use_words=False,
+                                threshold=threshold)
 
 
 def ngram_jaccard_pairs(
@@ -234,20 +318,27 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     use_words: bool = True,
     max_gram_docs: int | None = 4096,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """EXACT Jaccard similarity over k-gram sets for all pairs sharing at
-    least one gram (inverted-index self-join — never materializes the full
-    n^2). Returns pairs >= threshold.
+    """EXACT Jaccard similarity over k-gram sets. With ``candidates``
+    (id_a, id_b) given, verifies ONLY those pairs (delegates to
+    verify_jaccard_pairs — the composed scale path; see near_dup_pairs).
+    Standalone, considers all pairs sharing at least one gram
+    (inverted-index self-join — never materializes the full n^2).
+    Returns pairs >= threshold.
 
     ``max_gram_docs`` caps the inverted-index posting list: a gram shared
     by more than that many docs (stopword boilerplate) is dropped from the
     index, bounding the worst bucket at O(cap^2) instead of O(n^2). Pairs
     whose entire overlap is capped grams are missed — the standard
-    df-cutoff tradeoff; pass None for exact behavior.
-
-    Scale path: run minhash_lsh_candidates first and verify only those;
-    this operator IS the verifier when given a pre-filtered df."""
+    df-cutoff tradeoff; pass None for exact behavior."""
     from pyspark.sql import Window
+
+    if candidates is not None:
+        out = verify_jaccard_pairs(df, id_col, text_col, candidates,
+                                   k=k, use_words=use_words,
+                                   threshold=threshold)
+        return out.select("id_a", "id_b", "jaccard")
 
     sh = word_shingles("__t", k) if use_words else char_shingles("__t", k)
     # shape matters here:
