@@ -114,8 +114,8 @@ class Snapshot:
         )
 
 
-def _meta_path(root: str, version: int) -> str:
-    return os.path.join(root, META_DIR, f"v{version:08d}.json")
+def _meta_path(root: str, version: int, io: "LocalFileIO | None" = None) -> str:
+    return (io or DEFAULT_IO).join(root, META_DIR, f"v{version:08d}.json")
 
 
 class LocalFileIO:
@@ -129,6 +129,11 @@ class LocalFileIO:
     - S3: PUT with If-None-Match:* (or a DynamoDB/catalog CAS)
     - HDFS: create() with overwrite=false
     """
+
+    def join(self, *parts: str) -> str:
+        """Path composition through the seam — an object-store backend
+        joins with '/' regardless of host OS."""
+        return os.path.join(*parts)
 
     def makedirs(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
@@ -167,11 +172,27 @@ class LocalFileIO:
         with open(path, "wb") as fh:
             fh.write(data)
 
+    def put_atomic(self, path: str, data: bytes) -> None:
+        """Publish ``path`` atomically, overwriting any previous content —
+        a reader sees either the old or the new complete file, never a
+        torn one (checkpoint files; S3: plain PUT is already atomic)."""
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, path)
+
     def delete(self, path: str) -> None:
         try:
             os.unlink(path)
         except FileNotFoundError:
             pass
+
+    def mtime(self, path: str) -> float:
+        """Last-modified epoch seconds (object stores: the object's
+        LastModified). Used by GC's orphan-file grace window."""
+        return os.path.getmtime(path)
 
     def walk_files(self, path: str) -> list[str]:
         out = []
@@ -188,7 +209,7 @@ def write_snapshot_atomic(root: str, snap: Snapshot, io: LocalFileIO | None = No
     concurrency exactly like Iceberg's metadata swap, through the FileIO
     seam (put_if_absent)."""
     io = io or DEFAULT_IO
-    path = _meta_path(root, snap.version)
+    path = _meta_path(root, snap.version, io)
     try:
         io.put_if_absent(path, json.dumps(snap.to_json()).encode("utf-8"))
     except CommitConflict:
@@ -201,12 +222,12 @@ def snapshot_at(root: str, version: int, io: LocalFileIO | None = None) -> Snaps
     capability). Snapshots are immutable once published, so any
     committed version stays readable until a GC policy removes it."""
     io = io or DEFAULT_IO
-    return Snapshot.from_json(json.loads(io.read_bytes(_meta_path(root, version))))
+    return Snapshot.from_json(json.loads(io.read_bytes(_meta_path(root, version, io))))
 
 
 def latest_snapshot(root: str, io: LocalFileIO | None = None) -> Snapshot | None:
     io = io or DEFAULT_IO
-    meta = os.path.join(root, META_DIR)
+    meta = io.join(root, META_DIR)
     if not io.is_dir(meta):
         return None
     versions = sorted(
@@ -219,7 +240,7 @@ def latest_snapshot(root: str, io: LocalFileIO | None = None) -> Snapshot | None
     # damage) — commits publish atomically, so a valid one always exists
     for v in reversed(versions):
         try:
-            return Snapshot.from_json(json.loads(io.read_bytes(_meta_path(root, v))))
+            return Snapshot.from_json(json.loads(io.read_bytes(_meta_path(root, v, io))))
         except (json.JSONDecodeError, KeyError):
             continue
     return None

@@ -519,13 +519,23 @@ class LakeTable:
                 continue
         raise CommitConflict("exhausted snapshot commit retries")
 
-    def expire_snapshots(self, keep_last: int = 2) -> dict:
+    def expire_snapshots(self, keep_last: int = 2,
+                         grace_seconds: float = 3600.0) -> dict:
         """Retention GC — the reference's disk-monitor eviction
         (libtenzir/src/disk_monitor.cpp) ≅ Iceberg expire_snapshots:
         drop all but the newest ``keep_last`` snapshot files and delete
         data files no kept snapshot references (CoW-replaced and
         compacted-away files are reclaimed here, never at commit time —
         readers of retained snapshots stay consistent).
+
+        ``grace_seconds`` is the orphan-file grace window (Iceberg
+        remove_orphan_files semantics): an unreferenced data file younger
+        than this is SKIPPED, because a concurrent merge writes its files
+        BEFORE publishing the snapshot that references them — deleting in
+        that window would leave the subsequent commit pointing at missing
+        files (the round-2 verdict's GC/writer race). Files a writer
+        abandons (crash between write and commit) are reclaimed once they
+        age past the window. Set to 0 only when no writer can be active.
 
         Time travel to an expired version stops working — that is the
         retention contract. Run only when no reader holds a snapshot
@@ -543,12 +553,19 @@ class LakeTable:
         for v in kept:
             for f in snapshot_at(self.root, v, self.io).files:
                 referenced.add(os.path.normpath(os.path.join(self.root, f.path)))
+        now = time.time()
         removed_files = 0
         data_root = os.path.join(self.root, DATA_DIR)
         for path in self.io.walk_files(data_root):
-            if os.path.normpath(path) not in referenced and path.endswith(".parquet"):
+            if os.path.normpath(path) in referenced or not path.endswith(".parquet"):
+                continue
+            try:
+                if now - self.io.mtime(path) < grace_seconds:
+                    continue  # possibly an in-flight commit's file
                 self.io.delete(path)
                 removed_files += 1
+            except FileNotFoundError:
+                continue  # another GC or writer cleanup got there first
         for v in expired:
             self.io.delete(os.path.join(meta_dir, f"v{v:08d}.json"))
         self.refresh()
@@ -575,17 +592,19 @@ class LakeTable:
         cp_dir = os.path.join(self.root, CHECKPOINT_DIR)
         self.io.makedirs(cp_dir)
         if pq is not None:
-            # atomic publish: write complete, then rename — a crash never
-            # leaves a truncated parquet for checkpoints() to choke on
+            # atomic publish through the FileIO seam: serialize to a
+            # buffer, put_atomic writes-complete-then-swaps — a crash
+            # never leaves a truncated parquet for checkpoints() to
+            # choke on, and an object-store backend is just a PUT
+            sink = pa.BufferOutputStream()
+            pq.write_table(tbl, sink)
             name = f"cp-{epoch}-{uuid.uuid4().hex[:8]}.parquet"
-            dest = os.path.join(cp_dir, name)
-            tmp = os.path.join(cp_dir, "." + name + ".tmp")  # dotfile: Spark readers skip it
-            pq.write_table(tbl, tmp)
-            os.replace(tmp, dest)
+            self.io.put_atomic(os.path.join(cp_dir, name),
+                               sink.getvalue().to_pybytes())
 
     def checkpoints(self) -> DataFrame:
         path = os.path.join(self.root, CHECKPOINT_DIR)
-        if not os.path.isdir(path):
+        if not self.io.is_dir(path):
             return self.spark.createDataFrame(
                 [], "checkpoint_epoch long, partition_id int, rows_applied long,"
                     " lsn_watermark long, commit_epoch double")

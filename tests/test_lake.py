@@ -126,6 +126,10 @@ def test_fileio_seam_custom_backend(spark, tmp_path):
         def __init__(self):
             self.puts = 0
             self.lists = 0
+            self.atomic_puts = 0
+            self.is_dirs = 0
+            self.joins = 0
+            self.mtimes = 0
 
         def put_if_absent(self, path, data):
             self.puts += 1
@@ -135,15 +139,40 @@ def test_fileio_seam_custom_backend(spark, tmp_path):
             self.lists += 1
             return super().list(path)
 
+        def put_atomic(self, path, data):
+            self.atomic_puts += 1
+            return super().put_atomic(path, data)
+
+        def is_dir(self, path):
+            self.is_dirs += 1
+            return super().is_dir(path)
+
+        def join(self, *parts):
+            self.joins += 1
+            return super().join(*parts)
+
+        def mtime(self, path):
+            self.mtimes += 1
+            return super().mtime(path)
+
     io = CountingIO()
     t = LakeTable.create(spark, str(tmp_path / "io_t"), SCHEMA, "url",
                          num_buckets=2, io=io)
     _merge(t, spark, [("a", "insert", 1, 10), ("b", "insert", 2, 20)], 0)
     assert io.puts >= 2  # create + merge snapshots published through the seam
     assert io.lists >= 1  # data-file listing through the seam
+    assert io.atomic_puts >= 1  # checkpoint parquet published through the seam
+    assert io.joins >= 1  # metadata path composition through the seam
+    # checkpoint read path routes through the seam too
+    assert t.checkpoints().count() >= 1
+    assert io.is_dirs >= 1
+    # GC's orphan-mtime probe routes through the seam
+    _merge(t, spark, [("a", "update", 3, 30)], 1)
+    t.expire_snapshots(keep_last=1, grace_seconds=10**9)
+    assert io.mtimes >= 1
     # reload through the same backend and verify state
     t2 = LakeTable.load(spark, str(tmp_path / "io_t"), io=io)
-    assert {r.url: r.v for r in t2.read().collect()} == {"a": 10, "b": 20}
+    assert {r.url: r.v for r in t2.read().collect()} == {"a": 30, "b": 20}
 
 
 def test_concurrent_merge_conflict_recomputes(spark, tmp_path):
@@ -208,10 +237,75 @@ def test_expire_snapshots_reclaims_replaced_files(spark, tmp_path):
     import os as _os
     data_root = _os.path.join(root, "data")
     before = len(t.io.walk_files(data_root))
-    res = t.expire_snapshots(keep_last=1)
+    # grace=0: this test has no concurrent writer, reclaim immediately
+    res = t.expire_snapshots(keep_last=1, grace_seconds=0)
     after = len([p for p in t.io.walk_files(data_root) if p.endswith(".parquet")])
     assert res["snapshots_removed"] >= 2 and res["files_removed"] >= 1
     assert after < before
     assert {r.url: r.v for r in t.read().collect()} == {"a": 2, "b": 20}
     # ledger survives inside the retained snapshot (idempotency intact)
     assert set(t.snapshot.ledger) == {"0", "1", "2"}
+
+
+def test_expire_grace_protects_young_orphans(spark, tmp_path):
+    """The orphan-file grace window (Iceberg remove_orphan_files
+    semantics): an unreferenced data file younger than the window is an
+    in-flight commit's file until proven abandoned — GC must skip it.
+    Once it ages past the window it is reclaimed."""
+    import os as _os
+
+    root = str(tmp_path / "gcg")
+    t = LakeTable.create(spark, root, SCHEMA, "url", num_buckets=2)
+    _merge(t, spark, [("a", "insert", 1, 1)], 0)
+    # simulate a concurrent merge mid-flight: data written, snapshot not
+    # yet published
+    orphan_dir = _os.path.join(root, "data", "commit-inflight", "__b=0")
+    _os.makedirs(orphan_dir)
+    orphan = _os.path.join(orphan_dir, "part-00000.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"PAR1 pretend")
+    res = t.expire_snapshots(keep_last=1)  # default 1h grace
+    assert _os.path.exists(orphan), "young orphan deleted inside grace window"
+    assert res["files_removed"] == 0
+    # abandoned file (writer crashed): ages out, then reclaimed
+    _os.utime(orphan, (1, 1))
+    res = t.expire_snapshots(keep_last=1)
+    assert not _os.path.exists(orphan)
+    assert res["files_removed"] == 1
+
+
+def test_gc_concurrent_with_merge_race(spark, tmp_path):
+    """expire_snapshots racing live merges must never delete a file a
+    committed snapshot references (round-2 verdict wrong-item #1: GC ran
+    between a merge's file write and its snapshot publish and deleted the
+    new files). With the grace window, every snapshot committed during
+    the race points only at files that still exist."""
+    import os as _os
+    import threading
+
+    root = str(tmp_path / "gcr")
+    t = LakeTable.create(spark, root, SCHEMA, "url", num_buckets=2)
+    gc_table = LakeTable.load(spark, root)
+    stop = threading.Event()
+    gc_stats = {"runs": 0}
+
+    def gc_loop():
+        while not stop.is_set():
+            gc_table.expire_snapshots(keep_last=2)  # default grace window
+            gc_stats["runs"] += 1
+
+    g = threading.Thread(target=gc_loop)
+    g.start()
+    try:
+        for e in range(10):
+            _merge(t, spark, [("a", "update", e + 1, e), ("b", "upsert", e + 1, e * 10)], e)
+    finally:
+        stop.set()
+        g.join()
+    assert gc_stats["runs"] >= 1
+    t.refresh()
+    # every file the final snapshot references must exist
+    for f in t.snapshot.files:
+        assert _os.path.exists(_os.path.join(root, f.path)), f.path
+    assert {r.url: r.v for r in t.read().collect()} == {"a": 9, "b": 90}
+    assert set(t.snapshot.ledger) == {str(e) for e in range(10)}
