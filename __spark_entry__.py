@@ -563,6 +563,18 @@ def q_read_suricata(spark, sf):
     ).orderBy("_schema", "src_ip", "dest_port")
 
 
+def q_tql_read_selector(spark, sf):
+    """TQL string form of the selector reader (round-2 missing #3): the
+    --selector field:prefix flag now reaches read_json through the
+    pipeline parser (reference json.cpp:96-105)."""
+    from tenzir_spark.plans.tql import parse_pipeline
+    p = parse_pipeline(
+        "from /root/repo/fixtures/eve.json read json"
+        " --selector event_type:suricata"
+        " | summarize n=count(.) by _schema | sort _schema", spark=spark)
+    return p.df.select("_schema", F.col("n").cast("long").alias("n"))
+
+
 def q_cube(spark, sf):
     li = _t(spark, sf, "lineitem")
     return (li.cube("l_returnflag", "l_linestatus")
@@ -623,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeat": q_repeat,
         "subnet_filter": q_subnet_filter,
         "read_suricata": q_read_suricata,
+        "tql_read_selector": q_tql_read_selector,
     }
 
 
@@ -1075,6 +1088,12 @@ def oracle_sql() -> dict[str, str]:
                    dns.rrname AS rrname
             FROM read_json_auto('/root/repo/fixtures/eve.json')
             ORDER BY _schema, src_ip, dest_port
+        """,
+        "tql_read_selector": """
+            SELECT 'suricata.' || event_type AS _schema,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM read_json_auto('/root/repo/fixtures/eve.json')
+            GROUP BY 1 ORDER BY 1
         """,
         "subnet_filter": """
             WITH raw AS (

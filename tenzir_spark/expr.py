@@ -590,7 +590,15 @@ class Binder:
         q = (Fraction(rhs.value) - b) / a
         flipped = a < 0
         qf = float(q)
-        eps = max(abs(qf) * 1e-9, 1e-9)
+        # epsilon must cover the ROUNDING of the original fp evaluation,
+        # whose error is relative to the INTERMEDIATE terms (b, c), not
+        # to the solved bound q: under cancellation (v + 1e8 >= 1e8 ->
+        # q = 0) a q-relative epsilon would exclude rows the exact
+        # predicate accepts (round-2 advice #3) — scale by
+        # max(|q|, |b/a|, |c/a|)
+        scale = max(abs(qf), abs(float(b / a)),
+                    abs(float(Fraction(rhs.value) / a)), 1.0)
+        eps = scale * 1e-9
         col = self.col(path)
         lower = (op in (">", ">=")) != flipped  # x is bounded below
         return col >= F.lit(qf - eps) if lower else col <= F.lit(qf + eps)

@@ -40,6 +40,11 @@ def taste(df: DataFrame, n: int = 10, schema_col: str = "_schema",
     )
 
 
+def _q(c: str):
+    """Backtick-quoted column ref (names may contain literal dots)."""
+    return F.col("`%s`" % c)
+
+
 def unique(df: DataFrame, order_by: str | Column | None = None,
            compare_cols: list[str] | None = None) -> DataFrame:
     """Remove adjacent duplicate rows (Unix ``uniq``). Reference:
@@ -67,29 +72,29 @@ def unique(df: DataFrame, order_by: str | Column | None = None,
         return df.dropDuplicates(compare_cols)
     out_cols = [c for c in df.columns]
     cols = list(compare_cols) if compare_cols else out_cols
-    ocol = F.col(order_by) if isinstance(order_by, str) else order_by
+    ocol = _q(order_by) if isinstance(order_by, str) else order_by
     part = with_range_pid(df, order_by)
     if part is None:
         # exotic order-key type: global window (small-input fallback)
         w = Window.orderBy(order_by)
-        prev = [F.lag(F.col(c)).over(w).alias(f"__p_{c}") for c in cols]
-        tagged = df.select(*out_cols, *prev)
+        prev = [F.lag(_q(c)).over(w).alias(f"__p_{c}") for c in cols]
+        tagged = df.select(*[_q(c) for c in out_cols], *prev)
         same = None
         for c in cols:
-            eq = F.col(c).eqNullSafe(F.col(f"__p_{c}"))
+            eq = _q(c).eqNullSafe(_q(f"__p_{c}"))
             same = eq if same is None else (same & eq)
-        return tagged.filter(~F.coalesce(same, F.lit(False))).select(*out_cols)
+        return tagged.filter(~F.coalesce(same, F.lit(False))).select(*[_q(c) for c in out_cols])
     # previous non-empty bucket's last row, shifted to be each bucket's
     # cross-boundary predecessor (tiny: one row per bucket)
     lastr = part.groupBy("__pid").agg(
-        F.max_by(F.struct(*[F.col(c) for c in cols]), ocol).alias("__r"))
+        F.max_by(F.struct(*[_q(c).alias(c) for c in cols]), ocol).alias("__r"))
     bdf = (lastr.select(
         "__pid", F.lag("__r").over(Window.orderBy("__pid")).alias("__b"))
         .filter(F.col("__b").isNotNull()))
-    w = Window.partitionBy("__pid").orderBy(order_by)
-    prev = [F.lag(F.col(c)).over(w).alias(f"__p_{c}") for c in cols]
+    w = Window.partitionBy("__pid").orderBy(ocol)
+    prev = [F.lag(_q(c)).over(w).alias(f"__p_{c}") for c in cols]
     tagged = part.select(
-        "__pid", *out_cols, *prev,
+        "__pid", *[_q(c).alias(c) for c in out_cols], *prev,
         F.lag(F.lit(1)).over(w).isNull().alias("__first"))
     tagged = tagged.join(F.broadcast(bdf), "__pid", "left")
     # the first row of a bucket has no lag(): its predecessor is the
@@ -98,10 +103,10 @@ def unique(df: DataFrame, order_by: str | Column | None = None,
     has_pred = (~is_first) | F.col("__b").isNotNull()
     same = None
     for c in cols:
-        pc = F.when(is_first, F.col("__b").getField(c)).otherwise(F.col(f"__p_{c}"))
-        eq = F.col(c).eqNullSafe(pc)
+        pc = F.when(is_first, F.col("__b").getField(c)).otherwise(_q(f"__p_{c}"))
+        eq = _q(c).eqNullSafe(pc)
         same = eq if same is None else (same & eq)
-    return tagged.filter(~(F.coalesce(same, F.lit(False)) & has_pred)).select(*out_cols)
+    return tagged.filter(~(F.coalesce(same, F.lit(False)) & has_pred)).select(*[_q(c) for c in out_cols])
 
 
 def deduplicate(df: DataFrame, key: str | list[str], order_col: str,

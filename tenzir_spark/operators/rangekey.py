@@ -61,7 +61,7 @@ def with_range_pid(df: DataFrame, order_by: str | Column,
     Scale: ~defaultParallelism buckets (capped at 512 to keep the flat
     comparison expression codegen-friendly — raise ``num_buckets`` for
     wider clusters), boundaries from one approxQuantile aggregate."""
-    col = F.col(order_by) if isinstance(order_by, str) else order_by
+    col = F.col("`%s`" % order_by) if isinstance(order_by, str) else order_by
     dtype = df.select(col.alias("__o")).schema[0].dataType
     proxy = order_proxy(col, dtype)
     if proxy is None:

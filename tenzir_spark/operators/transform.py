@@ -170,6 +170,12 @@ def unflatten(df: DataFrame, sep: str = ".") -> DataFrame:
     return df.select(*cols)
 
 
+def _q(c: str):
+    """Backtick-quoted column ref — survives literal dots in names
+    (zeek `id.orig_h`)."""
+    return F.col("`%s`" % c)
+
+
 def enumerate_rows(df: DataFrame, field: str = "#", order_by: str | Column | None = None,
                    per_schema_col: str | None = None) -> DataFrame:
     """Prepend a 0-based row number. The reference counts per schema
@@ -191,26 +197,27 @@ def enumerate_rows(df: DataFrame, field: str = "#", order_by: str | Column | Non
     name = "idx" if field == "#" else field
     if order_by is None:
         out = df.withColumn(name, F.monotonically_increasing_id())
-        return out.select(name, *[c for c in df.columns])
+        return out.select(name, *[_q(c) for c in df.columns])
     if per_schema_col:
         w = Window.partitionBy(per_schema_col).orderBy(order_by)
         out = df.withColumn(name, F.row_number().over(w) - 1)
-        return out.select(name, *[c for c in df.columns])
+        return out.select(name, *[_q(c) for c in df.columns])
+    ocol = _q(order_by) if isinstance(order_by, str) else order_by
     part = with_range_pid(df, order_by)
     if part is None:
         # order key with no monotone numeric proxy (array/struct/map):
         # global window — documented small-input fallback
-        w = Window.orderBy(order_by)
+        w = Window.orderBy(ocol)
         out = df.withColumn(name, F.row_number().over(w) - 1)
-        return out.select(name, *[c for c in df.columns])
+        return out.select(name, *[_q(c) for c in df.columns])
     counts = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
     wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = counts.select(
         "__pid", F.coalesce(F.sum("__n").over(wo), F.lit(0)).alias("__off"))
-    w = Window.partitionBy("__pid").orderBy(order_by)
+    w = Window.partitionBy("__pid").orderBy(ocol)
     out = (part.join(F.broadcast(offs), "__pid")
            .withColumn(name, F.row_number().over(w) - 1 + F.col("__off")))
-    return out.select(name, *[c for c in df.columns])
+    return out.select(name, *[_q(c) for c in df.columns])
 
 
 def hash_column(df: DataFrame, field: str, salt: str | None = None, out: str | None = None) -> DataFrame:

@@ -127,6 +127,50 @@ _EXT_FORMAT = {
 }
 
 
+def _reader_kwargs(f: str, toks: list[str]) -> dict:
+    """Map TQL reader flags to reader kwargs (reference: json.cpp:96-105
+    --selector/--schema; xsv.cpp header/null options; lines.cpp -s)."""
+    from pyspark.sql import types as T
+
+    kw: dict = {}
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t == "--selector" and f in ("json",):
+            val = toks[i + 1]
+            i += 2
+            fld, _, prefix = val.partition(":")
+            kw["selector"] = fld
+            if prefix:
+                kw["selector_prefix"] = prefix
+        elif t == "--schema" and f in ("json", "csv", "tsv", "ssv"):
+            # DDL string schema ('a int, b string') — explicit schemas
+            # skip inference exactly like the reference's --schema
+            kw["schema"] = T._parse_datatype_string(toks[i + 1])
+            i += 2
+        elif t == "--arrays-of-objects" and f == "json":
+            kw["arrays_of_objects"] = True
+            i += 1
+        elif t == "--no-header" and f in ("csv", "tsv", "ssv"):
+            kw["header"] = False
+            i += 1
+        elif t == "--null-value" and f in ("csv", "tsv", "ssv"):
+            kw["null_value"] = toks[i + 1]
+            i += 2
+        elif t in ("-s", "--skip-empty") and f == "lines":
+            kw["skip_empty"] = True
+            i += 1
+        else:
+            raise ValueError(f"unknown reader option {t!r} for format {f!r}")
+    return kw
+
+
+def _read_fmt(spark: SparkSession, f: str, path: str, opts: list[str] | None = None):
+    if f not in _READERS:
+        raise ValueError(f"unknown read format {f!r}")
+    return _READERS[f](spark, path, **_reader_kwargs(f, opts or []))
+
+
 def _infer_format(path: str) -> str:
     base = path.lower()
     for z in (".gz", ".zst", ".bz2"):  # spark text-based readers handle codecs
@@ -150,13 +194,61 @@ class _Sink:
     epoch: int | None = None
 
 
+def _split_before_kv(chunk: str) -> list[str]:
+    """Split a chunk before each ``name=`` token, but ONLY at whitespace
+    that sits at paren/bracket depth 0 outside quotes — the same scanner
+    discipline as _split_top, so ``put msg="a b = c"`` keeps the quoted
+    operand intact and function args containing 'x = y' don't mis-split
+    (round-2 advice #1; a bare regex saw through quotes)."""
+    kv_head = re.compile(r"[A-Za-z_][\w.]*\s*=")
+    out: list[str] = []
+    depth = 0
+    quote: str | None = None
+    cur: list[str] = []
+    i, n = 0, len(chunk)
+    while i < n:
+        ch = chunk[i]
+        if quote:
+            cur.append(ch)
+            if ch == quote and chunk[i - 1] != "\\":
+                quote = None
+        elif ch in "\"'":
+            quote = ch
+            cur.append(ch)
+        elif ch in "([":
+            depth += 1
+            cur.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            cur.append(ch)
+        elif ch.isspace() and depth == 0:
+            # split point only if what follows (after the spaces) is a
+            # fresh name= token
+            j = i
+            while j < n and chunk[j].isspace():
+                j += 1
+            if cur and kv_head.match(chunk, j):
+                out.append("".join(cur).strip())
+                cur = []
+                i = j
+                continue
+            cur.append(ch)
+        else:
+            cur.append(ch)
+        i += 1
+    if "".join(cur).strip():
+        out.append("".join(cur).strip())
+    return out
+
+
 def _kv_pairs(arg: str) -> dict[str, str]:
     """Parse ``name=operand`` lists. Comma-separated when a top-level
     comma exists; otherwise split only BEFORE the next ``name=`` token so
-    operands may contain spaces (``put y=a + 1 z=b * 2``)."""
+    operands may contain spaces (``put y=a + 1 z=b * 2``). Both splits
+    are depth/quote-aware."""
     parts: list[str] = []
     for chunk in _split_top(arg, ","):
-        parts.extend(p for p in re.split(r"\s+(?=[A-Za-z_][\w.]*\s*=)", chunk.strip()) if p)
+        parts.extend(_split_before_kv(chunk.strip()))
     out: dict[str, str] = {}
     for p in parts:
         if "=" not in p:
@@ -213,8 +305,10 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
             toks = [t for t in toks if t != "--follow"]
             path = toks[0]
             f = None
+            ropts: list[str] = []
             if len(toks) >= 3 and toks[1] == "read":
                 f = toks[2]
+                ropts = toks[3:]
             if path == "-":
                 # stdin connector (reference: connectors/dash.cpp) —
                 # driver-side spool, then the normal distributed reader
@@ -240,13 +334,14 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
                     raise ValueError(f"--follow supports json/csv/parquet/lines, not {f!r}")
                 p = Pipeline(stream_readers[f]())
             else:
-                p = Pipeline(_READERS[f](spark, path))
+                p = Pipeline(_read_fmt(spark, f, path, ropts))
             continue
         if op == "read":
-            f = shlex.split(arg)[0]
+            rtoks = shlex.split(arg)
+            f = rtoks[0]
             if read_fmt_pending is None:
                 raise ValueError("'read' without a preceding 'load'")
-            p = Pipeline(_READERS[f](spark, read_fmt_pending))
+            p = Pipeline(_read_fmt(spark, f, read_fmt_pending, rtoks[1:]))
             read_fmt_pending = None
             continue
         if op == "show":
@@ -311,12 +406,22 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
         elif op == "unique":
             p = p.unique()
         elif op == "head":
-            p = p.head(int(shlex.split(arg)[0]) if arg else 10)
+            toks = shlex.split(arg)
+            n = int(toks[0]) if toks and toks[0].isdigit() else 10
+            p = p.head(n, order_by=_flag(toks, "--order-by"))
         elif op == "tail":
             toks = shlex.split(arg)
             n = int(toks[0]) if toks and toks[0].isdigit() else 10
             order = _flag(toks, "--order-by")
-            p = p.tail(n, order_by=order) if order else p.tail(n, order_by=df.columns[0])
+            if order is None:
+                # the reference's tail is stream-order (tail.cpp:24); a
+                # distributed engine has no stream order, and silently
+                # substituting the first column was arbitrary — require
+                # the flag (the Python API already does)
+                raise ValueError(
+                    "tail requires --order-by <field> in a distributed "
+                    "pipeline (stream order does not exist here)")
+            p = p.tail(n, order_by=order)
         elif op == "taste":
             toks = shlex.split(arg)
             n = int(toks[0]) if toks and toks[0].isdigit() else 10
@@ -385,6 +490,11 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
 
     if p is None:
         raise ValueError("pipeline has no source")
+    if sink is not None and sink.path is None and sink.kind not in ("stdout", "discard"):
+        # bare `write <fmt>` with no following `save <path>` would
+        # otherwise crash at run time (round-2 advice #5)
+        raise ValueError(
+            f"'write {sink.kind}' must be followed by 'save <path>'")
     p._pending_sink = sink
     return p
 

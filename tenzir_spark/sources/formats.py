@@ -211,7 +211,12 @@ def write_zeek_tsv(df: DataFrame, path: str, log_path: str = "tenzir") -> None:
             s = col.cast("double").cast("decimal(20,6)").cast("string")
         elif isinstance(f.dataType, T.BooleanType):
             ztypes.append("bool")
-            s = F.when(col, F.lit("T")).otherwise(F.lit("F"))
+            # guard nulls FIRST: when(col,'T').otherwise('F') routes null
+            # into the 'F' branch, so a null bool would round-trip as
+            # False instead of unset (round-2 advice #2) — keep it null
+            # here and let the final coalesce emit the unset token
+            s = (F.when(col.isNull(), F.lit(None).cast("string"))
+                 .when(col, F.lit("T")).otherwise(F.lit("F")))
         elif isinstance(f.dataType, (T.DoubleType, T.FloatType)):
             ztypes.append("interval" if f.name == "duration" else "double")
             s = col.cast("decimal(24,6)").cast("string")
@@ -302,6 +307,55 @@ def read_yaml(spark: SparkSession, path: str) -> DataFrame:
 
     jdf = whole.mapInPandas(parse, "json string")
     return jdf  # caller applies from_json with a schema, or keeps raw
+
+
+def write_yaml(df: DataFrame, path: str) -> None:
+    """YAML printer (reference: formats/yaml.cpp print side): one
+    ``---``-separated document per row, matching the reference's
+    document-stream output; ``read_yaml(write_yaml(df))`` round-trips.
+
+    Rows are rendered distributed (an Arrow-batched mapInPandas emitting
+    one YAML doc per row); the single-file assembly streams part files
+    through the driver — inherent to a one-stream text format, same as
+    the zeek-tsv printer."""
+    try:
+        import yaml  # noqa: F401
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError("yaml format needs PyYAML (not installed)") from exc
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pandas as pd
+
+    def render(batches):
+        import yaml as _y
+        for pdf in batches:
+            docs = [
+                # explicit '---' document start per row: the concatenated
+                # parts form one valid YAML document stream regardless of
+                # part order or multi-line scalars
+                "---\n" + _y.safe_dump(
+                    {k: (v.item() if hasattr(v, "item") else v)
+                     for k, v in row.items()
+                     if v is not None and not (isinstance(v, float) and pd.isna(v))},
+                    default_flow_style=False, sort_keys=False,
+                ).rstrip("\n")
+                for row in pdf.to_dict(orient="records")
+            ]
+            yield pd.DataFrame({"doc": docs})
+
+    tmp = _tempfile.mkdtemp(prefix="yaml_out_")
+    try:
+        df.mapInPandas(render, "doc string").write.mode("overwrite").text(tmp)
+        with open(path, "w") as out:
+            for part in sorted(_os.listdir(tmp)):
+                if not part.startswith("part-"):
+                    continue
+                with open(_os.path.join(tmp, part)) as src:
+                    _shutil.copyfileobj(src, out)
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
 
 
 # ------------------------------------------------------------------ parquet / feather

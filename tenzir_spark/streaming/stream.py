@@ -106,13 +106,17 @@ def stream_sessionize(
     def fn(key, pdf_iter, state):
         last_epoch, n_sessions, n_events = (
             state.get if state.exists else (None, 0, 0))
-        for pdf in pdf_iter:
-            if pdf.empty:
-                continue
-            ts = pd.to_datetime(pdf[time_col]).sort_values()
+        # applyInPandasWithState yields a group's Arrow chunks in ARRIVAL
+        # order, not time order — sorting each chunk independently and
+        # threading state across them would mis-count sessions for groups
+        # spanning multiple chunks in one micro-batch (round-2 advice
+        # #4). Concatenate the micro-batch's chunks, sort ONCE, then
+        # compute gaps against the carried state. Per-group per-batch
+        # data is bounded by the micro-batch, so the concat is safe.
+        chunks = [pdf[[time_col]] for pdf in pdf_iter if not pdf.empty]
+        if chunks:
+            ts = pd.to_datetime(pd.concat(chunks)[time_col]).sort_values()
             epochs = ts.astype("int64").to_numpy() / 1e9
-            # vectorized gap detection within the batch; the boundary to
-            # the previous batch uses the carried state
             gaps = (epochs[1:] - epochs[:-1]) > gap_seconds
             first_new = 1 if (last_epoch is None
                               or epochs[0] - last_epoch > gap_seconds) else 0

@@ -81,3 +81,37 @@ def test_lines(spark, fixtures):
     df = formats.read_lines(spark, f"{fixtures}/lines.txt", skip_empty=True)
     assert [r.line for r in df.collect()] == ["alpha", "beta"]
     assert formats.read_lines(spark, f"{fixtures}/lines.txt").count() == 3
+
+
+def test_zeek_tsv_null_bool_roundtrips_as_unset(spark, tmp_path):
+    """NULL booleans must print as the unset token '-', not 'F'
+    (round-2 advice #2), and round-trip back to null."""
+    from tenzir_spark.sources.formats import read_zeek_tsv, write_zeek_tsv
+
+    df = spark.createDataFrame(
+        [("a", True), ("b", None), ("c", False)], "name string, ok boolean")
+    path = str(tmp_path / "b.log")
+    write_zeek_tsv(df, path)
+    body = [l for l in open(path) if not l.startswith("#")]
+    assert any(l.strip().endswith("-") for l in body), body
+    back = {r["name"]: r["ok"] for r in read_zeek_tsv(spark, path).collect()}
+    assert back == {"a": True, "b": None, "c": False}
+
+
+def test_yaml_roundtrip(spark, tmp_path):
+    """write_yaml emits a '---'-separated document stream that read_yaml
+    parses back (reference formats/yaml.cpp print+parse)."""
+    import json
+
+    from pyspark.sql import functions as F
+    from tenzir_spark.sources.formats import read_yaml, write_yaml
+
+    df = spark.createDataFrame(
+        [(1, "x", 1.5), (2, "multi\nline", None)], "id long, s string, v double")
+    path = str(tmp_path / "out.yaml")
+    write_yaml(df, path)
+    back = read_yaml(spark, path)
+    docs = [json.loads(r["json"]) for r in back.collect()]
+    docs.sort(key=lambda d: d["id"])
+    assert docs[0] == {"id": 1, "s": "x", "v": 1.5}
+    assert docs[1] == {"id": 2, "s": "multi\nline"}  # nulls omitted

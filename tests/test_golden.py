@@ -16,6 +16,7 @@ from tenzir_spark import exec_pipeline
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 CONN = "/root/repo/fixtures/conn.log"
 CEF = "/root/repo/fixtures/events.cef"
+EVE = "/root/repo/fixtures/eve.json"
 
 CASES = [
     # tests.yaml:851-857 shape: sort | select | head over zeek-tsv
@@ -28,6 +29,35 @@ CASES = [
      f"from {CONN} read zeek-tsv | top proto"),
     ("cef_vendors.txt",
      f"from {CEF} read cef | select device_vendor name | sort name"),
+    # tests.yaml:88 shape: predicate filter + projection
+    ("where_proto_tcp.txt",
+     f"from {CONN} read zeek-tsv | where proto == \"tcp\" && duration > 0.2"
+     " | select uid duration | sort uid"),
+    # tests.yaml pipeline-operators shape: enumerate with explicit order
+    ("enumerate_uid.txt",
+     f"from {CONN} read zeek-tsv | enumerate --order-by uid | select idx uid"
+     " | sort idx | head 4"),
+    # tail requires --order-by (stream order does not exist distributed)
+    ("tail_ordered.txt",
+     f"from {CONN} read zeek-tsv | tail 2 --order-by uid | select uid proto"),
+    # rare = least-frequent values (top_rare.cpp:88)
+    ("rare_proto.txt",
+     f"from {CONN} read zeek-tsv | rare proto"),
+    # sort | unique canonical idiom (unique.cpp:18)
+    ("unique_proto.txt",
+     f"from {CONN} read zeek-tsv | select proto | sort proto | unique"
+     " | sort proto"),
+    # json --selector reaches the reader through the TQL string form
+    # (json.cpp:96-105); filter on the synthesized _schema column
+    ("eve_selector_dns.txt",
+     f"from {EVE} read json --selector event_type:suricata"
+     " | where _schema == \"suricata.dns\" | select src_ip dest_port"
+     " | sort src_ip"),
+    # put with a quoted operand containing spaces and '=' (depth-aware
+    # kv split; round-2 advice #1)
+    ("put_quoted.txt",
+     f"from {CONN} read zeek-tsv | head 1 --order-by uid"
+     " | put msg=\"a b = c\" n=1 + 2 | select msg n"),
 ]
 
 

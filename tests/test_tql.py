@@ -205,3 +205,51 @@ def test_follow_file_streaming_pipeline(spark, tmp_path):
             with open(os.path.join(dest, name)) as fh:
                 rows += [_json.loads(l) for l in fh if l.strip()]
     assert sorted(r["v"] for r in rows) == [5, 9]
+
+
+def test_kv_pairs_quoted_operand_with_equals():
+    """put msg="a b = c" must keep the quoted operand intact — the old
+    regex split saw through quotes (round-2 advice #1)."""
+    from tenzir_spark.plans.tql import _kv_pairs
+
+    kv = _kv_pairs('msg="a b = c" n=1 + 2')
+    assert kv == {"msg": '"a b = c"', "n": "1 + 2"}
+    # function args containing ' x = ' don't mis-split either
+    kv2 = _kv_pairs('y=coalesce(a, "x = y") z=b * 2')
+    assert kv2 == {"y": 'coalesce(a, "x = y")', "z": "b * 2"}
+
+
+def test_tail_requires_order_by(spark, conn_log):
+    with pytest.raises(ValueError, match="order-by"):
+        parse_pipeline(f"from {conn_log} read zeek-tsv | tail 2", spark=spark)
+
+
+def test_write_without_save_rejected(spark, conn_log):
+    with pytest.raises(ValueError, match="save"):
+        parse_pipeline(f"from {conn_log} read zeek-tsv | write parquet",
+                       spark=spark)
+
+
+def test_reader_options_selector_and_schema(spark, tmp_path):
+    """--selector and --schema reach the json reader through the TQL
+    string form (reference json.cpp:96-105)."""
+    f = tmp_path / "e.json"
+    f.write_text('{"event_type":"flow","v":1}\n{"event_type":"dns","v":2}\n')
+    p = parse_pipeline(
+        f"from {f} read json --selector event_type:suricata | sort _schema",
+        spark=spark)
+    assert [r["_schema"] for r in p.df.collect()] == \
+        ["suricata.dns", "suricata.flow"]
+    p2 = parse_pipeline(
+        f'from {f} read json --schema "event_type string, v long"',
+        spark=spark)
+    assert dict(p2.df.dtypes)["v"] == "bigint"
+    with pytest.raises(ValueError, match="unknown reader option"):
+        parse_pipeline(f"from {f} read json --bogus x", spark=spark)
+
+
+def test_reader_options_csv_no_header(spark, tmp_path):
+    f = tmp_path / "h.csv"
+    f.write_text("1,a\n2,b\n")
+    p = parse_pipeline(f"from {f} read csv --no-header", spark=spark)
+    assert p.df.count() == 2 and len(p.df.columns) == 2
