@@ -575,6 +575,52 @@ def q_tql_read_selector(spark, sf):
     return p.df.select("_schema", F.col("n").cast("long").alias("n"))
 
 
+def q_decapsulate(spark, sf):
+    """pcap read + decapsulate, hash-verified against the reference
+    ENGINE's own golden output (tenzir/integration/reference/pcap-format/
+    step_00.ref, committed as fixtures/decap_expected.json) — Ethernet/
+    IP/TCP header fields and the Community ID flow hash must match the
+    C++ implementation byte-for-byte (decapsulate.cpp:303-390,
+    community_id.hpp:102-163)."""
+    from tenzir_spark.operators.packet import decapsulate
+    from tenzir_spark.sources.pcap import read_pcap
+    df = decapsulate(read_pcap(spark, "/root/repo/fixtures/example.pcap.gz"))
+    return df.select(
+        F.col("ether.src").alias("ether_src"),
+        F.col("ether.dst").alias("ether_dst"),
+        F.col("ether.type").alias("ether_type"),
+        F.col("ip.src").alias("ip_src"),
+        F.col("ip.dst").alias("ip_dst"),
+        F.col("ip.type").alias("ip_type"),
+        F.col("tcp.src_port").alias("src_port"),
+        F.col("tcp.dst_port").alias("dst_port"),
+        F.col("community_id"),
+        F.col("pcap.timestamp").alias("ts"),
+        F.col("pcap.captured_packet_length").alias("cap_len"),
+    ).orderBy("ts", "src_port", "community_id", "cap_len")
+
+
+def q_netflow(spark, sf):
+    """NetFlow v5/v9/IPFIX auto-detected decode of a committed binary
+    capture, verified against expectations written directly from the
+    fixture generator's declared flow tuples (tools/
+    make_netflow_fixture.py — never produced by this parser). Reference
+    surface: web/docs/formats/netflow.md."""
+    from tenzir_spark.sources.netflow import read_netflow
+    df = read_netflow(spark, "/root/repo/fixtures/netflow.bin")
+    # NULL bigints sentinel'd to -1: the comparator fetches DuckDB via
+    # pandas, where a NULL BIGINT becomes NaN (same note as read_zeek_tsv)
+    nullable = ["input", "output", "packets", "bytes", "first", "last",
+                "tcp_flags", "proto", "tos", "src_as", "dst_as",
+                "src_mask", "dst_mask"]
+    for c in nullable:
+        df = df.withColumn(c, F.coalesce(F.col(c), F.lit(-1)))
+    return (df.withColumn("exported_us",
+                          F.unix_micros(F.col("exported_at")))
+            .drop("exported_at")
+            .orderBy("version", "src_addr", "src_port"))
+
+
 def q_cube(spark, sf):
     li = _t(spark, sf, "lineitem")
     return (li.cube("l_returnflag", "l_linestatus")
@@ -636,6 +682,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subnet_filter": q_subnet_filter,
         "read_suricata": q_read_suricata,
         "tql_read_selector": q_tql_read_selector,
+        "decapsulate": q_decapsulate,
+        "netflow": q_netflow,
     }
 
 
@@ -1094,6 +1142,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM read_json_auto('/root/repo/fixtures/eve.json')
             GROUP BY 1 ORDER BY 1
+        """,
+        # the decapsulate expectation is the reference engine's OWN output
+        # (integration golden step_00.ref) — a cross-implementation
+        # equality check, not a recompute
+        "decapsulate": """
+            SELECT ether.src AS ether_src, ether.dst AS ether_dst,
+                   CAST(ether.type AS BIGINT) AS ether_type,
+                   ip.src AS ip_src, ip.dst AS ip_dst,
+                   CAST(ip.type AS BIGINT) AS ip_type,
+                   CAST(tcp.src_port AS BIGINT) AS src_port,
+                   CAST(tcp.dst_port AS BIGINT) AS dst_port,
+                   community_id,
+                   CAST(pcap.timestamp AS TIMESTAMP) AS ts,
+                   CAST(pcap.captured_packet_length AS BIGINT) AS cap_len
+            FROM read_json_auto('/root/repo/fixtures/decap_expected.json')
+            ORDER BY ts, src_port, community_id, cap_len
+        """,
+        "netflow": """
+            SELECT CAST(version AS BIGINT) AS version,
+                   src_addr, dst_addr, next_hop,
+                   CAST(COALESCE(input, -1) AS BIGINT) AS input,
+                   CAST(COALESCE(output, -1) AS BIGINT) AS output,
+                   CAST(COALESCE(packets, -1) AS BIGINT) AS packets,
+                   CAST(COALESCE(bytes, -1) AS BIGINT) AS bytes,
+                   CAST(COALESCE(first, -1) AS BIGINT) AS first,
+                   CAST(COALESCE(last, -1) AS BIGINT) AS last,
+                   CAST(src_port AS BIGINT) AS src_port,
+                   CAST(dst_port AS BIGINT) AS dst_port,
+                   CAST(COALESCE(tcp_flags, -1) AS BIGINT) AS tcp_flags,
+                   CAST(COALESCE(proto, -1) AS BIGINT) AS proto,
+                   CAST(COALESCE(tos, -1) AS BIGINT) AS tos,
+                   CAST(COALESCE(src_as, -1) AS BIGINT) AS src_as,
+                   CAST(COALESCE(dst_as, -1) AS BIGINT) AS dst_as,
+                   CAST(COALESCE(src_mask, -1) AS BIGINT) AS src_mask,
+                   CAST(COALESCE(dst_mask, -1) AS BIGINT) AS dst_mask,
+                   CAST(exported_at AS BIGINT) AS exported_us
+            FROM read_json_auto('/root/repo/fixtures/netflow_expected.json')
+            ORDER BY version, src_addr, src_port
         """,
         "subnet_filter": """
             WITH raw AS (

@@ -25,6 +25,7 @@ from tenzir_spark.operators.limit import head, tail, taste, unique, deduplicate
 from tenzir_spark.operators.aggregate import summarize, sort, top, rare
 from tenzir_spark.operators.measure import measure
 from tenzir_spark.operators.cast import unify_streams, cast_to, unify_struct
+from tenzir_spark.operators.packet import decapsulate
 
 __all__ = [
     "where", "select", "drop", "put", "extend", "replace", "rename",
@@ -32,5 +33,5 @@ __all__ = [
     "batch", "repeat",
     "head", "tail", "taste", "unique", "deduplicate",
     "summarize", "sort", "top", "rare", "measure",
-    "unify_streams", "cast_to", "unify_struct",
+    "unify_streams", "cast_to", "unify_struct", "decapsulate",
 ]

@@ -30,12 +30,21 @@ def where(df: DataFrame, expr: str | Column, type_hints: dict[str, str] | None =
 def _match_paths(df: DataFrame, extractors: Iterable[str]) -> list[str]:
     """Resolve field extractors (suffix semantics) AND type extractors
     (':string', ':time', ...) — the same operand forms `where` accepts
-    (reference: select.cpp:58-67 resolves generic extractors)."""
+    (reference: select.cpp:58-67 resolves generic extractors). An
+    extractor naming a RECORD field (e.g. ``ip`` over a packet schema)
+    selects its whole subtree, as in the reference — a leaf matches if
+    the extractor suffix-matches the leaf itself or any dotted ancestor."""
     from tenzir_spark.expr import Binder
 
     leaves = leaf_paths(df.schema)
     binder = None
     out: list[str] = []
+
+    def ancestors(path: str):
+        parts = path.split(".")
+        for k in range(1, len(parts) + 1):
+            yield ".".join(parts[:k])
+
     for ex in extractors:
         if ex.startswith(":"):
             binder = binder or Binder(df.schema)
@@ -44,7 +53,8 @@ def _match_paths(df: DataFrame, extractors: Iterable[str]) -> list[str]:
                     out.append(p)
             continue
         for p, _ in leaves:
-            if _suffix_matches(p, ex) and p not in out:
+            if p not in out and any(_suffix_matches(a, ex)
+                                    for a in ancestors(p)):
                 out.append(p)
     return out
 

@@ -19,17 +19,19 @@ OPERATORS = [
     "where", "select", "drop", "put", "extend", "replace", "rename",
     "summarize", "sort", "unique", "deduplicate", "head", "tail", "taste",
     "top", "rare", "flatten", "unflatten", "enumerate", "batch", "repeat",
-    "measure", "hash", "pass", "discard", "sigma",
+    "measure", "hash", "pass", "discard", "sigma", "decapsulate",
     "import (lake.merge/append)", "export (lake.read)", "compact",
+    "serve", "local/remote (accepted; placement is Spark's)",
 ]
 
 FORMATS = ["json", "suricata", "zeek-json", "csv", "tsv", "ssv", "zeek-tsv",
-           "cef", "lines", "yaml", "parquet", "feather"]
+           "cef", "lines", "yaml", "parquet", "feather", "pcap", "netflow"]
 
 CONNECTORS = ["file", "directory", "s3a://", "gs://",
               "kafka (structured streaming; offset-spec translation)",
               "http/https/ftp (driver spool, sources.net)",
-              "stdin/stdout (driver)"]
+              "stdin/stdout (driver)",
+              "shell (child-process byte source, sources.shell)"]
 
 AGGREGATION_FUNCTIONS_DOC = [
     "sum", "min", "max", "count", "count_distinct", "distinct", "any",

@@ -119,11 +119,26 @@ _READERS: dict[str, Callable] = {
     "feather": fmt.read_feather,
 }
 
+
+def _read_pcap(spark, path, **kw):
+    from tenzir_spark.sources.pcap import read_pcap
+    return read_pcap(spark, path, **kw)
+
+
+def _read_netflow(spark, path, **kw):
+    from tenzir_spark.sources.netflow import read_netflow
+    return read_netflow(spark, path, **kw)
+
+
+_READERS["pcap"] = _read_pcap
+_READERS["netflow"] = _read_netflow
+
 _EXT_FORMAT = {
     ".json": "json", ".ndjson": "json", ".jsonl": "json",
     ".csv": "csv", ".tsv": "tsv", ".ssv": "ssv",
     ".parquet": "parquet", ".feather": "feather",
     ".yaml": "yaml", ".yml": "yaml", ".txt": "lines",
+    ".pcap": "pcap",
 }
 
 
@@ -159,6 +174,9 @@ def _reader_kwargs(f: str, toks: list[str]) -> dict:
             i += 2
         elif t in ("-s", "--skip-empty") and f == "lines":
             kw["skip_empty"] = True
+            i += 1
+        elif t in ("-e", "--emit-file-headers") and f == "pcap":
+            kw["emit_file_headers"] = True
             i += 1
         else:
             raise ValueError(f"unknown reader option {t!r} for format {f!r}")
@@ -296,6 +314,15 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
             raise ValueError(f"cannot parse operator segment {seg!r}")
         op, arg = m.group(1), m.group(2).strip()
 
+        # local/remote placement modifiers (local_remote.cpp:24): accepted
+        # and stripped — in Spark, driver-vs-executor placement is the
+        # scheduler's decision, so the modifier is semantically a no-op
+        if op in ("local", "remote") and arg:
+            m = re.match(r"^([A-Za-z_][\w-]*)\s*(.*)$", arg, re.S)
+            if not m:
+                raise ValueError(f"cannot parse operator after {op!r}")
+            op, arg = m.group(1), m.group(2).strip()
+
         # -- sources -------------------------------------------------------
         if op in ("from", "load"):
             if spark is None:
@@ -343,6 +370,17 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
                 raise ValueError("'read' without a preceding 'load'")
             p = Pipeline(_read_fmt(spark, f, read_fmt_pending, rtoks[1:]))
             read_fmt_pending = None
+            continue
+        if op == "shell":
+            # byte-level child process (shell.cpp:151): as the first
+            # segment its stdout is the pipeline's byte stream; after a
+            # 'load' the spooled bytes become its stdin (transformation
+            # position). Either way a 'read <fmt>' must follow.
+            from tenzir_spark.sources.shell import run_shell
+            cmd = arg.strip()
+            if cmd and cmd[0] in "\"'" and cmd[-1] == cmd[0]:
+                cmd = cmd[1:-1]
+            read_fmt_pending = run_shell(cmd, stdin_path=read_fmt_pending)
             continue
         if op == "show":
             if spark is None:
@@ -460,6 +498,11 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
         elif op == "sigma":
             from tenzir_spark.functions.sigma import load_rules
             p = p.sigma(load_rules(shlex.split(arg)[0]))
+        elif op == "decapsulate":
+            from tenzir_spark.operators.packet import decapsulate
+            toks = shlex.split(arg)
+            vx = _flag(toks, "-v") or _flag(toks, "--vxlan")
+            p = Pipeline(decapsulate(df, int(vx) if vx else None))
         # -- sinks -----------------------------------------------------------
         elif op in ("to", "save"):
             toks = shlex.split(arg)

@@ -1,0 +1,274 @@
+"""NetFlow v5 / v9 / IPFIX reader.
+
+Reference: the Tenzir ``netflow`` format (documented in
+``web/docs/formats/netflow.md`` — "Reads NetFlow v5, v9, and IPFIX...
+The parser auto-detects the NetFlow version at runtime"; the plugin
+itself is closed-source, so this is a from-spec implementation of the
+public wire formats: RFC 3954 (v9), RFC 7011 (IPFIX), and the classic
+fixed 48-byte v5 record).
+
+Spark design: ``binaryFile`` listing + ``mapInPandas``; each capture
+file parses independently (the export stream is a sequence of
+self-framing packets, not splittable mid-file — files are the unit of
+parallelism, as with pcap). v5 and fixed-length v9/IPFIX data sets
+decode via numpy structured dtypes / strided views — no per-record
+Python. Records from all versions normalize to ONE flow schema so
+downstream operators are version-agnostic.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: normalized flow schema (nfdump-style names) shared by v5/v9/IPFIX
+FLOW_SCHEMA = (
+    "version long, exported_at timestamp, src_addr string, dst_addr string, "
+    "next_hop string, input long, output long, packets long, bytes long, "
+    "first long, last long, src_port long, dst_port long, tcp_flags long, "
+    "proto long, tos long, src_as long, dst_as long, src_mask long, "
+    "dst_mask long"
+)
+
+_COLS = [c.split()[0] for c in FLOW_SCHEMA.split(", ")]
+
+# v9/IPFIX information elements we map into the normalized schema
+# (RFC 3954 §8 / IANA ipfix registry; ids coincide for these)
+_IE = {
+    1: "bytes", 2: "packets", 4: "proto", 5: "tos", 6: "tcp_flags",
+    7: "src_port", 8: "src_addr4", 9: "src_mask", 10: "input",
+    11: "dst_port", 12: "dst_addr4", 13: "dst_mask", 14: "output",
+    15: "next_hop4", 16: "src_as", 17: "dst_as", 21: "last", 22: "first",
+    27: "src_addr6", 28: "dst_addr6",
+}
+
+
+def _v4_strings(arr):
+    import numpy as np
+
+    decs = np.array([str(i) for i in range(256)])
+    b = [decs[(arr >> s) & 0xFF] for s in (24, 16, 8, 0)]
+    s = b[0]
+    for p in b[1:]:
+        s = np.char.add(np.char.add(s, "."), p)
+    return s.astype(object)
+
+
+def _empty_cols(n):
+    import numpy as np
+
+    out = {}
+    for c in _COLS:
+        if c in ("src_addr", "dst_addr", "next_hop"):
+            out[c] = np.full(n, None, dtype=object)
+        elif c == "exported_at":
+            out[c] = np.zeros(n, dtype="datetime64[us]")
+        else:
+            out[c] = np.full(n, np.nan)
+    return out
+
+
+def _parse_v5(blob: bytes, off: int):
+    """One v5 export packet: 24-byte header + count * 48-byte records,
+    fully vectorized via a big-endian structured dtype."""
+    import numpy as np
+
+    (_, count, _, unix_secs, unix_nsecs, _, _, _,
+     _) = struct.unpack_from(">HHIIIIBBH", blob, off)
+    rec = np.dtype([
+        ("src", ">u4"), ("dst", ">u4"), ("nh", ">u4"),
+        ("input", ">u2"), ("output", ">u2"),
+        ("packets", ">u4"), ("bytes", ">u4"),
+        ("first", ">u4"), ("last", ">u4"),
+        ("sport", ">u2"), ("dport", ">u2"), ("pad1", "u1"),
+        ("flags", "u1"), ("proto", "u1"), ("tos", "u1"),
+        ("src_as", ">u2"), ("dst_as", ">u2"),
+        ("smask", "u1"), ("dmask", "u1"), ("pad2", ">u2")])
+    body = off + 24
+    end = body + count * 48
+    if end > len(blob):
+        raise ValueError("truncated netflow v5 packet")
+    r = np.frombuffer(blob, dtype=rec, count=count, offset=body)
+    out = _empty_cols(count)
+    out["version"] = np.full(count, 5.0)
+    micros = unix_secs * 1_000_000 + unix_nsecs // 1000
+    out["exported_at"] = np.full(count, micros, "int64").astype(
+        "datetime64[us]")
+    out["src_addr"] = _v4_strings(r["src"].astype(np.int64))
+    out["dst_addr"] = _v4_strings(r["dst"].astype(np.int64))
+    out["next_hop"] = _v4_strings(r["nh"].astype(np.int64))
+    for col, f in (("input", "input"), ("output", "output"),
+                   ("packets", "packets"), ("bytes", "bytes"),
+                   ("first", "first"), ("last", "last"),
+                   ("src_port", "sport"), ("dst_port", "dport"),
+                   ("tcp_flags", "flags"), ("proto", "proto"),
+                   ("tos", "tos"), ("src_as", "src_as"),
+                   ("dst_as", "dst_as"), ("src_mask", "smask"),
+                   ("dst_mask", "dmask")):
+        out[col] = r[f].astype(float)
+    return out, end
+
+
+def _decode_set(blob, off, length, fields, unix_secs):
+    """Vectorized decode of one fixed-length v9/IPFIX data set given its
+    template ``fields`` = [(ie_id, size), ...]."""
+    import numpy as np
+
+    rec_len = sum(sz for _, sz in fields)
+    if rec_len == 0:
+        return None
+    count = (length) // rec_len
+    if count == 0:
+        return None
+    base = np.frombuffer(blob, dtype=np.uint8, count=count * rec_len,
+                         offset=off).reshape(count, rec_len)
+    out = _empty_cols(count)
+    out["exported_at"] = np.full(count, unix_secs * 1_000_000,
+                                 "int64").astype("datetime64[us]")
+    pos = 0
+    for ie, sz in fields:
+        name = _IE.get(ie)
+        if name is None:
+            pos += sz
+            continue
+        view = base[:, pos:pos + sz]
+        pos += sz
+        if name.endswith("6"):
+            if sz == 16:
+                import ipaddress
+
+                col = "src_addr" if name == "src_addr6" else "dst_addr"
+                out[col] = np.array(
+                    [str(ipaddress.IPv6Address(bytes(v))) for v in view],
+                    dtype=object)
+            continue
+        # big-endian unsigned integer of arbitrary width <= 8
+        val = np.zeros(count, dtype=np.uint64)
+        for k in range(sz):
+            val = (val << np.uint64(8)) | view[:, k].astype(np.uint64)
+        if name.endswith("4"):
+            col = {"src_addr4": "src_addr", "dst_addr4": "dst_addr",
+                   "next_hop4": "next_hop"}[name]
+            out[col] = _v4_strings(val.astype(np.int64))
+        else:
+            out[name] = val.astype(float)
+    return out
+
+
+def _parse_v9_ipfix(blob: bytes, off: int, templates: dict):
+    """One v9 (RFC 3954) or IPFIX (RFC 7011) message; returns decoded
+    column dicts. Template sets update ``templates`` (scoped per file,
+    like a collector scopes them per exporter session)."""
+    version = struct.unpack_from(">H", blob, off)[0]
+    outs = []
+    if version == 9:
+        _, count, _, unix_secs, _, source_id = struct.unpack_from(
+            ">HHIIII", blob, off)
+        pos = off + 20
+        msg_end = len(blob)  # v9 frames by record count, not byte length
+        tmpl_id_cut = 256
+        sets_left = count
+        while pos + 4 <= msg_end and sets_left > 0:
+            set_id, length = struct.unpack_from(">HH", blob, pos)
+            if length < 4:
+                break
+            body, body_len = pos + 4, length - 4
+            if set_id == 0 or set_id == 2:  # template set (v9 uses 0)
+                p = body
+                while p + 4 <= body + body_len:
+                    tid, fcount = struct.unpack_from(">HH", blob, p)
+                    p += 4
+                    fields = []
+                    for _ in range(fcount):
+                        ie, sz = struct.unpack_from(">HH", blob, p)
+                        if ie & 0x8000:  # enterprise IE (IPFIX): skip PEN
+                            p += 4
+                            ie &= 0x7FFF
+                        fields.append((ie, sz))
+                        p += 4
+                    templates[tid] = fields
+                    sets_left -= 1
+            elif set_id >= tmpl_id_cut and set_id in templates:
+                o = _decode_set(blob, body, body_len, templates[set_id],
+                                unix_secs)
+                if o is not None:
+                    o["version"][:] = 9.0
+                    outs.append(o)
+                    sets_left -= len(o["version"])
+            else:
+                sets_left -= 1
+            pos += length
+        return outs, pos
+    if version == 10:
+        _, length, export_time, _, _ = struct.unpack_from(">HHIII", blob, off)
+        msg_end = off + length
+        pos = off + 16
+        while pos + 4 <= msg_end:
+            set_id, slen = struct.unpack_from(">HH", blob, pos)
+            if slen < 4:
+                break
+            body, body_len = pos + 4, slen - 4
+            if set_id in (2, 3):  # template / options-template set
+                p = body
+                while p + 4 <= body + body_len:
+                    tid, fcount = struct.unpack_from(">HH", blob, p)
+                    p += 4
+                    fields = []
+                    for _ in range(fcount):
+                        ie, sz = struct.unpack_from(">HH", blob, p)
+                        p += 4
+                        if ie & 0x8000:
+                            p += 4  # skip enterprise number
+                            ie &= 0x7FFF
+                        if sz == 0xFFFF:
+                            raise NotImplementedError(
+                                "variable-length IPFIX elements unsupported")
+                        fields.append((ie, sz))
+                    templates[tid] = fields
+            elif set_id >= 256 and set_id in templates:
+                o = _decode_set(blob, body, body_len, templates[set_id],
+                                export_time)
+                if o is not None:
+                    o["version"][:] = 10.0
+                    outs.append(o)
+            pos += slen
+        return outs, msg_end
+    raise ValueError(f"unsupported netflow version {version}")
+
+
+def read_netflow(spark: SparkSession, path: str) -> DataFrame:
+    """Read binary NetFlow export captures; version auto-detected per
+    packet from the leading uint16 (5, 9, or 10=IPFIX), matching the
+    reference's runtime auto-detection (web/docs/formats/netflow.md)."""
+    import numpy as np
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def parse(batches):
+        for pdf in batches:
+            parts = []
+            for blob in pdf["content"]:
+                blob = bytes(blob)
+                templates: dict = {}
+                off = 0
+                while off + 2 <= len(blob):
+                    version = struct.unpack_from(">H", blob, off)[0]
+                    if version == 5:
+                        out, off = _parse_v5(blob, off)
+                        parts.append(out)
+                    elif version in (9, 10):
+                        outs, off = _parse_v9_ipfix(blob, off, templates)
+                        parts.extend(outs)
+                    else:
+                        raise ValueError(
+                            f"unsupported netflow version {version} at "
+                            f"offset {off}")
+            if not parts:
+                yield pd.DataFrame({c: [] for c in _COLS})
+                continue
+            yield pd.DataFrame(
+                {c: np.concatenate([p[c] for p in parts]) for c in _COLS})
+
+    return files.select("content").mapInPandas(parse, FLOW_SCHEMA)
