@@ -126,9 +126,25 @@ def minhash_lsh_candidates(
     hash_family: str = "xxhash64",
     max_bucket: int = 1024,
     cache_signatures: bool = True,
+    exact_verify: bool = False,
+    threshold: float = 0.5,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) with their estimated
     Jaccard (fraction of agreeing minhashes).
+
+    ``exact_verify=True`` FUSES exact-Jaccard verification into the
+    pipeline: each doc's distinct shingle set rides the two shuffles that
+    already carry the doc (the signature groupBy's explode input contains
+    every (id, shingle) row, so collect_set there is free; the bucket
+    collect then carries set + signature), and the intra-bucket combo
+    projection computes ``jaccard = |A∩B| / |A∪B|`` next to the
+    estimate, filtering < ``threshold`` BEFORE the pair-dedup shuffle.
+    Zero extra stages versus candidates alone — no persist barrier, no
+    verify joins. The cost is bucket rows ``bands``× heavier; right for
+    short-document corpora (shingle set ≈ doc size). For long documents
+    (where signatures are much smaller than shingle sets) use
+    ``near_dup_pairs(verify="join")``, which re-tokenizes only candidate
+    docs instead.
 
     Pipeline: signature -> band hashes -> group by band bucket
     (collecting the members' (id, signature) structs) -> intra-bucket
@@ -177,16 +193,31 @@ def minhash_lsh_candidates(
         # one md5 per shingle, n derived values by modular arithmetic —
         # F.md5 costs ~10us/call, so calling it n times per shingle (as a
         # naive per-seed family would) dominates everything else
-        ex = ex.select("__id", md5_base_hash(F.col("__g")).alias("__h"))
+        ex = ex.select("__id", "__g", md5_base_hash(F.col("__g")).alias("__h"))
         elems = [F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(_MH_PRIME)).alias(f"__h{i}")
                  for i, (a, b) in enumerate(minhash_params(n_hashes, seed))]
     else:
         elems = [F.min(F.xxhash64(F.col("__g"), F.lit(seed + i))).alias(f"__h{i}")
                  for i in range(n_hashes)]
-    with_sig = (
-        ex.groupBy("__id").agg(*elems)
-        .select("__id", F.array(*[F.col(f"__h{i}") for i in range(n_hashes)]).alias("__sig"))
-    )
+    if exact_verify:
+        # the groupBy's input rows ARE the (id, shingle) pairs — the
+        # distinct shingle set aggregates in the same pass. The set
+        # elements are the 64-bit shingle hashes already computed for the
+        # signature (md5 base hash / xxhash64), not the strings: a
+        # primitive long array is ~5x lighter through the two shuffles
+        # and intersects on primitive equality. Jaccard over the hash
+        # sets equals Jaccard over the shingle sets unless two distinct
+        # shingles of one PAIR collide in 64 bits — odds ~|A||B|/2^61
+        # (~1e-13 at 300-shingle docs); the DuckDB oracle recomputes the
+        # same hash sets, so verification stays bit-identical either way.
+        hcol = F.col("__h") if hash_family == "md5" \
+            else F.xxhash64(F.col("__g"))
+        elems = elems + [F.collect_set(hcol).alias("__shs")]
+    sig_cols = ["__id", F.array(*[F.col(f"__h{i}")
+                                  for i in range(n_hashes)]).alias("__sig")]
+    if exact_verify:
+        sig_cols.append(F.col("__shs"))
+    with_sig = ex.groupBy("__id").agg(*elems).select(*sig_cols)
 
     def band_hash(sl: Column) -> Column:
         if hash_family == "md5":
@@ -203,10 +234,95 @@ def minhash_lsh_candidates(
             ),
         )
     )
-    banded = with_sig.select("__id", "__sig", band.alias("__b"))
+    banded = with_sig.select("__id", "__sig",
+                             *(["__shs"] if exact_verify else []),
+                             band.alias("__b"))
+    if exact_verify:
+        # pair generation + exact verify in ONE batched pandas stage.
+        # Three prior shapes were slower here:
+        # (a) the pure-Catalyst nested-lambda combo projection — Spark
+        # evaluates higher-order functions INTERPRETED (no codegen), so
+        # per-pair set intersects through boxed expression eval cost ~4x
+        # numpy/set ops on the same data;
+        # (b) applyInPandas grouped by bucket key — per-GROUP invocation
+        # overhead across the ~90% singleton buckets dominated;
+        # (c) collect_list buckets + mapInPandas — an array<struct<...,
+        # array<long>>> column is outside Arrow's fast path, and the
+        # per-bucket conversion cost more than the math.
+        # The winning shape keeps rows FLAT (Arrow-native list<int64>
+        # columns): hash-repartition by bucket key, sort within
+        # partitions, and scan group runs inside the pandas batches
+        # (carrying a split group across batch boundaries — batches of
+        # one partition stream in order).
+        import numpy as np
+        import pandas as pd
+
+        id_type = df.schema[id_col].dataType.simpleString()
+        out_schema = (f"id_a {id_type}, id_b {id_type}, "
+                      "est_jaccard double, jaccard double")
+        thr = threshold
+        cap = max_bucket
+        npart = df.sparkSession.sparkContext.defaultParallelism
+        flat = (banded
+                .select(F.col("__b.band").alias("__band"),
+                        F.col("__b.bhash").alias("__bh"),
+                        "__id", "__sig", "__shs")
+                .repartition(npart, "__band", "__bh")
+                .sortWithinPartitions("__band", "__bh"))
+
+        def bucket_pairs(batches):
+            ia, ib, ests, jacs = [], [], [], []
+
+            def flush(ids, sigs, esets):
+                m = len(ids)
+                if m < 2 or m > cap:
+                    return
+                s = np.stack(sigs)
+                est = (s[:, None, :] == s[None, :, :]).mean(axis=2)
+                for i in range(m - 1):
+                    si = esets[i]
+                    li = len(si)
+                    for j in range(i + 1, m):
+                        inter = len(si & esets[j])
+                        union = li + len(esets[j]) - inter
+                        jac = inter / union if union else 0.0
+                        if jac >= thr:
+                            a, b = ids[i], ids[j]
+                            if b < a:
+                                a, b = b, a
+                            ia.append(a)
+                            ib.append(b)
+                            ests.append(float(est[i, j]))
+                            jacs.append(jac)
+
+            key = None
+            ids: list = []
+            sigs: list = []
+            esets: list = []
+            for pdf in batches:
+                bands_ = pdf["__band"].to_numpy()
+                bhs = pdf["__bh"].to_numpy()
+                idv = pdf["__id"].to_numpy()
+                sigv = pdf["__sig"].to_numpy()
+                shsv = pdf["__shs"].to_numpy()
+                for r in range(len(pdf)):
+                    k = (bands_[r], bhs[r])
+                    if k != key:
+                        flush(ids, sigs, esets)
+                        key, ids, sigs, esets = k, [], [], []
+                    ids.append(idv[r])
+                    sigs.append(np.asarray(sigv[r]))
+                    esets.append(set(np.asarray(shsv[r]).tolist()))
+            flush(ids, sigs, esets)
+            yield pd.DataFrame({"id_a": ia, "id_b": ib,
+                                "est_jaccard": ests, "jaccard": jacs})
+
+        return (flat.mapInPandas(bucket_pairs, out_schema)
+                .dropDuplicates(["id_a", "id_b"]))
     buckets = (banded.groupBy("__b")
                .agg(F.collect_list(F.struct("__id", "__sig")).alias("__items"))
                .filter((F.size("__items") >= 2) & (F.size("__items") <= max_bucket)))
+
     combos = F.flatten(F.transform(
         F.col("__items"),
         lambda x, i: F.transform(
@@ -238,6 +354,7 @@ def verify_jaccard_pairs(
     k: int = 5,
     use_words: bool = False,
     threshold: float = 0.5,
+    broadcast_max_bytes: int = 64 * 1024 * 1024,
 ) -> DataFrame:
     """EXACT Jaccard verification restricted to ``candidates`` (id_a,
     id_b) — the verify half of the candidate-generate -> verify pipeline.
@@ -247,16 +364,43 @@ def verify_jaccard_pairs(
     the distinct-shingle arrays join once per pair: cost is
     O(candidate docs + candidate pairs), independent of corpus size —
     the composed 100 TB shape, vs the standalone inverted-index
-    self-join whose worst bucket is O(cap^2)."""
+    self-join whose worst bucket is O(cap^2).
+
+    Join strategy: when the candidate docs' estimated shingle payload
+    (docs x (text_len + array overhead)) fits ``broadcast_max_bytes``,
+    BOTH array sides broadcast into the pair frame — two
+    BroadcastHashJoins in one map stage, zero extra shuffles. Above the
+    cap it falls back to shuffle joins over a shared repartition of the
+    candidate docs (one exchange, reused by both sides — also lifts the
+    single-partition small-source case onto all cores)."""
     sh = word_shingles(F.col(text_col), k) if use_words \
         else char_shingles(F.col(text_col), k)
     ids = (candidates.select(F.col("id_a").alias(id_col))
            .unionAll(candidates.select(F.col("id_b").alias(id_col)))
            .distinct())
-    docs = (df.join(ids, id_col, "left_semi")
-            .select(F.col(id_col).alias("__id"), sh.alias("__sh")))
-    a = docs.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
-    b = docs.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
+    semi = df.join(ids, id_col, "left_semi")
+    # one cheap aggregate decides the strategy (O(candidate docs) rows)
+    est = semi.select(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.length(text_col)), F.lit(0)).alias("chars"),
+    ).collect()[0]
+    # each distinct k-shingle is a k-char string + ~16B array slot; the
+    # distinct set is bounded by the raw char count
+    est_bytes = int(est["chars"]) * (k + 16)
+    if est_bytes <= broadcast_max_bytes:
+        docs = semi.select(F.col(id_col).alias("__id"), sh.alias("__sh"))
+        a = F.broadcast(docs.select(F.col("__id").alias("id_a"),
+                                    F.col("__sh").alias("__sha")))
+        b = F.broadcast(docs.select(F.col("__id").alias("id_b"),
+                                    F.col("__sh").alias("__shb")))
+    else:
+        npart = df.sparkSession.sparkContext.defaultParallelism
+        docs = (semi.repartition(npart, id_col)
+                .select(F.col(id_col).alias("__id"), sh.alias("__sh")))
+        a = docs.select(F.col("__id").alias("id_a"),
+                        F.col("__sh").alias("__sha"))
+        b = docs.select(F.col("__id").alias("id_b"),
+                        F.col("__sh").alias("__shb"))
     j = candidates.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("__sha", "__shb"))
     union = F.size("__sha") + F.size("__shb") - inter
@@ -279,6 +423,7 @@ def near_dup_pairs(
     hash_family: str = "xxhash64",
     max_bucket: int = 1024,
     cache_candidates: bool = True,
+    verify: str = "inline",
 ) -> DataFrame:
     """The DEFAULT near-duplicate pipeline: MinHash+LSH candidate
     generation -> exact Jaccard verification on the same shingle space.
@@ -286,18 +431,38 @@ def near_dup_pairs(
 
     This is the composition the standalone operators document: LSH bounds
     the pair count (never O(n^2)), the verifier removes LSH's false
-    positives, and only candidate docs are re-tokenized. No estimate
-    cutoff is applied before verification — the exact Jaccard is the
-    filter, so banding is the only recall loss.
+    positives. No estimate cutoff is applied before verification — the
+    exact Jaccard is the filter, so banding is the only recall loss.
+    Both strategies return identical pairs and jaccard values.
 
-    ``cache_candidates`` persists AND eagerly materializes the
-    candidate-pair frame (O(pairs) id/estimate rows — small relative to
-    the corpus): the verifier consumes it from three plan branches (both
-    id sides + the pair join) which would otherwise each re-run the whole
+    ``verify`` picks the verification strategy:
+
+    - ``"inline"`` (default): shingle sets ride the LSH pipeline's own
+      shuffles and the exact Jaccard computes in the bucket-combo
+      projection — zero extra stages, no persist barrier, no joins
+      (see minhash_lsh_candidates(exact_verify=True)). Shuffle volume is
+      ~``bands``x each doc's distinct shingle set — the right trade for
+      short-document corpora, where the set is about the doc's size.
+    - ``"join"``: candidates first, then only candidate docs re-tokenize
+      and their arrays join per pair (verify_jaccard_pairs). Extra
+      stages + a persist barrier, but shuffle volume is O(candidate
+      docs), independent of corpus size — the right trade when docs are
+      long (a 100 KiB doc's shingle set dwarfs its 512-byte signature)
+      or duplicates are rare.
+
+    ``cache_candidates`` (join path only) persists AND eagerly
+    materializes the candidate-pair frame: the verifier consumes it from
+    three plan branches which would otherwise each re-run the whole
     signature pipeline — lazy persist alone doesn't help because AQE
     schedules the branches concurrently, racing ahead of cache
-    population. The count that forces it is one extra O(1)-result job
-    over data the cache keeps anyway."""
+    population."""
+    if verify == "inline":
+        return minhash_lsh_candidates(
+            df, id_col, text_col, n_hashes=n_hashes, bands=bands,
+            shingle_k=shingle_k, seed=seed, hash_family=hash_family,
+            max_bucket=max_bucket, exact_verify=True, threshold=threshold)
+    if verify != "join":
+        raise ValueError(f"verify must be 'inline' or 'join', got {verify!r}")
     cand = minhash_lsh_candidates(
         df, id_col, text_col, n_hashes=n_hashes, bands=bands,
         shingle_k=shingle_k, seed=seed, hash_family=hash_family,

@@ -68,6 +68,27 @@ def test_minhash_lsh_finds_near_dup(docs):
     assert (0, 3) not in got                  # unrelated docs share no band
 
 
+def test_near_dup_inline_equals_join(docs):
+    """near_dup_pairs verify='inline' (fused bucket-scan verification)
+    and verify='join' (candidate re-tokenize + array joins) are two
+    physical strategies for the SAME operator — identical pairs,
+    estimates, and exact Jaccard values, for both hash families."""
+    def rows(p):
+        return sorted((r.id_a, r.id_b, round(r.est_jaccard, 9),
+                       round(r.jaccard, 9)) for r in p.collect())
+    for fam in ("xxhash64", "md5"):
+        inline = dedup.near_dup_pairs(docs, "doc_id", "text", n_hashes=32,
+                                      bands=8, shingle_k=5, threshold=0.3,
+                                      hash_family=fam, verify="inline")
+        join = dedup.near_dup_pairs(docs, "doc_id", "text", n_hashes=32,
+                                    bands=8, shingle_k=5, threshold=0.3,
+                                    hash_family=fam, verify="join")
+        got_i, got_j = rows(inline), rows(join)
+        assert got_i == got_j, fam
+        assert any(a == 0 and b == 1 and j == 1.0
+                   for a, b, _, j in got_i), fam  # exact dup verified at 1.0
+
+
 def test_ngram_jaccard_exact(docs):
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
     got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
