@@ -523,6 +523,11 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
             sink.epoch = int(_flag(toks, "--epoch")) if _flag(toks, "--epoch") else None
         elif op == "discard":
             sink = _Sink("discard")
+        elif op == "serve":
+            # results endpoint (serve.cpp:733); the buffer id is the
+            # operator argument, the endpoint is the process-wide
+            # default manager's /serve port
+            sink = _Sink("serve", shlex.split(arg)[0])
         else:
             # user-defined alias (reference: tql/parser.cpp:100-115)
             from tenzir_spark.plans.registry import aliases
@@ -586,6 +591,12 @@ def run_pipeline(p: Pipeline):
     sink: _Sink | None = getattr(p, "_pending_sink", None)
     if sink is None:
         return p.df
+    if sink.kind == "serve":
+        # handles batch AND streaming frames (foreachBatch inside)
+        from tenzir_spark.serve import default_manager, serve as _serve
+        mgr = default_manager()
+        _serve(p.df, sink.path, mgr)
+        return mgr
     if p.df.isStreaming:
         # streaming pipelines sink through writeStream; availableNow
         # drains what exists then stops (callers wanting a continuous

@@ -1,0 +1,148 @@
+"""serve operator: REST results endpoint (serve.cpp:733 + its OpenAPI
+contract — continuation-token paging, last-token replay, max_events,
+timeout, completion with null token)."""
+
+import json
+import time
+import urllib.request
+
+import pytest
+
+from tenzir_spark.serve import ServeManager, serve
+
+
+@pytest.fixture()
+def manager():
+    m = ServeManager()
+    port = m.start()
+    yield m, port
+    m.shutdown()
+
+
+def _post(port, body):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/serve",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=10) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _drain(port, serve_id, max_events=None):
+    token, out, schemas = None, [], None
+    for _ in range(100):
+        body = {"serve_id": serve_id, "continuation_token": token,
+                "timeout": "2s"}
+        if max_events is not None:
+            body["max_events"] = max_events
+        status, resp = _post(port, body)
+        assert status == 200, resp
+        out.extend(d["data"] for d in resp["data"])
+        schemas = resp["schemas"]
+        token = resp["next_continuation_token"]
+        if token is None:
+            return out, schemas
+    raise AssertionError("never completed")
+
+
+def test_serve_batch_roundtrip(spark, manager):
+    m, port = manager
+    df = spark.range(7).selectExpr("id", "id * id AS sq")
+    serve(df, "q1", m)
+    rows, schemas = _drain(port, "q1")
+    assert sorted(r["id"] for r in rows) == list(range(7))
+    assert {r["id"]: r["sq"] for r in rows}[3] == 9
+    assert schemas[0]["definition"]["fields"][0]["name"] == "id"
+
+
+def test_serve_max_events_paging(spark, manager):
+    m, port = manager
+    df = spark.range(10).selectExpr("id")
+    serve(df, "q2", m)
+    token, chunks = None, []
+    for _ in range(50):
+        status, resp = _post(port, {"serve_id": "q2", "max_events": 3,
+                                    "continuation_token": token,
+                                    "timeout": "2s"})
+        assert status == 200
+        chunks.append(len(resp["data"]))
+        token = resp["next_continuation_token"]
+        if token is None:
+            break
+    assert sum(chunks) == 10
+    assert max(chunks) <= 3
+
+
+def test_serve_token_replay_returns_same_chunk(spark, manager):
+    """A client that lost a response repeats its token and gets the SAME
+    chunk again (serve.cpp:39-41 last-result cache)."""
+    m, port = manager
+    serve(spark.range(6).selectExpr("id"), "q3", m)
+    _, first = _post(port, {"serve_id": "q3", "max_events": 2,
+                            "continuation_token": None, "timeout": "2s"})
+    tok = first["next_continuation_token"]
+    _, second = _post(port, {"serve_id": "q3", "max_events": 2,
+                             "continuation_token": tok, "timeout": "2s"})
+    _, replay = _post(port, {"serve_id": "q3", "max_events": 2,
+                             "continuation_token": tok, "timeout": "2s"})
+    assert replay == second
+    assert second["data"] != first["data"]
+
+
+def test_serve_errors(spark, manager):
+    m, port = manager
+    status, resp = _post(port, {"serve_id": "nope",
+                                "continuation_token": None})
+    assert status == 404
+    serve(spark.range(1), "q4", m)
+    status, resp = _post(port, {"serve_id": "q4",
+                                "continuation_token": "bogus",
+                                "timeout": "100ms"})
+    assert status == 400
+    assert "token" in resp["error"]
+
+
+def test_tql_serve_sink(spark, tmp_path):
+    """`from f read json | where ... | serve <id>` — the TQL sink form
+    against the process-wide default manager."""
+    from tenzir_spark.plans.tql import exec_pipeline
+    from tenzir_spark.serve import default_manager
+
+    p = tmp_path / "rows.json"
+    p.write_text('{"a": 1}\n{"a": 2}\n{"a": 3}\n')
+    mgr = exec_pipeline(f"from {p} read json | where a >= 2 | serve tq1",
+                        spark=spark)
+    assert mgr is default_manager()
+    rows, _ = _drain(mgr.port, "tq1", max_events=10)
+    assert sorted(r["a"] for r in rows) == [2, 3]
+
+
+def test_serve_streaming(spark, manager, tmp_path):
+    """foreachBatch-fed buffer over a streaming source; the buffer
+    completes when the query terminates."""
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    (src / "a.json").write_text('{"v": 1}\n{"v": 2}\n')
+    (src / "b.json").write_text('{"v": 3}\n')
+    m, port = manager
+    static = spark.read.json(str(src))
+    stream = spark.readStream.schema(static.schema).json(str(src))
+    q = serve(stream, "qs", m)
+    # availableNow-less stream: drain what the first micro-batches give
+    deadline = time.time() + 30
+    rows = []
+    token = None
+    while time.time() < deadline:
+        status, resp = _post(port, {"serve_id": "qs", "max_events": 10,
+                                    "continuation_token": token,
+                                    "timeout": "1s"})
+        assert status == 200
+        rows.extend(d["data"] for d in resp["data"])
+        token = resp["next_continuation_token"]
+        if len(rows) >= 3:
+            break
+    q.stop()
+    assert sorted(r["v"] for r in rows) == [1, 2, 3]
