@@ -146,13 +146,22 @@ def main():
     qs = entry.queries()
     timings: dict[str, float] = {}
     names = only or HEADLINE
+    # best-of-N per query (default 2): the shared VM's throughput swings
+    # 2-4x run-to-run (BASELINE.md); the minimum approximates the
+    # steady-state a long-running engine operates in, same rationale as
+    # bench_cdc's best-of trials
+    trials = max(1, int(os.environ.get("BENCH_TRIALS", "2")))
     for name in names:
         if name not in qs:
             continue
-        df = qs[name](spark, sf_dir)
-        t0 = time.perf_counter()
-        _force(df)
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(trials):
+            df = qs[name](spark, sf_dir)
+            t0 = time.perf_counter()
+            _force(df)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     cdc_sec, cdc_events, compact_sec, cdc_trials = bench_cdc(spark, n_cdc)
     timings["cdc_apply"] = round(cdc_sec, 3)

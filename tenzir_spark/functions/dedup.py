@@ -237,109 +237,95 @@ def minhash_lsh_candidates(
     banded = with_sig.select("__id", "__sig",
                              *(["__shs"] if exact_verify else []),
                              band.alias("__b"))
-    if exact_verify:
-        # pair generation + exact verify in ONE batched pandas stage.
-        # Three prior shapes were slower here:
-        # (a) the pure-Catalyst nested-lambda combo projection — Spark
-        # evaluates higher-order functions INTERPRETED (no codegen), so
-        # per-pair set intersects through boxed expression eval cost ~4x
-        # numpy/set ops on the same data;
-        # (b) applyInPandas grouped by bucket key — per-GROUP invocation
-        # overhead across the ~90% singleton buckets dominated;
-        # (c) collect_list buckets + mapInPandas — an array<struct<...,
-        # array<long>>> column is outside Arrow's fast path, and the
-        # per-bucket conversion cost more than the math.
-        # The winning shape keeps rows FLAT (Arrow-native list<int64>
-        # columns): hash-repartition by bucket key, sort within
-        # partitions, and scan group runs inside the pandas batches
-        # (carrying a split group across batch boundaries — batches of
-        # one partition stream in order).
-        import numpy as np
-        import pandas as pd
+    # Pair generation (and, with exact_verify, Jaccard verification) in
+    # ONE batched pandas stage over flat rows. Three prior shapes were
+    # slower here:
+    # (a) the pure-Catalyst nested-lambda combo projection — Spark
+    # evaluates higher-order functions INTERPRETED (no codegen), so the
+    # per-pair signature compares / set intersects through boxed
+    # expression eval cost ~4x numpy on the same data;
+    # (b) applyInPandas grouped by bucket key — per-GROUP invocation
+    # overhead across the ~90% singleton buckets dominated;
+    # (c) collect_list buckets + mapInPandas — an array<struct<...,
+    # array<long>>> column is outside Arrow's fast path, and the
+    # per-bucket conversion cost more than the math.
+    # The winning shape keeps rows FLAT (Arrow-native list<int64>
+    # columns): hash-repartition by bucket key, sort within partitions,
+    # and scan group runs inside the pandas batches (carrying a split
+    # group across batch boundaries — one partition's batches stream in
+    # order). Same single shuffle as a collect_list would cost.
+    import numpy as np
+    import pandas as pd
 
-        id_type = df.schema[id_col].dataType.simpleString()
-        out_schema = (f"id_a {id_type}, id_b {id_type}, "
-                      "est_jaccard double, jaccard double")
-        thr = threshold
-        cap = max_bucket
-        npart = df.sparkSession.sparkContext.defaultParallelism
-        flat = (banded
-                .select(F.col("__b.band").alias("__band"),
-                        F.col("__b.bhash").alias("__bh"),
-                        "__id", "__sig", "__shs")
-                .repartition(npart, "__band", "__bh")
-                .sortWithinPartitions("__band", "__bh"))
+    id_type = df.schema[id_col].dataType.simpleString()
+    cols = ["id_a", "id_b", "est_jaccard"] + (
+        ["jaccard"] if exact_verify else [])
+    out_schema = f"id_a {id_type}, id_b {id_type}, est_jaccard double" + (
+        ", jaccard double" if exact_verify else "")
+    thr = threshold
+    cap = max_bucket
+    do_verify = exact_verify
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    flat = (banded
+            .select(F.col("__b.band").alias("__band"),
+                    F.col("__b.bhash").alias("__bh"), "__id", "__sig",
+                    *(["__shs"] if exact_verify else []))
+            .repartition(npart, "__band", "__bh")
+            .sortWithinPartitions("__band", "__bh"))
 
-        def bucket_pairs(batches):
-            ia, ib, ests, jacs = [], [], [], []
+    def bucket_pairs(batches):
+        ia, ib, ests, jacs = [], [], [], []
 
-            def flush(ids, sigs, esets):
-                m = len(ids)
-                if m < 2 or m > cap:
-                    return
-                s = np.stack(sigs)
-                est = (s[:, None, :] == s[None, :, :]).mean(axis=2)
-                for i in range(m - 1):
-                    si = esets[i]
-                    li = len(si)
-                    for j in range(i + 1, m):
+        def flush(ids, sigs, esets):
+            m = len(ids)
+            if m < 2 or m > cap:
+                return
+            s = np.stack(sigs)
+            # all pairwise signature agreements in one broadcast compare
+            est = (s[:, None, :] == s[None, :, :]).mean(axis=2)
+            for i in range(m - 1):
+                si = esets[i] if do_verify else None
+                for j in range(i + 1, m):
+                    if do_verify:
                         inter = len(si & esets[j])
-                        union = li + len(esets[j]) - inter
+                        union = len(si) + len(esets[j]) - inter
                         jac = inter / union if union else 0.0
-                        if jac >= thr:
-                            a, b = ids[i], ids[j]
-                            if b < a:
-                                a, b = b, a
-                            ia.append(a)
-                            ib.append(b)
-                            ests.append(float(est[i, j]))
-                            jacs.append(jac)
+                        if jac < thr:
+                            continue
+                        jacs.append(jac)
+                    a, b = ids[i], ids[j]
+                    if b < a:
+                        a, b = b, a
+                    ia.append(a)
+                    ib.append(b)
+                    ests.append(float(est[i, j]))
 
-            key = None
-            ids: list = []
-            sigs: list = []
-            esets: list = []
-            for pdf in batches:
-                bands_ = pdf["__band"].to_numpy()
-                bhs = pdf["__bh"].to_numpy()
-                idv = pdf["__id"].to_numpy()
-                sigv = pdf["__sig"].to_numpy()
-                shsv = pdf["__shs"].to_numpy()
-                for r in range(len(pdf)):
-                    k = (bands_[r], bhs[r])
-                    if k != key:
-                        flush(ids, sigs, esets)
-                        key, ids, sigs, esets = k, [], [], []
-                    ids.append(idv[r])
-                    sigs.append(np.asarray(sigv[r]))
+        key = None
+        ids: list = []
+        sigs: list = []
+        esets: list = []
+        for pdf in batches:
+            bands_ = pdf["__band"].to_numpy()
+            bhs = pdf["__bh"].to_numpy()
+            idv = pdf["__id"].to_numpy()
+            sigv = pdf["__sig"].to_numpy()
+            shsv = pdf["__shs"].to_numpy() if do_verify else None
+            for r in range(len(pdf)):
+                k = (bands_[r], bhs[r])
+                if k != key:
+                    flush(ids, sigs, esets)
+                    key, ids, sigs, esets = k, [], [], []
+                ids.append(idv[r])
+                sigs.append(np.asarray(sigv[r]))
+                if do_verify:
                     esets.append(set(np.asarray(shsv[r]).tolist()))
-            flush(ids, sigs, esets)
-            yield pd.DataFrame({"id_a": ia, "id_b": ib,
-                                "est_jaccard": ests, "jaccard": jacs})
+        flush(ids, sigs, esets)
+        data = {"id_a": ia, "id_b": ib, "est_jaccard": ests}
+        if do_verify:
+            data["jaccard"] = jacs
+        yield pd.DataFrame(data)
 
-        return (flat.mapInPandas(bucket_pairs, out_schema)
-                .dropDuplicates(["id_a", "id_b"]))
-    buckets = (banded.groupBy("__b")
-               .agg(F.collect_list(F.struct("__id", "__sig")).alias("__items"))
-               .filter((F.size("__items") >= 2) & (F.size("__items") <= max_bucket)))
-
-    combos = F.flatten(F.transform(
-        F.col("__items"),
-        lambda x, i: F.transform(
-            F.slice(F.col("__items"), i + 2,
-                    F.greatest(F.size("__items") - i - 1, F.lit(0))),
-            lambda y: F.struct(
-                F.least(x["__id"], y["__id"]).alias("id_a"),
-                F.greatest(x["__id"], y["__id"]).alias("id_b"),
-                (F.size(F.filter(
-                    F.zip_with(x["__sig"], y["__sig"], lambda p, q: p == q),
-                    lambda z: z,
-                )).cast("double") / F.lit(float(n_hashes))).alias("est_jaccard"),
-            ),
-        ),
-    ))
-    return (buckets.select(F.explode(combos).alias("__p"))
-            .select("__p.id_a", "__p.id_b", "__p.est_jaccard")
+    return (flat.mapInPandas(bucket_pairs, out_schema)
             .dropDuplicates(["id_a", "id_b"]))
 
 
@@ -634,23 +620,61 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
         ])
     )
     banded = with_sh.select("__id", "__sh", bandcol.alias("__b"))
-    buckets = (banded.groupBy("__b")
-               .agg(F.collect_list(F.struct("__id", "__sh")).alias("__items"))
-               .filter(F.size("__items") >= 2))
-    # all i<j combinations of the bucket's members, one explode
-    combos = F.flatten(F.transform(
-        F.col("__items"),
-        lambda x, i: F.transform(
-            F.slice(F.col("__items"), i + 2,
-                    F.greatest(F.size("__items") - i - 1, F.lit(0))),
-            lambda y: F.struct(
-                F.least(x["__id"], y["__id"]).alias("id_a"),
-                F.greatest(x["__id"], y["__id"]).alias("id_b"),
-                F.bit_count(x["__sh"].bitwiseXOR(y["__sh"])).alias("hamming"),
-            ),
-        ),
-    ))
-    pairs = (buckets.select(F.explode(combos).alias("__p"))
-             .select("__p.id_a", "__p.id_b", "__p.hamming")
-             .dropDuplicates(["id_a", "id_b"]))
-    return pairs
+    # pair generation as a flat group scan in pandas: the Catalyst
+    # nested-lambda combo explode evaluates INTERPRETED (no codegen for
+    # higher-order functions), and one degenerate band value can hold
+    # hundreds of members (~40k pairs in one row's projection, single
+    # threaded). Here rows stay flat (Arrow-native), hash-partitioned +
+    # sorted by bucket key, and each bucket's pairwise XOR/popcount is
+    # one vectorized numpy triangle — same single shuffle.
+    import numpy as np
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    flat = (banded
+            .select(F.col("__b.band").alias("__band"),
+                    F.col("__b.bhash").alias("__bh"), "__id", "__sh")
+            .repartition(npart, "__band", "__bh")
+            .sortWithinPartitions("__band", "__bh"))
+    _POP = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+
+    def bucket_pairs(batches):
+        out_a, out_b, out_h = [], [], []
+
+        def flush(ids, shs):
+            m = len(ids)
+            if m < 2:
+                return
+            sh = np.asarray(shs, dtype=np.int64)
+            iu, ju = np.triu_indices(m, 1)
+            x = (sh[iu] ^ sh[ju]).view(np.uint8).reshape(-1, 8)
+            ham = _POP[x].sum(axis=1)
+            ids_arr = np.asarray(ids, dtype=object)
+            ai, bj = ids_arr[iu], ids_arr[ju]
+            swap = bj < ai
+            out_a.extend(np.where(swap, bj, ai).tolist())
+            out_b.extend(np.where(swap, ai, bj).tolist())
+            out_h.extend(ham.tolist())
+
+        key, ids, shs = None, [], []
+        for pdf in batches:
+            bandv = pdf["__band"].to_numpy()
+            bhv = pdf["__bh"].to_numpy()
+            idv = pdf["__id"].to_numpy()
+            shv = pdf["__sh"].to_numpy()
+            for r in range(len(pdf)):
+                k = (bandv[r], bhv[r])
+                if k != key:
+                    flush(ids, shs)
+                    key, ids, shs = k, [], []
+                ids.append(idv[r])
+                shs.append(shv[r])
+        flush(ids, shs)
+        yield pd.DataFrame({"id_a": out_a, "id_b": out_b,
+                            "hamming": out_h})
+
+    return (flat.mapInPandas(
+                bucket_pairs,
+                f"id_a {id_type}, id_b {id_type}, hamming long")
+            .dropDuplicates(["id_a", "id_b"]))

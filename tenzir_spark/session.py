@@ -76,6 +76,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # a small table arriving as ONE parquet file would otherwise scan
+        # on one core, serializing every expression over it (sf-test
+        # corpora; at 100 TB sources are thousands of splits and this
+        # floor is moot) — Spark's own knob for small-file parallelism
+        .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
