@@ -58,6 +58,23 @@ CASES = [
     ("put_quoted.txt",
      f"from {CONN} read zeek-tsv | head 1 --order-by uid"
      " | put msg=\"a b = c\" n=1 + 2 | select msg n"),
+    # tests.yaml Shell shape: child-process stdout as the byte source
+    ("shell_csv.txt",
+     "shell \"printf 'x,y\\n1,a\\n2,b\\n3,c\\n'\" | read csv"
+     " | where x >= 2 | sort x"),
+    # tests.yaml:745: measure | summarize events by schema
+    ("measure_summarize.txt",
+     f"from {CONN} read zeek-tsv | measure"
+     " | summarize events=sum(events) by schema"),
+    # tests.yaml:857 shape: sort <field> nulls-first
+    ("sort_nulls_first.txt",
+     f"from {CONN} read zeek-tsv | select duration"
+     " | sort duration nulls-first"),
+    # pcap-format step_02 shape: decapsulate | select vlan (record
+    # extractor keeps the subtree)
+    ("pcap_decap_select.txt",
+     "from /root/repo/fixtures/vlan-double-tagging.pcap read pcap"
+     " | decapsulate | select vlan | head 3 --order-by pcap.timestamp"),
 ]
 
 
