@@ -23,7 +23,10 @@ AUDIT = ["where_select", "summarize", "sort", "join_agg", "tpch_q6",
          "dedup_max_lsn", "top", "cosine_topk", "exact_dedup",
          # round-2 additions: the formerly-weak plans (global window /
          # signature-carrying shuffle) and the new expression surface
-         "enumerate", "minhash_near_dups", "where_arith", "tql_pipeline"]
+         "enumerate", "minhash_near_dups", "where_arith", "tql_pipeline",
+         # round-3 additions: flat-scan pair stages + packet surface
+         "simhash", "ngram_jaccard", "near_dup_composed", "decapsulate",
+         "netflow"]
 
 
 def plan_of(df) -> str:
