@@ -646,6 +646,16 @@ def run_pipeline(p: Pipeline):
     if sink.kind in ("csv", "tsv", "ssv"):
         fmt.write_xsv(p.df, sink.path, sep={"csv": ",", "tsv": "\t", "ssv": " "}[sink.kind])
         return None
+    if sink.kind == "zeek-tsv":
+        fmt.write_zeek_tsv(p.df, sink.path)
+        return None
+    if sink.kind == "yaml":
+        fmt.write_yaml(p.df, sink.path)
+        return None
+    if sink.kind == "pcap":
+        from tenzir_spark.sources.pcap import write_pcap
+        write_pcap(p.df, sink.path)
+        return None
     raise ValueError(f"unsupported sink {sink.kind!r}")
 
 

@@ -376,11 +376,38 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
 
 def read_feather(spark: SparkSession, path: str) -> DataFrame:
     """Feather/Arrow-IPC store files (reference: builtins/stores/
-    feather.cpp). Spark has no native reader; pyarrow reads on the
-    driver for small files — large stores should be parquet."""
+    feather.cpp). Spark has no native reader; files list via binaryFile
+    and decode executor-side in a mapInPandas (pyarrow is present on
+    executors — it backs the Arrow UDF path), so a directory of store
+    files reads in parallel. The driver touches one file only to sniff
+    the schema. A single feather file is one task — feather's row-group
+    (record-batch) layout is not byte-range splittable here; large
+    multi-file stores parallelize per file, same shape as pcap."""
+    import glob as _glob
+    import os as _os
+
     import pyarrow.feather as fe
-    tbl = fe.read_table(path)
-    return spark.createDataFrame(tbl.to_pandas())
+
+    # schema sniff: first matching file (driver-side, metadata only)
+    candidates = sorted(_glob.glob(path)) or [path]
+    first = candidates[0]
+    if _os.path.isdir(first):
+        inner = sorted(_glob.glob(_os.path.join(first, "*")))
+        first = inner[0] if inner else first
+    from pyspark.sql.pandas.types import from_arrow_schema
+    sdf_schema = from_arrow_schema(fe.read_table(first).schema)
+
+    def decode(batches):
+        import io as _io
+
+        import pyarrow.feather as _fe
+
+        for pdf in batches:
+            for blob in pdf["content"]:
+                yield _fe.read_table(_io.BytesIO(bytes(blob))).to_pandas()
+
+    files = spark.read.format("binaryFile").load(path)
+    return files.select("content").mapInPandas(decode, sdf_schema)
 
 
 COMPRESSION_CODECS = ["none", "gzip", "snappy", "zstd", "lz4", "brotli"]

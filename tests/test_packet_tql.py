@@ -52,6 +52,40 @@ def test_tql_local_remote_modifiers(spark, tmp_path):
     assert [r["a"] for r in df.collect()] == [2]
 
 
+def test_tql_zeek_tsv_and_yaml_sinks(spark, tmp_path):
+    """`write zeek-tsv | save f` and `to f.yaml` round-trip through the
+    native printers (zeek_tsv.cpp / yaml.cpp print sides)."""
+    import json
+
+    src = tmp_path / "rows.json"
+    src.write_text('{"name": "a", "n": 1}\n{"name": "b", "n": 2}\n')
+    zout = tmp_path / "out.log"
+    exec_pipeline(f"from {src} read json | sort name"
+                  f" | write zeek-tsv | save {zout}", spark=spark)
+    from tenzir_spark.sources.formats import read_zeek_tsv
+    back = read_zeek_tsv(spark, str(zout))
+    assert sorted((r["name"], r["n"]) for r in back.collect()) == \
+        [("a", 1), ("b", 2)]
+    yout = tmp_path / "out.yaml"
+    exec_pipeline(f"from {src} read json | where n == 2 | to {yout}",
+                  spark=spark)
+    text = yout.read_text()
+    assert "name: b" in text and "n: 2" in text
+
+
+def test_tql_pcap_sink_round_trip(spark, tmp_path):
+    """`read pcap -e | write pcap` reproduces the trace byte-for-byte
+    through the TQL string surface (tests.yaml:1058-1063)."""
+    import gzip
+    import os
+
+    out = tmp_path / "round.pcap"
+    exec_pipeline(f"from {FIX}/example.pcap.gz read pcap -e"
+                  f" | write pcap | save {out}", spark=spark)
+    orig = gzip.open(os.path.join(FIX, "example.pcap.gz"), "rb").read()
+    assert out.read_bytes() == orig
+
+
 def test_tql_shell_failure_raises(spark):
     import pytest
 
