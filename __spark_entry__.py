@@ -324,6 +324,26 @@ def q_ann_lsh(spark, sf):
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def q_ivf_topk(spark, sf):
+    """IVF ANN: probe the nprobe nearest coarse cells, exact-rescore
+    their members (similarity.ivf_topk; Jégou et al. IVF recipe). The
+    oracle replicates the MECHANISM exactly — centroids are pinned to
+    vec_ids 1..32 (deterministic, engine-independent) so DuckDB can
+    recompute cell assignment, probe choice, and the rescored top-10
+    bit-for-bit; k-means training (ivf_centroids) stays the production
+    path and is exercised by pytest instead, since its sampled argmax
+    loop is not expressible for a SQL recompute."""
+    import numpy as np
+    emb = _t(spark, sf, "embeddings")
+    rows = (emb.filter(F.col("vec_id").between(1, 32)).orderBy("vec_id")
+            .select("embedding").collect())
+    cent = np.array([[float(x) for x in r[0]] for r in rows])
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = similarity.ivf_topk(emb, qv, k=10, nprobe=8, centroids=cent)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
 def q_sessionize(spark, sf):
     """Sessionization: 30-min inactivity gap splits sessions (guide
     'Common OLAP patterns'; no reference analog — Spark-native)."""
@@ -684,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tql_read_selector": q_tql_read_selector,
         "decapsulate": q_decapsulate,
         "netflow": q_netflow,
+        "ivf_topk": q_ivf_topk,
     }
 
 
@@ -1234,6 +1255,41 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                                             CAST(q.embedding AS DOUBLE[])) DESC,
                      e.vec_id ASC
+            LIMIT 10
+        """,
+        # full IVF mechanism recompute: same pinned centroids (vec_ids
+        # 1..32), same cosine cell assignment (lowest cid on ties, as
+        # np.argmax picks the first max), same 8 probes, same rescoring
+        "ivf_topk": """
+            WITH cent AS (
+              SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings WHERE vec_id BETWEEN 1 AND 32
+            ), q AS (
+              SELECT CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id = 0
+            ), probes AS (
+              SELECT cid FROM cent, q
+              ORDER BY list_cosine_similarity(cv, qv) DESC, cid ASC
+              LIMIT 8
+            ), assign AS (
+              SELECT vec_id, cid, ROW_NUMBER() OVER (
+                  PARTITION BY vec_id
+                  ORDER BY list_cosine_similarity(
+                      CAST(e.embedding AS DOUBLE[]), c.cv) DESC, c.cid ASC
+                ) AS rn
+              FROM embeddings e CROSS JOIN cent c
+            ), cells AS (
+              SELECT vec_id, cid AS cell FROM assign WHERE rn = 1
+            )
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS cosine
+            FROM embeddings e
+            JOIN cells ON cells.vec_id = e.vec_id
+            CROSS JOIN q
+            WHERE cells.cell IN (SELECT cid FROM probes)
+            ORDER BY list_cosine_similarity(
+                CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id ASC
             LIMIT 10
         """,
     }

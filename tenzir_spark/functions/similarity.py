@@ -146,6 +146,92 @@ def ann_topk_lsh(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
+def ivf_centroids(df: DataFrame, n_centroids: int = 64,
+                  vec_col: str = "embedding", sample: int = 8192,
+                  iters: int = 10, seed: int = 1) -> "np.ndarray":
+    """Train IVF coarse centroids: k-means on a bounded driver-side
+    sample of L2-NORMALIZED vectors (spherical k-means, so euclidean
+    assignment == cosine assignment). The sample is fixed-size
+    regardless of corpus scale — at 100 TB the train step stays O(sample
+    x dim x iters) on the driver while everything else is distributed,
+    the standard IVF recipe (Jégou et al., PAMI '11)."""
+    rows = (df.select(F.col(vec_col).cast("array<double>").alias("v"))
+            .rdd.takeSample(False, sample, seed))
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)),
+                        replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def ivf_assign(df: DataFrame, centroids: "np.ndarray",
+               vec_col: str = "embedding",
+               cell_col: str = "ivf_cell") -> DataFrame:
+    """Add each vector's nearest-centroid cell id — one broadcast numpy
+    matmul per Arrow batch (the centroid matrix ships once per executor
+    inside the UDF closure; no join, no shuffle). Persist the result
+    partitioned by ``cell_col`` to make probe queries partition-pruned
+    reads."""
+    cent = np.asarray(centroids, dtype=np.float64)
+    # normalize so argmax(dot) == argmax(cosine) regardless of whether
+    # the caller's centroids were unit vectors
+    cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True),
+                             1e-12)
+
+    @F.pandas_udf(T.IntegerType())
+    def cell(vecs: pd.Series) -> pd.Series:
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ cent.T, axis=1).astype(np.int32))
+
+    return df.withColumn(cell_col, cell(F.col(vec_col)))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 32,
+    nprobe: int = 8,
+    sample: int = 8192,
+    seed: int = 1,
+    centroids: "np.ndarray | None" = None,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` cells whose centroids
+    are nearest the query, exact-rescore only their members.
+
+    The scanned fraction is ~nprobe/n_centroids of the corpus; recall is
+    the usual IVF dial (raise nprobe toward n_centroids for exactness).
+    Pass a precomputed ``centroids`` (ivf_centroids) to amortize training
+    across queries; production deployments persist ``ivf_assign`` output
+    partitioned by cell so the probe filter becomes partition pruning at
+    the source instead of a scan-time filter."""
+    cent = np.asarray(centroids, dtype=np.float64) if centroids is not None \
+        else ivf_centroids(df, n_centroids, vec_col, sample, seed=seed)
+    cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True),
+                             1e-12)
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = np.argsort(-(cent @ qn))[:nprobe].tolist()
+    assigned = ivf_assign(df, cent, vec_col)
+    cand = assigned.filter(F.col("ivf_cell").isin([int(p) for p in probes]))
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    scored = cand.select(
+        F.col(id_col),
+        cosine(F.col(vec_col).cast("array<double>"), qlit).alias("cosine"))
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
 def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.95,

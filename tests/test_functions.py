@@ -152,6 +152,39 @@ def test_ann_lsh_matches_bruteforce_top1(spark, sf_dir):
     assert approx and approx[0].vec_id == 7  # query's own bucket contains it
 
 
+def test_ivf_topk_trained_centroids(spark, sf_dir):
+    """IVF with REAL k-means training (ivf_centroids): deterministic
+    under a fixed seed, self-match always lands in the probed cells, and
+    probing every cell reproduces the exact brute-force top-k."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.filter("vec_id = 7")
+         .select("embedding").first()[0]]
+    c1 = similarity.ivf_centroids(emb, n_centroids=8, sample=256, seed=3)
+    c2 = similarity.ivf_centroids(emb, n_centroids=8, sample=256, seed=3)
+    assert (c1 == c2).all()
+    got = similarity.ivf_topk(emb, q, k=1, n_centroids=8, nprobe=2,
+                              centroids=c1).collect()
+    assert got and got[0].vec_id == 7  # self lands in its own cell
+    exact = [r.vec_id for r in
+             similarity.cosine_topk(emb, q, k=5).collect()]
+    full = [r.vec_id for r in
+            similarity.ivf_topk(emb, q, k=5, nprobe=8,
+                                centroids=c1).collect()]
+    assert full == exact  # nprobe == n_centroids degenerates to exact
+
+
+def test_ivf_assign_cells_are_nearest(spark):
+    """Cell assignment is argmax cosine against the centroid matrix."""
+    import numpy as np
+
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = np.eye(4)
+    out = {r["vec_id"]: r["ivf_cell"]
+           for r in similarity.ivf_assign(df, cent).collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
 def test_embedding_near_dups_self(spark):
     rows = [
         Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
