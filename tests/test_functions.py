@@ -210,6 +210,50 @@ def test_multimodal_plumbing(spark):
     assert all(again[r.media_id] == r.feature for r in rows)
 
 
+def test_multimodal_probe_real_headers(spark):
+    """probe_media extracts REAL container metadata (pure struct
+    parsing, not stubbed): PNG/GIF/BMP dimensions, JPEG SOF walk, WAV
+    duration from fmt+data chunks, MP4 duration from mvhd."""
+    import struct
+
+    png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+           + struct.pack(">IIBBBBB", 640, 480, 8, 6, 0, 0, 0))
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200)
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 100, -50) + b"\x00" * 8
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"   # APP0
+            + b"\xff\xc0" + struct.pack(">H", 8) + b"\x08"
+            + struct.pack(">HH", 768, 1024) + b"\x03")           # SOF0
+    wav = (b"RIFF" + struct.pack("<I", 36 + 16000) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16)
+           + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+           + b"data" + struct.pack("<I", 16000) + b"\x00" * 4)
+    mp4 = (b"\x00\x00\x00\x10ftypisom\x00\x00\x00\x00"
+           + struct.pack(">I", 8 + 8 + 100) + b"moov"
+           + struct.pack(">I", 108) + b"mvhd" + b"\x00\x00\x00\x00"
+           + struct.pack(">II", 0, 0) + struct.pack(">II", 1000, 2500))
+    rows = [(i, k, bytearray(c)) for i, (k, c) in enumerate(
+        [("image", png), ("image", gif), ("image", bmp), ("image", jpeg),
+         ("audio", wav), ("video", mp4), ("image", b"garbage")])]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, content binary")
+    got = {r["media_id"]: r["meta"].asDict()
+           for r in multimodal.probe_media(df).collect()}
+    assert got[0] == {"mime": "image/png", "width": 640, "height": 480,
+                      "duration_ms": None}
+    assert (got[1]["mime"], got[1]["width"], got[1]["height"]) == \
+        ("image/gif", 320, 200)
+    assert (got[2]["mime"], got[2]["width"], got[2]["height"]) == \
+        ("image/bmp", 100, 50)  # negative height = top-down bitmap
+    assert (got[3]["mime"], got[3]["width"], got[3]["height"]) == \
+        ("image/jpeg", 1024, 768)
+    assert got[4]["mime"] == "audio/wav"
+    assert got[4]["duration_ms"] == 1000  # 16000 bytes / 16000 B/s
+    assert got[5]["mime"] == "video/mp4"
+    assert got[5]["duration_ms"] == 2500  # 2500 ticks @ 1000 Hz
+    assert got[6]["mime"] == "application/octet-stream"
+
+
 def test_multimodal_decode_stub_raises(spark):
     media = multimodal.gen_fake_media(spark, 5)
     import pandas as pd
