@@ -252,11 +252,13 @@ def batch(df: DataFrame, limit: int = 65536) -> DataFrame:
 
 
 def repeat(df: DataFrame, n: int = 2) -> DataFrame:
-    """Repeat the input n times. Reference: repeat.cpp:31. Caches the
-    input so upstream work runs once."""
+    """Repeat the input n times. Reference: repeat.cpp:31. A lazy
+    localCheckpoint runs the upstream once and ties the stored blocks to
+    this DataFrame's lifetime (a plain .cache() would outlive the query
+    in the session's persistent-RDD registry)."""
     if n <= 1:
         return df
-    df = df.cache()
+    df = df.localCheckpoint(eager=False)
     out = df
     for _ in range(n - 1):
         out = out.unionAll(df)
