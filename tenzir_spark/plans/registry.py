@@ -31,7 +31,8 @@ CONNECTORS = ["file", "directory", "s3a://", "gs://",
               "kafka (structured streaming; offset-spec translation)",
               "http/https/ftp (driver spool, sources.net)",
               "stdin/stdout (driver)",
-              "shell (child-process byte source, sources.shell)"]
+              "shell (child-process byte source, sources.shell)",
+              "zmq (pure-stdlib ZMTP 3.0 SUB loader / PUB saver)"]
 
 AGGREGATION_FUNCTIONS_DOC = [
     "sum", "min", "max", "count", "count_distinct", "distinct", "any",

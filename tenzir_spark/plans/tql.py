@@ -331,6 +331,28 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
             follow = "--follow" in toks
             toks = [t for t in toks if t != "--follow"]
             path = toks[0]
+            if path == "zmq":
+                # SUB-socket byte source (plugins/zmq loader): spool
+                # received messages, then the normal reader takes over
+                from tenzir_spark.sources.zmq import (DEFAULT_ENDPOINT,
+                                                      load_zmq)
+                ztoks = toks[1:]
+                ep = DEFAULT_ENDPOINT
+                if ztoks and not ztoks[0].startswith("-") \
+                        and ztoks[0] != "read":
+                    ep = ztoks.pop(0)
+                n = _flag(ztoks, "--count")
+                filt = _flag(ztoks, "-f") or _flag(ztoks, "--filter") or ""
+                bind = "-b" in ztoks or "--bind" in ztoks
+                spool = load_zmq(ep, n_messages=int(n) if n else None,
+                                 bind=bind, filter=filt.encode())
+                ridx = ztoks.index("read") if "read" in ztoks else None
+                if ridx is not None:
+                    p = Pipeline(_read_fmt(spark, ztoks[ridx + 1], spool,
+                                           ztoks[ridx + 2:]))
+                else:
+                    read_fmt_pending = spool
+                continue
             f = None
             ropts: list[str] = []
             if len(toks) >= 3 and toks[1] == "read":
@@ -507,7 +529,18 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
         elif op in ("to", "save"):
             toks = shlex.split(arg)
             path = toks[0]
-            if path == "-":
+            if path == "zmq":
+                # PUB-socket byte sink (plugins/zmq saver); default bind,
+                # -c/--connect flips direction (zmq.md)
+                from tenzir_spark.sources.zmq import DEFAULT_ENDPOINT
+                rest = toks[1:]
+                ep = DEFAULT_ENDPOINT
+                if rest and not rest[0].startswith("-") \
+                        and rest[0] != "write":
+                    ep = rest.pop(0)
+                sink = _Sink("zmq", ep)
+                sink.connect = "-c" in rest or "--connect" in rest
+            elif path == "-":
                 sink = _Sink("stdout")
             else:
                 f = toks[2] if len(toks) >= 3 and toks[1] == "write" else _infer_format(path)
@@ -613,6 +646,11 @@ def run_pipeline(p: Pipeline):
     if sink.kind == "discard":
         p.discard()
         return None
+    if sink.kind == "zmq":
+        from tenzir_spark.sources.zmq import save_zmq
+        lines = [r for r in p.df.toJSON().toLocalIterator()]
+        return save_zmq(lines, sink.path,
+                        bind=not getattr(sink, "connect", False))
     if sink.kind == "import":
         from pyspark.sql import functions as F
 

@@ -1,0 +1,89 @@
+"""zmq connector: pure-stdlib ZMTP 3.0 (NULL mechanism) loader/saver
+run against each other over loopback (reference surface:
+web/docs/connectors/zmq.md — SUB loader connects, PUB saver binds,
+--filter prefix subscription, default endpoint)."""
+
+import socket
+import threading
+
+import pytest
+
+from tenzir_spark.sources.zmq import load_zmq, save_zmq
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _pub(lines, port, results):
+    try:
+        results["sent"] = save_zmq(lines, f"tcp://127.0.0.1:{port}",
+                                   bind=True, timeout=15)
+    except Exception as e:  # surfaced by the main thread's assert
+        results["error"] = e
+
+
+def test_pub_sub_round_trip():
+    port = _free_port()
+    results: dict = {}
+    t = threading.Thread(target=_pub,
+                         args=([b"one", b"two", b"three"], port, results))
+    t.start()
+    spool = load_zmq(f"tcp://127.0.0.1:{port}", n_messages=3, timeout=15)
+    t.join(timeout=15)
+    assert "error" not in results, results.get("error")
+    assert results["sent"] == 3
+    assert open(spool, "rb").read() == b"one\ntwo\nthree\n"
+
+
+def test_sub_filter_prefix():
+    """--filter performs a prefix match on the raw message bytes
+    (zmq.md loader filter semantics)."""
+    port = _free_port()
+    results: dict = {}
+    t = threading.Thread(
+        target=_pub,
+        args=([b"alpha 1", b"beta 2", b"alpha 3"], port, results))
+    t.start()
+    spool = load_zmq(f"tcp://127.0.0.1:{port}", n_messages=2, timeout=15,
+                     filter=b"alpha")
+    t.join(timeout=15)
+    assert results["sent"] == 2  # beta filtered at the publisher
+    assert open(spool, "rb").read() == b"alpha 1\nalpha 3\n"
+
+
+def test_tql_zmq_source_and_sink(spark, tmp_path):
+    """`... | to zmq <ep>` publishing into `from zmq <ep> read json`."""
+    from tenzir_spark.plans.tql import exec_pipeline
+
+    src = tmp_path / "rows.json"
+    src.write_text('{"a": 1}\n{"a": 2}\n')
+    port = _free_port()
+    results: dict = {}
+
+    def run_sink():
+        try:
+            results["sent"] = exec_pipeline(
+                f"from {src} read json | sort a"
+                f" | to zmq tcp://127.0.0.1:{port}", spark=spark)
+        except Exception as e:
+            results["error"] = e
+
+    t = threading.Thread(target=run_sink)
+    t.start()
+    df = exec_pipeline(
+        f"from zmq tcp://127.0.0.1:{port} --count 2 read json",
+        spark=spark)
+    t.join(timeout=30)
+    assert "error" not in results, results.get("error")
+    assert results["sent"] == 2
+    assert sorted(r["a"] for r in df.collect()) == [1, 2]
+
+
+def test_bad_endpoint_rejected():
+    with pytest.raises(ValueError, match="tcp"):
+        load_zmq("ipc:///tmp/x", n_messages=1, timeout=1)
