@@ -32,7 +32,8 @@ CONNECTORS = ["file", "directory", "s3a://", "gs://",
               "http/https/ftp (driver spool, sources.net)",
               "stdin/stdout (driver)",
               "shell (child-process byte source, sources.shell)",
-              "zmq (pure-stdlib ZMTP 3.0 SUB loader / PUB saver)"]
+              "zmq (pure-stdlib ZMTP 3.0 SUB loader / PUB saver)",
+              "nic (AF_PACKET live capture -> pcap byte stream)"]
 
 AGGREGATION_FUNCTIONS_DOC = [
     "sum", "min", "max", "count", "count_distinct", "distinct", "any",

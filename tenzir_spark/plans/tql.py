@@ -331,6 +331,28 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
             follow = "--follow" in toks
             toks = [t for t in toks if t != "--follow"]
             path = toks[0]
+            if path == "nic":
+                # live AF_PACKET capture -> pcap byte stream (nic.md:
+                # "the default parser for the nic loader is pcap")
+                from tenzir_spark.sources.nic import load_nic
+                ntoks = toks[1:]
+                iface = (ntoks.pop(0)
+                         if ntoks and not ntoks[0].startswith("-")
+                         and ntoks[0] != "read" else "lo")
+                cnt = _flag(ntoks, "--count")
+                dur = _flag(ntoks, "--duration")
+                sl = _flag(ntoks, "-s") or _flag(ntoks, "--snaplen")
+                spool = load_nic(iface,
+                                 snaplen=int(sl) if sl else 262144,
+                                 n_packets=int(cnt) if cnt else None,
+                                 duration=float(dur) if dur else 2.0)
+                if "read" in ntoks:
+                    ridx = ntoks.index("read")
+                    p = Pipeline(_read_fmt(spark, ntoks[ridx + 1], spool,
+                                           ntoks[ridx + 2:]))
+                else:
+                    p = Pipeline(_read_fmt(spark, "pcap", spool, []))
+                continue
             if path == "zmq":
                 # SUB-socket byte source (plugins/zmq loader): spool
                 # received messages, then the normal reader takes over
