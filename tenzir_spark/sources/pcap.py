@@ -87,11 +87,25 @@ def _parse_file(blob: bytes, emit_file_headers: bool):
                          magic, vmaj, vmin, r1, r2, snaplen, linktype,
                          None, None, None, None))
         pkt = struct.Struct(endian + "IIII")
+
+        def _is_file_header(pos: int) -> bool:
+            # a packet's ts_sec can coincide with the magic bytes (e.g.
+            # a capture taken at epoch 0xa1b2c3d4) — require the 2.4
+            # version fields too, which a packet header cannot mimic
+            # without also being a >2-billion-usec fraction
+            if pos + 24 > n:
+                return False
+            for e in ("<", ">"):
+                m = struct.unpack_from(e + "I", blob, pos)[0]
+                if m in (MAGIC_USEC, MAGIC_NSEC):
+                    maj, mi = struct.unpack_from(e + "HH", blob, pos + 4)
+                    if maj == 2 and mi == 4:
+                        return True
+            return False
+
         while off + 16 <= n:
             # a following concatenated file header?
-            next_magic = struct.unpack_from("<I", blob, off)[0]
-            if next_magic in (MAGIC_USEC, MAGIC_NSEC) or struct.unpack_from(
-                    ">I", blob, off)[0] in (MAGIC_USEC, MAGIC_NSEC):
+            if _is_file_header(off):
                 break
             ts_sec, ts_frac, incl, orig = pkt.unpack_from(blob, off)
             off += 16
