@@ -29,7 +29,7 @@ HEADLINE = [
     "fingerprint", "minhash_near_dups", "simhash", "ngram_jaccard",
     "near_dup_composed", "summarize_res_nokey",
     "cosine_topk", "ann_lsh", "where_arith", "tql_pipeline",
-    "decapsulate", "netflow",
+    "decapsulate", "netflow", "ivf_topk",
 ]
 
 

@@ -673,11 +673,18 @@ def simhash_udf(text: pd.Series) -> pd.Series:
 
 
 def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
-                      band_bits: int = 16) -> DataFrame:
+                      band_bits: int = 16,
+                      max_bucket: int = 4096) -> DataFrame:
     """Near-dup candidate pairs whose simhash agrees on at least one of
     the 64/band_bits bands (standard Hamming-LSH: any pair within
     ~(64/band_bits - 1) bit flips shares a band w.h.p.). Returns pairs
     with exact Hamming distance.
+
+    ``max_bucket`` drops degenerate buckets (e.g. masses of identical or
+    empty docs all hashing to signature 0) whose O(m^2) pair triangle
+    would otherwise materialize in one task — same safety valve and
+    rationale as minhash_lsh_candidates' cap: a bucket that size is one
+    giant duplicate class better handled by exact_dedup on the band key.
 
     Shape: signature UDF runs EXACTLY ONCE (a band self-join would
     re-evaluate the whole UDF lineage on both sides — Catalyst does not
@@ -728,7 +735,7 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
 
         def flush(ids, shs):
             m = len(ids)
-            if m < 2:
+            if m < 2 or m > max_bucket:
                 return
             sh = np.asarray(shs, dtype=np.int64)
             iu, ju = np.triu_indices(m, 1)

@@ -87,7 +87,7 @@ def _probe_one(b: bytes):
         off, rate, size = 12, None, None
         while off + 8 <= len(b):
             cid, clen = b[off:off + 4], struct.unpack_from("<I", b, off + 4)[0]
-            if cid == b"fmt " and off + 16 <= len(b):
+            if cid == b"fmt " and off + 20 <= len(b):
                 rate = struct.unpack_from("<I", b, off + 16)[0]  # bytes/s
             elif cid == b"data":
                 size = clen
@@ -105,13 +105,15 @@ def _probe_one(b: bytes):
                 end = off + size
                 while inner + 8 <= min(end, len(b)):
                     isz = struct.unpack_from(">I", b, inner)[0]
-                    if b[inner + 4:inner + 8] == b"mvhd" and inner + 28 <= len(b):
-                        version = b[inner + 8]
-                        if version == 0:
+                    if b[inner + 4:inner + 8] == b"mvhd":
+                        version = b[inner + 8] if inner + 9 <= len(b) else 0
+                        if version == 0 and inner + 28 <= len(b):
                             ts, dur = struct.unpack_from(">II", b, inner + 20)
-                        else:
+                        elif version != 0 and inner + 40 <= len(b):
                             ts = struct.unpack_from(">I", b, inner + 28)[0]
                             dur = struct.unpack_from(">Q", b, inner + 32)[0]
+                        else:
+                            return ("video/mp4", None, None, None)
                         return ("video/mp4", None, None,
                                 int(dur * 1000 / ts) if ts else None)
                     inner += max(isz, 8)
@@ -132,11 +134,21 @@ def probe_media(df: DataFrame, content_col: str = "content") -> DataFrame:
               "height:int,duration_ms:bigint>")
     cols = [f.name for f in df.schema.fields if f.name != "meta"]
 
+    import struct as _struct
+
+    def safe_probe(b):
+        # untrusted bytes: truncated containers degrade to
+        # (mime-or-unknown, nulls), never a task failure
+        try:
+            return _probe_one(b)
+        except (_struct.error, IndexError, ValueError):
+            return ("application/octet-stream", None, None, None)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             metas = [
                 dict(zip(("mime", "width", "height", "duration_ms"),
-                         _probe_one(bytes(b) if b is not None else b"")))
+                         safe_probe(bytes(b) if b is not None else b"")))
                 for b in pdf[content_col]
             ]
             out = pdf[cols].copy()

@@ -93,7 +93,12 @@ def _decap_flat(pdf, data_col: str, linktype_col: str):
     ends = np.cumsum(lens)
     starts = ends - lens
     buf = np.frombuffer(b"".join(data), dtype=np.uint8)
-    cap = max(len(buf) - 1, 0)
+    if len(buf) == 0:
+        # a batch of only empty/null payloads: one pad byte keeps the
+        # clip-then-mask gathers in at() well-defined (every row's mask
+        # is False, so the pad value is never observed)
+        buf = np.zeros(1, dtype=np.uint8)
+    cap = len(buf) - 1
 
     def at(off):
         """byte at per-row offset, 0 when out of range (mask separately)."""

@@ -72,6 +72,16 @@ class ServeBuffer:
     def get(self, continuation_token: str | None, max_events: int | None,
             timeout: float) -> dict:
         """One /serve request. Returns the OpenAPI response dict."""
+        if max_events is not None:
+            # external input: coerce and bound (a negative slice would
+            # silently corrupt paging; a string would TypeError mid-get)
+            try:
+                max_events = int(max_events)
+            except (TypeError, ValueError):
+                raise KeyError(f"max_events must be an integer, got "
+                               f"{max_events!r}")
+            if max_events < 1:
+                raise KeyError("max_events must be >= 1")
         timeout = min(max(timeout, 0.0), MAX_TIMEOUT_SECONDS)
         with self._cv:
             # replay of the last served token returns the cached response
@@ -165,11 +175,11 @@ class ServeManager:
                 if buf is None:
                     return self._reply(
                         404, {"error": f"unknown serve id {serve_id!r}"})
-                timeout = _parse_timeout(req.get("timeout", "100ms"))
                 try:
+                    timeout = _parse_timeout(req.get("timeout", "100ms"))
                     resp = buf.get(req.get("continuation_token"),
                                    req.get("max_events"), timeout)
-                except KeyError as exc:
+                except (KeyError, ValueError) as exc:
                     return self._reply(400, {"error": str(exc)})
                 return self._reply(200, resp)
 

@@ -386,16 +386,26 @@ def read_feather(spark: SparkSession, path: str) -> DataFrame:
     import glob as _glob
     import os as _os
 
-    import pyarrow.feather as fe
+    import pyarrow as pa
 
-    # schema sniff: first matching file (driver-side, metadata only)
+    # schema sniff: first matching file — FOOTER only (ipc.open_file
+    # reads metadata, not record batches; fe.read_table would
+    # materialize the whole first file on the driver)
     candidates = sorted(_glob.glob(path)) or [path]
     first = candidates[0]
     if _os.path.isdir(first):
         inner = sorted(_glob.glob(_os.path.join(first, "*")))
         first = inner[0] if inner else first
     from pyspark.sql.pandas.types import from_arrow_schema
-    sdf_schema = from_arrow_schema(fe.read_table(first).schema)
+    try:
+        with pa.memory_map(first, "r") as src:
+            arrow_schema = pa.ipc.open_file(src).schema
+    except pa.ArrowInvalid:
+        # legacy Feather V1 is not the IPC file format — small by
+        # definition; read it to get the schema
+        import pyarrow.feather as fe
+        arrow_schema = fe.read_table(first).schema
+    sdf_schema = from_arrow_schema(arrow_schema)
 
     def decode(batches):
         import io as _io

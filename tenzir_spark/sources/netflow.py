@@ -167,14 +167,21 @@ def _parse_v9_ipfix(blob: bytes, off: int, templates: dict):
             ">HHIIII", blob, off)
         pos = off + 20
         msg_end = len(blob)  # v9 frames by record count, not byte length
-        tmpl_id_cut = 256
         sets_left = count
         while pos + 4 <= msg_end and sets_left > 0:
             set_id, length = struct.unpack_from(">HH", blob, pos)
             if length < 4:
                 break
+            if 2 <= set_id <= 255:
+                # reserved set id — almost certainly the next message's
+                # version field (a data set arrived before its template,
+                # so the record-count accounting undershot; RFC 3954
+                # allows that ordering). Stop here and let the caller
+                # re-read a message header at this offset instead of
+                # consuming it as a set and desyncing the stream.
+                break
             body, body_len = pos + 4, length - 4
-            if set_id == 0 or set_id == 2:  # template set (v9 uses 0)
+            if set_id == 0:  # template set (RFC 3954; id 1 = options)
                 p = body
                 while p + 4 <= body + body_len:
                     tid, fcount = struct.unpack_from(">HH", blob, p)
@@ -189,7 +196,7 @@ def _parse_v9_ipfix(blob: bytes, off: int, templates: dict):
                         p += 4
                     templates[tid] = fields
                     sets_left -= 1
-            elif set_id >= tmpl_id_cut and set_id in templates:
+            elif set_id >= 256 and set_id in templates:
                 o = _decode_set(blob, body, body_len, templates[set_id],
                                 unix_secs)
                 if o is not None:
@@ -197,6 +204,9 @@ def _parse_v9_ipfix(blob: bytes, off: int, templates: dict):
                     outs.append(o)
                     sets_left -= len(o["version"])
             else:
+                # data set whose template has not arrived yet: its byte
+                # length is known (skip it) but its record count is not —
+                # assume at least one so the loop still terminates
                 sets_left -= 1
             pos += length
         return outs, pos

@@ -110,7 +110,12 @@ def _parse_file(blob: bytes, emit_file_headers: bool):
             ts_sec, ts_frac, incl, orig = pkt.unpack_from(blob, off)
             off += 16
             if off + incl > n:
-                break  # truncated trailer
+                # truncated trailer (capture killed mid-write): keep the
+                # complete packets and consume the remainder, so the
+                # outer resync loop doesn't mistake the partial payload
+                # for a corrupt file header
+                off = n
+                break
             data = blob[off:off + incl]
             off += incl
             # classic-pcap timestamps are sec + usec (or nsec with the
@@ -186,8 +191,12 @@ def write_pcap(df: DataFrame, path: str, linktype: int = 1,
     emit_file_headers=True)``) the FIRST header is the output blueprint —
     magic/version/snaplen/linktype are reproduced verbatim, which makes
     ``write_pcap(read_pcap(f, emit_file_headers=True))`` byte-identical
-    to the input (the reference pins md5 2696858410a08f5edb405b8630a9858c
-    for its example trace; tests/test_pcap.py replays that).
+    to the input for little-endian captures (the reference pins md5
+    2696858410a08f5edb405b8630a9858c for its example trace;
+    tests/test_pcap.py replays that). Headers always serialize
+    little-endian: a BIG-endian source trace round-trips value-identical
+    but byte-swapped — the same behavior as the reference's writer,
+    which emits host byte order (pcap.cpp make_file_header).
 
     Packet records render distributed (one base64 blob per Arrow batch
     via mapInPandas); the single-file assembly streams part files through

@@ -37,25 +37,40 @@ def run_shell(command: str, stdin_path: str | None = None,
     reference's error propagation (shell.cpp exit-code diagnostics).
     """
     fd, spool = tempfile.mkstemp(prefix="tenzir_shell_")
+    proc = None
     try:
         with (open(stdin_path, "rb") if stdin_path else
-              open(os.devnull, "rb")) as inp:
-            proc = subprocess.run(
-                command, shell=True, stdin=inp, stdout=subprocess.PIPE,
-                stderr=subprocess.PIPE, timeout=timeout)
-        if proc.returncode != 0:
-            raise RuntimeError(
-                f"shell command {command!r} exited {proc.returncode}: "
-                f"{proc.stderr.decode(errors='replace')[:500]}")
-        if len(proc.stdout) > MAX_SPOOL_BYTES:
-            raise RuntimeError(
-                f"shell output exceeds {MAX_SPOOL_BYTES} bytes; "
-                "use a file-based connector for bulk data")
-        with os.fdopen(fd, "wb") as out:
+              open(os.devnull, "rb")) as inp, os.fdopen(fd, "wb") as out:
             fd = None
-            out.write(proc.stdout)
+            # stream the child's stdout straight to the spool so the cap
+            # bounds DRIVER MEMORY, not just the final file size — a
+            # buffered subprocess.run would hold the whole output in RAM
+            # before any check could fire
+            proc = subprocess.Popen(
+                command, shell=True, stdin=inp, stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE)
+            written = 0
+            while True:
+                chunk = proc.stdout.read(1 << 20)
+                if not chunk:
+                    break
+                written += len(chunk)
+                if written > MAX_SPOOL_BYTES:
+                    proc.kill()
+                    raise RuntimeError(
+                        f"shell output exceeds {MAX_SPOOL_BYTES} bytes; "
+                        "use a file-based connector for bulk data")
+                out.write(chunk)
+            stderr = proc.stderr.read(65536)
+            rc = proc.wait(timeout=timeout)
+        if rc != 0:
+            raise RuntimeError(
+                f"shell command {command!r} exited {rc}: "
+                f"{stderr.decode(errors='replace')[:500]}")
         return spool
     except Exception:
+        if proc is not None and proc.poll() is None:
+            proc.kill()
         if fd is not None:
             os.close(fd)
         if os.path.exists(spool):

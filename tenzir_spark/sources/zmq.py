@@ -215,16 +215,34 @@ def save_zmq(lines, endpoint: str = DEFAULT_ENDPOINT, bind: bool = True,
     `to zmq [write <fmt>]` (zmq.md saver). Returns messages sent."""
     peer, srv = _connect(endpoint, "PUB", bind, timeout)
     try:
-        peer.sock.settimeout(timeout)
         subs: list[bytes] = []
-        # wait for one subscription so the canonical pub/sub pipeline
-        # (subscriber starts first) doesn't drop everything
-        flags_body = _recv_frame(peer.sock)
-        while flags_body[0] & _FLAG_COMMAND:
-            flags_body = _recv_frame(peer.sock)
-        body = flags_body[1]
-        if body[:1] == b"\x01":
-            subs.append(body[1:])
+        # block for the first ACTIVE subscription (slow-joiner safety),
+        # then drain any further pending subscription traffic — libzmq
+        # peers may cancel a stale subscription first or subscribe to
+        # several prefixes, each as its own 0x01/0x00 message
+        peer.sock.settimeout(timeout)
+        deadline = time.monotonic() + timeout
+        while not subs and time.monotonic() < deadline:
+            flags, body = _recv_frame(peer.sock)
+            if flags & _FLAG_COMMAND:
+                continue
+            if body[:1] == b"\x01":
+                subs.append(body[1:])
+            elif body[:1] == b"\x00" and body[1:] in subs:
+                subs.remove(body[1:])
+        peer.sock.settimeout(0.05)
+        while True:
+            try:
+                flags, body = _recv_frame(peer.sock)
+            except (TimeoutError, OSError):
+                break
+            if flags & _FLAG_COMMAND:
+                continue
+            if body[:1] == b"\x01":
+                subs.append(body[1:])
+            elif body[:1] == b"\x00" and body[1:] in subs:
+                subs.remove(body[1:])
+        peer.sock.settimeout(timeout)
         sent = 0
         for chunk in lines:
             if isinstance(chunk, str):

@@ -112,6 +112,25 @@ def test_ipfix(spark, tmp_path):
     assert str(r["exported_at"]).startswith("2023-11-14")
 
 
+def test_v9_data_before_template_does_not_desync(spark, tmp_path):
+    """RFC 3954 allows data FlowSets before their template arrives
+    (templates are re-sent periodically): the unknown set is skipped by
+    its length and the FOLLOWING message must still parse."""
+    # message 1: data set for unseen template 300 with 3 records
+    rec = struct.pack(">II", _ip(9, 9, 9, 9), _ip(8, 8, 8, 8))
+    dset = struct.pack(">HH", 300, 4 + 3 * len(rec)) + rec * 3
+    m1 = struct.pack(">HHIIII", 9, 3, 100, 1700000000, 1, 0) + dset
+    p = tmp_path / "ooo.bin"
+    p.write_bytes(m1 + _v9_message() + _v5_packet(
+        [(_ip(3, 3, 3, 3), _ip(4, 4, 4, 4), 5, 6, 6, 1, 10)]))
+    df = read_netflow(spark, str(p))
+    rows = df.collect()
+    # message 1's records are unparseable (no template) and skipped;
+    # the later messages decode fully
+    assert sorted(r["version"] for r in rows) == [5, 9, 9]
+    assert {r["src_addr"] for r in rows} == {"1.2.3.4", "9.9.9.9", "3.3.3.3"}
+
+
 def test_mixed_versions_one_file(spark, tmp_path):
     """The reference auto-detects per packet; v5 and v9 messages can share
     a capture file."""

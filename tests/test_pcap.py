@@ -160,6 +160,37 @@ def test_decapsulate_icmp_and_udp(spark, tmp_path):
     assert u["community_id"].startswith("1:")
 
 
+def test_truncated_trailer_keeps_complete_packets(spark, tmp_path):
+    """A capture killed mid-write (last packet header promises more
+    bytes than exist) yields the complete packets, not a task failure."""
+    import struct as st
+
+    blob = st.pack("<IHHIIII", 0xA1B2C3D4, 2, 4, 0, 0, 65535, 1)
+    blob += st.pack("<IIII", 1, 0, 4, 4) + b"\xaa\xbb\xcc\xdd"
+    blob += st.pack("<IIII", 2, 0, 100, 100) + b"\x00" * 30  # truncated
+    p = tmp_path / "cut.pcap"
+    p.write_bytes(blob)
+    rows = read_pcap(spark, str(p)).collect()
+    assert len(rows) == 1
+    assert bytes(rows[0]["data"]) == b"\xaa\xbb\xcc\xdd"
+
+
+def test_decapsulate_all_empty_payloads(spark, tmp_path):
+    """A batch containing only zero-length payloads must not crash the
+    vectorized gathers."""
+    import struct as st
+
+    blob = st.pack("<IHHIIII", 0xA1B2C3D4, 2, 4, 0, 0, 65535, 1)
+    for _ in range(3):
+        blob += st.pack("<IIII", 1, 0, 0, 0)
+    p = tmp_path / "empty.pcap"
+    p.write_bytes(blob)
+    rows = decapsulate(read_pcap(spark, str(p))).collect()
+    assert len(rows) == 3
+    assert all(r["ether"] is None and r["community_id"] is None
+               for r in rows)
+
+
 def test_decapsulate_unparsable_keeps_pcap(spark, tmp_path):
     """A frame too short for layer 2 still yields a row with the original
     record nested under pcap and null layers (the reference pushes an
