@@ -555,11 +555,13 @@ def ngram_jaccard_pairs(
         df.select(F.col(id_col).alias("__id"),
                   (F.col(text_col) if isinstance(text_col, str) else text_col).alias("__t"))
         .filter(F.length(F.trim("__t")) > 0)
-        # fan the raw text out BEFORE tokenizing: a one-split source
-        # would otherwise shingle+explode on a single core (only the
-        # cheap length predicate sits below this exchange)
-        .repartition(npart, F.col("__id"))
     )
+    # fan the raw text out BEFORE tokenizing ONLY for narrow sources (a
+    # one-split sf-test parquet would shingle+explode on a single core);
+    # at scale the source is already wide and this full-corpus text
+    # shuffle must not happen (same gate as minhash, round-2 verdict #8)
+    if base.rdd.getNumPartitions() < npart:
+        base = base.repartition(npart, F.col("__id"))
     sh = word_shingles_udf(k)(F.col("__t")) if use_words \
         else char_shingles("__t", k)
     ex = (
