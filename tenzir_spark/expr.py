@@ -505,6 +505,18 @@ class Binder:
                 out = out & bound
             return out
         paths = self._resolve(lhs)
+        if not paths and isinstance(lhs, TypeExtractor) \
+                and lhs.type_name in ("ip", "subnet") \
+                and isinstance(rhs, Literal) \
+                and rhs.type_name in ("ip", "subnet"):
+            # bare-literal / :ip search over schema-on-read data: the
+            # reference's schemas TYPE address fields as ip, so
+            # `where 1.2.3.4` matches them; inferred JSON leaves them
+            # plain strings here. With no ip hints declared, fall back
+            # to every string leaf — the ip/subnet comparators are
+            # value-guarded, so non-address strings simply don't match.
+            paths = [p for p, dt in self.leaves
+                     if isinstance(dt, T.StringType)]
         if not paths:
             return F.lit(False)
         cols = [self._one(p, op, rhs) for p in paths]

@@ -107,6 +107,25 @@ def test_bare_literal_type_sugar(conn):
     assert [r.uid for r in out.collect()] == ["C2"]
 
 
+def test_bare_ip_literal_over_untyped_strings(spark):
+    """`where 1.2.3.4` / `where 10.0.0.0/8` over schema-on-read data:
+    the reference's schemas TYPE address fields as ip, so a bare ip
+    literal matches them; with no ip hints declared, the :ip extractor
+    falls back to string leaves with value-guarded comparison
+    (expressions.md short forms)."""
+    df = spark.createDataFrame(
+        [("a", "10.0.0.1", "flow"), ("b", "10.0.0.2", "dns"),
+         ("c", "172.16.9.9", "alert"), ("d", None, "flow")],
+        "uid string, src string, kind string")
+    got = df.filter(compile_expression("10.0.0.2", df))
+    assert [r.uid for r in got.collect()] == ["b"]
+    got = df.filter(compile_expression("10.0.0.0/8", df))
+    assert sorted(r.uid for r in got.collect()) == ["a", "b"]
+    # non-address strings and nulls never match
+    got = df.filter(compile_expression("192.168.0.0/16", df))
+    assert got.count() == 0
+
+
 def test_concept_taxonomy(conn):
     # taxonomy: one concept name fans out to many per-schema fields
     out = conn.filter(compile_expression(
