@@ -517,6 +517,27 @@ class Binder:
             # value-guarded, so non-address strings simply don't match.
             paths = [p for p, dt in self.leaves
                      if isinstance(dt, T.StringType)]
+            # ...and string-valued MAP columns (the cef extension bag):
+            # the reference types those extension fields individually,
+            # so a bare-ip search reaches them too
+            extra = []
+            for p, dt in self.leaves:
+                if isinstance(dt, T.MapType) \
+                        and isinstance(dt.valueType, T.StringType):
+                    mc = self.col(p)
+                    if rhs.type_name == "subnet" and op in ("in", "=="):
+                        extra.append(F.exists(
+                            F.map_values(mc),
+                            lambda v: ip_in_subnet(v, rhs.value)))
+                    elif op == "==":
+                        extra.append(F.array_contains(
+                            F.map_values(mc), str(rhs.value)))
+            if extra or paths:
+                cols = [self._one(p, op, rhs) for p in paths] + extra
+                out = cols[0]
+                for c in cols[1:]:
+                    out = out | c
+                return out
         if not paths:
             return F.lit(False)
         cols = [self._one(p, op, rhs) for p in paths]

@@ -126,6 +126,24 @@ def test_bare_ip_literal_over_untyped_strings(spark):
     assert got.count() == 0
 
 
+def test_bare_ip_searches_cef_extension_map(spark):
+    """tests.yaml:635 shape: `where <field-pred> && 192.168.101.100` —
+    the bare ip reaches the cef extension bag (a map<string,string>
+    here; the reference types those extension fields individually)."""
+    from tenzir_spark.sources.formats import read_cef
+
+    df = read_cef(spark, "/root/repo/fixtures/events.cef")
+    got = df.filter(compile_expression("10.0.0.1", df))
+    assert got.count() == 1
+    assert got.first()["device_vendor"] == "security"
+    got = df.filter(compile_expression(
+        'device_vendor == "acme" && 192.168.0.0/16', df))
+    assert got.count() == 1
+    got = df.filter(compile_expression(
+        'device_vendor == "security" && 192.168.0.0/16', df))
+    assert got.count() == 0
+
+
 def test_concept_taxonomy(conn):
     # taxonomy: one concept name fans out to many per-schema fields
     out = conn.filter(compile_expression(
