@@ -143,6 +143,30 @@ def test_tql_export_import_lake_roundtrip(spark, tmp_path):
     assert {r.k: r.v for r in dst.read().collect()} == {"b": 20, "c": 300}
 
 
+def test_tql_cef_import_export_sort(spark, tmp_path):
+    """tests.yaml 'Sort with Remote Operators' shape: `read cef |
+    import` then `export | sort signature_id asc` — format ingest into
+    the lake and sorted export, all through pipeline strings."""
+    from pyspark.sql import types as T
+
+    from tenzir_spark.lake import LakeTable
+    from tenzir_spark.plans.registry import register_table
+    from tenzir_spark.sources.formats import read_cef
+
+    schema = read_cef(spark, "/root/repo/fixtures/events.cef").schema
+    t = LakeTable.create(spark, str(tmp_path / "cef"), schema,
+                         "signature_id", num_buckets=2)
+    register_table("tql_cef", t)
+    exec_pipeline("from /root/repo/fixtures/events.cef read cef"
+                  " | import tql_cef", spark=spark)
+    t.refresh()
+    out = exec_pipeline("export tql_cef | sort signature_id"
+                        " | select signature_id name", spark=spark)
+    rows = [(r["signature_id"], r["name"]) for r in out.collect()]
+    assert rows == sorted(rows)
+    assert ("100", "worm stopped") in rows
+
+
 def test_sigma_rule_directory(spark, tmp_path):
     from tenzir_spark.functions.sigma import load_rules
 
