@@ -75,6 +75,22 @@ CASES = [
     ("pcap_decap_select.txt",
      "from /root/repo/fixtures/vlan-double-tagging.pcap read pcap"
      " | decapsulate | select vlan | head 3 --order-by pcap.timestamp"),
+    # tests.yaml:715 shape (read-json-with-new-field-in-record-list):
+    # records inside a list unify with null-fill, as the reference's
+    # adaptive builder does (its golden prints the explicit null our
+    # NDJSON omits — same rows)
+    ("json_record_list_new_field.txt",
+     "from /root/repo/fixtures/record-list-new-field.json read json"),
+    # tests.yaml:730 shape (record-list-with-nulls-and-conflict) — two
+    # DOCUMENTED divergences from the reference golden: (a) a field
+    # whose type conflicts across rows (42 vs "qux") unifies to string
+    # via Spark's inference lattice, where the reference keeps two
+    # heterogeneous per-event schemas; (b) a list of EMPTY records has
+    # no Spark type and the column is dropped, where the adaptive
+    # builder keeps foo=[{}, null, {}]
+    ("json_record_list_conflict.txt",
+     "from /root/repo/fixtures/record-list-with-null-conflict.json"
+     " read json"),
 ]
 
 
