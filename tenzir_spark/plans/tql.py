@@ -148,6 +148,16 @@ def _reader_kwargs(f: str, toks: list[str]) -> dict:
     from pyspark.sql import types as T
 
     kw: dict = {}
+    # accept both spellings the reference uses: `--opt value` and
+    # `--opt=value` (tests.yaml mixes them, e.g. --selector=schema:argus)
+    split: list[str] = []
+    for t in toks:
+        if t.startswith("--") and "=" in t:
+            name, _, val = t.partition("=")
+            split.extend([name, val])
+        else:
+            split.append(t)
+    toks = split
     i = 0
     while i < len(toks):
         t = toks[i]
