@@ -131,6 +131,11 @@ def show(spark: SparkSession, aspect: str) -> DataFrame:
         from tenzir_spark.expr import _FUNCS
         rows = [(n, f"{lo}..{hi} args") for n, (lo, hi, _) in sorted(_FUNCS.items())]
         return spark.createDataFrame(rows, "function string, arity string")
+    if aspect == "schemas":
+        # the module library (schema_lib; reference /schema/types)
+        from tenzir_spark.schema_lib import get_schema, schema_names
+        rows = [(n, get_schema(n)[0].simpleString()) for n in schema_names()]
+        return spark.createDataFrame(rows, "schema string, definition string")
     data = {
         "operators": OPERATORS,
         "formats": FORMATS,
@@ -140,7 +145,8 @@ def show(spark: SparkSession, aspect: str) -> DataFrame:
     }
     if aspect not in data:
         known = sorted(data) + ["tables", "version", "build", "dependencies",
-                                "config", "plugins", "types", "functions"]
+                                "config", "plugins", "types", "functions",
+                                "schemas"]
         raise ValueError(f"unknown aspect {aspect!r}; one of {known}")
     return spark.createDataFrame([(x,) for x in data[aspect]], f"{aspect.replace('-', '_')} string")
 

@@ -169,10 +169,25 @@ def _reader_kwargs(f: str, toks: list[str]) -> dict:
             if prefix:
                 kw["selector_prefix"] = prefix
         elif t == "--schema" and f in ("json", "csv", "tsv", "ssv"):
-            # DDL string schema ('a int, b string') — explicit schemas
-            # skip inference exactly like the reference's --schema
-            kw["schema"] = T._parse_datatype_string(toks[i + 1])
+            # a NAMED schema from the module library (schema_lib;
+            # reference /schema/types, e.g. suricata.alert) or a DDL
+            # string ('a int, b string') — explicit schemas skip
+            # inference exactly like the reference's --schema
+            from tenzir_spark.schema_lib import get_schema
+            named = get_schema(toks[i + 1])
+            if named is not None:
+                kw["schema"] = named[0]
+                # carry the library's ip/subnet hints so downstream
+                # `where x in 10.0.0.0/8` gets typed-ip semantics
+                kw["__hints"] = named[1]
+            else:
+                kw["schema"] = T._parse_datatype_string(toks[i + 1])
             i += 2
+        elif t == "--no-infer" and f in ("json", "suricata", "zeek-json"):
+            # with an explicit Spark schema, fields outside it are
+            # already dropped — the flag is accepted for compatibility
+            # (json.cpp --no-infer)
+            i += 1
         elif t == "--arrays-of-objects" and f == "json":
             kw["arrays_of_objects"] = True
             i += 1
@@ -196,7 +211,14 @@ def _reader_kwargs(f: str, toks: list[str]) -> dict:
 def _read_fmt(spark: SparkSession, f: str, path: str, opts: list[str] | None = None):
     if f not in _READERS:
         raise ValueError(f"unknown read format {f!r}")
-    return _READERS[f](spark, path, **_reader_kwargs(f, opts or []))
+    kw = _reader_kwargs(f, opts or [])
+    hints = kw.pop("__hints", None)
+    df = _READERS[f](spark, path, **kw)
+    if hints:
+        # extractor type hints from the named schema (ip/subnet columns)
+        # ride on the frame for the downstream `where` compiler
+        df.__dict__["_tenzir_type_hints"] = hints
+    return df
 
 
 def _infer_format(path: str) -> str:
@@ -456,7 +478,8 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
 
         # -- transforms ------------------------------------------------------
         if op == "where":
-            p = p.where(arg)
+            hints = getattr(df, "_tenzir_type_hints", None)
+            p = p.where(arg, type_hints=hints) if hints else p.where(arg)
         elif op == "select":
             p = p.select(*_names(arg))
         elif op == "drop":

@@ -1,0 +1,246 @@
+"""Schema library: parse the reference's type-definition DSL into Spark
+schemas + extractor type hints.
+
+Reference: the module library under ``/schema/types/*.schema``
+(suricata/zeek/argus/sysmon definitions) and its type DSL
+(``type NAME = record { field: type #attr, ... }``, record
+concatenation with ``+``, aliases, ``enum { ... }``, ``list<T>``),
+documented in ``web/docs/data-model/modules.md``. Named schemas are what
+``read json --schema suricata.alert`` resolves against.
+
+Spark mapping: bool→boolean, int64/uint64/port→long, double→double,
+string/enum→string, time/timestamp→timestamp, duration→double
+(seconds, matching the zeek-tsv reader), ip/subnet→string PLUS a type
+HINT so the ``:ip``/``:subnet`` extractors and subnet containment know
+which string columns carry addresses — the reference's typed-ip
+behavior re-expressed over Spark's type system.
+
+The engine bundles a condensed library (``schemas/bundled.schema``,
+written against the cited reference definitions — suricata.alert/dns/
+flow, zeek.conn); ``load_schema_file``/``load_schema_dir`` ingest any
+full ``*.schema`` tree.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import types as T
+
+_PRIMITIVES = {
+    "bool": (T.BooleanType(), None),
+    "uint64": (T.LongType(), None),
+    "int64": (T.LongType(), None),
+    "uint16": (T.LongType(), None),
+    "double": (T.DoubleType(), None),
+    "string": (T.StringType(), None),
+    "time": (T.TimestampType(), None),
+    "timestamp": (T.TimestampType(), None),
+    "duration": (T.DoubleType(), None),
+    "ip": (T.StringType(), "ip"),
+    "subnet": (T.StringType(), "subnet"),
+    "port": (T.LongType(), None),
+}
+
+
+class _Parser:
+    """Recursive-descent parser for one .schema source text."""
+
+    def __init__(self, text: str, types: dict):
+        # strip // comments (string literals in the DSL only appear in
+        # #attr="..." values, which we discard anyway)
+        self.text = re.sub(r"//[^\n]*", "", text)
+        self.pos = 0
+        self.types = types  # name -> ("record", fields) | ("prim", key)
+
+    # -- lexing helpers --------------------------------------------------
+
+    def _ws(self):
+        while self.pos < len(self.text) and self.text[self.pos].isspace():
+            self.pos += 1
+
+    def _peek(self, tok: str) -> bool:
+        self._ws()
+        return self.text.startswith(tok, self.pos)
+
+    def _eat(self, tok: str) -> bool:
+        if self._peek(tok):
+            self.pos += len(tok)
+            return True
+        return False
+
+    def _expect(self, tok: str):
+        if not self._eat(tok):
+            ctx = self.text[self.pos:self.pos + 40]
+            raise ValueError(f"schema parse error: expected {tok!r} at "
+                             f"{ctx!r}")
+
+    def _ident(self) -> str:
+        self._ws()
+        m = re.match(r"[A-Za-z_][\w.\-]*", self.text[self.pos:])
+        if not m:
+            ctx = self.text[self.pos:self.pos + 40]
+            raise ValueError(f"schema parse error: expected name at {ctx!r}")
+        self.pos += m.end()
+        return m.group(0)
+
+    def _skip_attrs(self):
+        while self._peek("#"):
+            self._eat("#")
+            self._ident()
+            if self._eat("="):
+                self._ws()
+                if self._eat('"'):
+                    end = self.text.index('"', self.pos)
+                    self.pos = end + 1
+                else:
+                    m = re.match(r"[^\s,}#]+", self.text[self.pos:])
+                    self.pos += m.end() if m else 0
+
+    # -- grammar ---------------------------------------------------------
+
+    def parse(self):
+        while True:
+            self._ws()
+            if self.pos >= len(self.text):
+                return
+            self._expect("type")
+            name = self._ident()
+            self._expect("=")
+            self.types[name] = self._type_expr()
+
+    def _type_expr(self):
+        node = self._type_atom()
+        while self._eat("+"):
+            # record concatenation: A + record { ... }
+            rhs = self._type_atom()
+            lf = self._fields_of(node)
+            rf = self._fields_of(rhs)
+            node = ("record", lf + [f for f in rf
+                                    if f[0] not in {n for n, _ in lf}])
+        return node
+
+    def _type_atom(self):
+        if self._peek("record"):
+            self._eat("record")
+            self._expect("{")
+            fields = []
+            while not self._eat("}"):
+                fname = self._ident()
+                self._expect(":")
+                ftype = self._type_expr()
+                self._skip_attrs()
+                fields.append((fname, ftype))
+                self._eat(",")
+            return ("record", fields)
+        if self._peek("enum"):
+            self._eat("enum")
+            self._expect("{")
+            while not self._eat("}"):
+                self._ident()
+                self._skip_attrs()
+                self._eat(",")
+            return ("prim", "string")
+        if self._peek("list"):
+            self._eat("list")
+            self._expect("<")
+            inner = self._type_expr()
+            self._expect(">")
+            return ("list", inner)
+        name = self._ident()
+        if name in _PRIMITIVES:
+            return ("prim", name)
+        if name in self.types:
+            return self.types[name]
+        raise ValueError(f"schema parse error: unknown type {name!r}")
+
+    def _fields_of(self, node):
+        if node[0] != "record":
+            raise ValueError("'+' concatenation needs record operands")
+        return node[1]
+
+
+def _to_spark(node, prefix: str, hints: dict) -> T.DataType:
+    kind = node[0]
+    if kind == "prim":
+        key = node[1]
+        if key in _PRIMITIVES:
+            spark_type, hint = _PRIMITIVES[key]
+        else:  # produced by enum (already a type name alias)
+            spark_type, hint = T.StringType(), None
+        if hint:
+            hints[prefix.rstrip(".")] = hint
+        return spark_type
+    if kind == "list":
+        return T.ArrayType(_to_spark(node[1], prefix, hints))
+    if kind == "record":
+        return T.StructType([
+            T.StructField(n, _to_spark(t, f"{prefix}{n}.", hints), True)
+            for n, t in node[1]])
+    raise TypeError(node)
+
+
+def parse_schemas(text: str, into: dict | None = None) -> dict:
+    """Parse .schema DSL text → {name: (StructType, hints)} for every
+    record type defined (aliases and scalars register as components but
+    only records become named schemas)."""
+    types: dict = {}
+    _Parser(text, types).parse()
+    out = dict(into) if into else {}
+    for name, node in types.items():
+        if node[0] == "record":
+            hints: dict = {}
+            st = _to_spark(node, "", hints)
+            out[name] = (st, hints)
+    return out
+
+
+_REGISTRY: dict | None = None
+
+
+def _bundled() -> dict:
+    global _REGISTRY
+    if _REGISTRY is None:
+        path = os.path.join(os.path.dirname(__file__), "schemas",
+                            "bundled.schema")
+        with open(path) as fh:
+            _REGISTRY = parse_schemas(fh.read())
+    return _REGISTRY
+
+
+def get_schema(name: str) -> tuple[T.StructType, dict] | None:
+    """Look up a named schema → (StructType, extractor type hints)."""
+    return _bundled().get(name)
+
+
+def schema_names() -> list[str]:
+    return sorted(_bundled())
+
+
+def register_schemas(text: str) -> None:
+    """Add definitions (DSL text) to the process-wide registry. A text
+    must be self-contained (cross-file references: concatenate the
+    sources, as load_schema_dir does)."""
+    _bundled()
+    _REGISTRY.update(parse_schemas(text))
+
+
+def load_schema_file(path: str) -> None:
+    with open(path) as fh:
+        register_schemas(fh.read())
+
+
+def load_schema_dir(path: str) -> None:
+    """Ingest a directory tree of ``*.schema`` files (e.g. the
+    reference's /schema/types). Files parse in name order; cross-file
+    references must respect that order (base definitions first, as the
+    reference's own library is laid out)."""
+    import glob
+
+    merged = []
+    for p in sorted(glob.glob(os.path.join(path, "**", "*.schema"),
+                              recursive=True)):
+        with open(p) as fh:
+            merged.append(fh.read())
+    register_schemas("\n".join(merged))
