@@ -438,7 +438,18 @@ class Binder:
         if suffix in self.concepts:
             out: list[str] = []
             for ex in self.concepts[suffix]:
-                for p in self.field_matches(ex):
+                hits = self.field_matches(ex)
+                # the reference's shipped concept fields are
+                # SCHEMA-QUALIFIED ("suricata.flow.src_ip" = field
+                # src_ip of schema suricata.flow); a frame's columns
+                # carry no schema prefix, so strip leading components
+                # until something resolves (schema-name gating happens
+                # via which frame the query runs on)
+                parts = ex.split(".")
+                while not hits and len(parts) > 1:
+                    parts = parts[1:]
+                    hits = self.field_matches(".".join(parts))
+                for p in hits:
                     if p not in out:
                         out.append(p)
             return out
@@ -822,14 +833,20 @@ def load_concepts(path: str) -> dict[str, list[str]]:
         doc = yaml.safe_load(fh) or {}
     out: dict[str, list[str]] = {}
     if isinstance(doc, dict) and "concepts" in doc:
-        for entry in doc["concepts"] or []:
-            c = entry.get("concept", entry) if isinstance(entry, dict) else {}
-            name = c.get("name")
-            if name:
-                out.setdefault(name, []).extend(c.get("fields") or [])
+        entries = doc["concepts"] or []
+    elif isinstance(doc, list):
+        # the reference's shipped concept files are a bare top-level
+        # list of `- concept: {...}` entries (/schema/concepts/*.yaml)
+        entries = doc
     else:
         for name, fields in (doc or {}).items():
             out[name] = list(fields)
+        return out
+    for entry in entries:
+        c = entry.get("concept", entry) if isinstance(entry, dict) else {}
+        name = c.get("name")
+        if name:
+            out.setdefault(name, []).extend(c.get("fields") or [])
     return out
 
 

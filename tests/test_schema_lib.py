@@ -103,3 +103,22 @@ def test_show_schemas_aspect(spark):
     df = show(spark, "schemas")
     names = [r["schema"] for r in df.collect()]
     assert "zeek.conn" in names
+
+
+def test_load_reference_concept_files(spark):
+    """The reference's SHIPPED concept files (bare-list yaml form,
+    /schema/concepts) load and drive concept extractors: a query on
+    `net.src.ip` resolves to the per-schema fields."""
+    base = "/root/reference/schema/concepts/suricata.yaml"
+    if not os.path.exists(base):
+        pytest.skip("reference tree not present")
+    from tenzir_spark.expr import compile_expression, load_concepts
+
+    concepts = load_concepts(base)
+    assert "net.src.ip" in concepts
+    assert "suricata.flow.src_ip" in concepts["net.src.ip"]
+    df = spark.createDataFrame(
+        [("10.0.0.1", 443)], "src_ip string, dest_port long")
+    out = df.filter(compile_expression(
+        'net.src.ip == "10.0.0.1"', df, concepts=concepts))
+    assert out.count() == 1
