@@ -231,6 +231,35 @@ def load_schema_file(path: str) -> None:
         register_schemas(fh.read())
 
 
+def demux_typed(df, selector: str = "event_type",
+                prefix: str = "suricata") -> dict:
+    """Split a selector-tagged frame into per-schema frames TYPED by the
+    library — the reference's suricata/zeek-json readers emit exactly
+    this: one slice stream per event type, each typed by its module
+    schema (json.cpp selector routing + the /schema/types library).
+
+    Frames whose name has a library entry are cast through the lattice
+    (operators.cast.cast_to: missing fields → typed nulls, strings →
+    timestamps, extras dropped); unknown names pass through inferred.
+    The distinct-selector collect is O(number of schemas), not data."""
+    from pyspark.sql import functions as F
+
+    from tenzir_spark.operators.cast import cast_to
+
+    values = [r[0] for r in df.select(selector).distinct().collect()
+              if r[0] is not None]
+    out = {}
+    for v in sorted(values):
+        name = f"{prefix}.{v}" if prefix else str(v)
+        sub = df.filter(F.col(selector) == v)
+        entry = get_schema(name)
+        if entry is not None:
+            sub = cast_to(sub, entry[0])
+            sub.__dict__["_tenzir_type_hints"] = entry[1]
+        out[name] = sub
+    return out
+
+
 def load_schema_dir(path: str) -> None:
     """Ingest a directory tree of ``*.schema`` files (e.g. the
     reference's /schema/types). Files parse in name order; cross-file

@@ -105,6 +105,24 @@ def test_show_schemas_aspect(spark):
     assert "zeek.conn" in names
 
 
+def test_demux_typed_suricata(spark):
+    """read suricata -> per-event-type frames typed by the library:
+    the reference's selector routing + module schemas composed."""
+    df = spark.read.json("/root/repo/fixtures/eve.json")
+    frames = schema_lib.demux_typed(df)
+    assert "suricata.dns" in frames and "suricata.flow" in frames
+    dns = frames["suricata.dns"]
+    assert isinstance(dns.schema["timestamp"].dataType, T.TimestampType)
+    rows = dns.select("dns.rrname", "timestamp").collect()
+    assert len(rows) == 2 and all(r["rrname"] for r in rows)
+    assert all(r["timestamp"] is not None for r in rows)
+    # library hints ride along for subnet semantics
+    assert dns._tenzir_type_hints["src_ip"] == "ip"
+    # unknown event types pass through untyped
+    assert set(frames) >= {"suricata.alert", "suricata.dns",
+                           "suricata.flow"}
+
+
 def test_load_reference_concept_files(spark):
     """The reference's SHIPPED concept files (bare-list yaml form,
     /schema/concepts) load and drive concept extractors: a query on
