@@ -148,16 +148,7 @@ def _reader_kwargs(f: str, toks: list[str]) -> dict:
     from pyspark.sql import types as T
 
     kw: dict = {}
-    # accept both spellings the reference uses: `--opt value` and
-    # `--opt=value` (tests.yaml mixes them, e.g. --selector=schema:argus)
-    split: list[str] = []
-    for t in toks:
-        if t.startswith("--") and "=" in t:
-            name, _, val = t.partition("=")
-            split.extend([name, val])
-        else:
-            split.append(t)
-    toks = split
+    toks = _split_eq_opts(toks)
     i = 0
     while i < len(toks):
         t = toks[i]
@@ -206,6 +197,28 @@ def _reader_kwargs(f: str, toks: list[str]) -> dict:
         else:
             raise ValueError(f"unknown reader option {t!r} for format {f!r}")
     return kw
+
+
+def _split_eq_opts(toks: list[str]) -> list[str]:
+    """Accept both spellings the reference uses: `--opt value` and
+    `--opt=value` (tests.yaml mixes them, e.g. --selector=schema:argus)."""
+    out: list[str] = []
+    for t in toks:
+        if t.startswith("--") and "=" in t:
+            name, _, val = t.partition("=")
+            out.extend([name, val])
+        else:
+            out.append(t)
+    return out
+
+
+def _duration_seconds(v: str) -> float:
+    """'2', '2s', '500ms', '3min' -> seconds (connector --duration)."""
+    v = v.strip()
+    for suffix, mult in (("ms", 0.001), ("min", 60.0), ("s", 1.0)):
+        if v.endswith(suffix):
+            return float(v[: -len(suffix)]) * mult
+    return float(v)
 
 
 def _read_fmt(spark: SparkSession, f: str, path: str, opts: list[str] | None = None):
@@ -367,17 +380,18 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
                 # live AF_PACKET capture -> pcap byte stream (nic.md:
                 # "the default parser for the nic loader is pcap")
                 from tenzir_spark.sources.nic import load_nic
-                ntoks = toks[1:]
+                ntoks = _split_eq_opts(toks[1:])
                 iface = (ntoks.pop(0)
                          if ntoks and not ntoks[0].startswith("-")
                          and ntoks[0] != "read" else "lo")
                 cnt = _flag(ntoks, "--count")
                 dur = _flag(ntoks, "--duration")
                 sl = _flag(ntoks, "-s") or _flag(ntoks, "--snaplen")
-                spool = load_nic(iface,
-                                 snaplen=int(sl) if sl else 262144,
-                                 n_packets=int(cnt) if cnt else None,
-                                 duration=float(dur) if dur else 2.0)
+                spool = load_nic(
+                    iface,
+                    snaplen=int(sl) if sl else 262144,
+                    n_packets=int(cnt) if cnt else None,
+                    duration=_duration_seconds(dur) if dur else 2.0)
                 if "read" in ntoks:
                     ridx = ntoks.index("read")
                     p = Pipeline(_read_fmt(spark, ntoks[ridx + 1], spool,
@@ -390,7 +404,7 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
                 # received messages, then the normal reader takes over
                 from tenzir_spark.sources.zmq import (DEFAULT_ENDPOINT,
                                                       load_zmq)
-                ztoks = toks[1:]
+                ztoks = _split_eq_opts(toks[1:])
                 ep = DEFAULT_ENDPOINT
                 if ztoks and not ztoks[0].startswith("-") \
                         and ztoks[0] != "read":
@@ -703,8 +717,9 @@ def run_pipeline(p: Pipeline):
         return None
     if sink.kind == "zmq":
         from tenzir_spark.sources.zmq import save_zmq
-        lines = [r for r in p.df.toJSON().toLocalIterator()]
-        return save_zmq(lines, sink.path,
+        # pass the iterator through: save_zmq makes one pass, so driver
+        # memory stays bounded to a partition instead of the full result
+        return save_zmq(p.df.toJSON().toLocalIterator(), sink.path,
                         bind=not getattr(sink, "connect", False))
     if sink.kind == "import":
         from pyspark.sql import functions as F

@@ -64,6 +64,22 @@ class _Parser:
         self._ws()
         return self.text.startswith(tok, self.pos)
 
+    def _peek_kw(self, kw: str) -> bool:
+        """Keyword match with a word boundary: `record`/`enum`/`list`
+        must not prefix-match a user type named `listing` or
+        `enumeration_x`."""
+        if not self._peek(kw):
+            return False
+        end = self.pos + len(kw)
+        return end >= len(self.text) \
+            or not re.match(r"[\w.\-]", self.text[end])
+
+    def _eat_kw(self, kw: str) -> bool:
+        if self._peek_kw(kw):
+            self.pos += len(kw)
+            return True
+        return False
+
     def _eat(self, tok: str) -> bool:
         if self._peek(tok):
             self.pos += len(tok)
@@ -105,7 +121,10 @@ class _Parser:
             self._ws()
             if self.pos >= len(self.text):
                 return
-            self._expect("type")
+            if not self._eat_kw("type"):
+                ctx = self.text[self.pos:self.pos + 40]
+                raise ValueError(
+                    f"schema parse error: expected 'type' at {ctx!r}")
             name = self._ident()
             self._expect("=")
             self.types[name] = self._type_expr()
@@ -122,8 +141,8 @@ class _Parser:
         return node
 
     def _type_atom(self):
-        if self._peek("record"):
-            self._eat("record")
+        if self._peek_kw("record"):
+            self._eat_kw("record")
             self._expect("{")
             fields = []
             while not self._eat("}"):
@@ -134,16 +153,16 @@ class _Parser:
                 fields.append((fname, ftype))
                 self._eat(",")
             return ("record", fields)
-        if self._peek("enum"):
-            self._eat("enum")
+        if self._peek_kw("enum"):
+            self._eat_kw("enum")
             self._expect("{")
             while not self._eat("}"):
                 self._ident()
                 self._skip_attrs()
                 self._eat(",")
             return ("prim", "string")
-        if self._peek("list"):
-            self._eat("list")
+        if self._peek_kw("list"):
+            self._eat_kw("list")
             self._expect("<")
             inner = self._type_expr()
             self._expect(">")

@@ -78,10 +78,10 @@ class ServeBuffer:
             try:
                 max_events = int(max_events)
             except (TypeError, ValueError):
-                raise KeyError(f"max_events must be an integer, got "
-                               f"{max_events!r}")
+                raise ValueError(f"max_events must be an integer, got "
+                                 f"{max_events!r}")
             if max_events < 1:
-                raise KeyError("max_events must be >= 1")
+                raise ValueError("max_events must be >= 1")
         timeout = min(max(timeout, 0.0), MAX_TIMEOUT_SECONDS)
         with self._cv:
             # replay of the last served token returns the cached response
@@ -92,7 +92,7 @@ class ServeBuffer:
                 return self._last_response
             expected = f"t{self._seq}" if self._seq else None
             if continuation_token != expected:
-                raise KeyError(
+                raise ValueError(
                     f"invalid continuation token {continuation_token!r}")
             want = max_events if max_events is not None else self.buffer_size
             self._cv.wait_for(

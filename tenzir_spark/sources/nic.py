@@ -55,7 +55,12 @@ def load_nic(interface: str = "lo", snaplen: int = 262144,
             while (n_packets is None or got < n_packets) \
                     and time.monotonic() < deadline:
                 try:
-                    pkt = sock.recv(65535)
+                    # buffer must cover the snaplen AND jumbo/loopback
+                    # frames (lo MTU is 65536); a packet longer than the
+                    # buffer reports its captured length as original —
+                    # libpcap learns the true wire length, we note the
+                    # divergence rather than guess
+                    pkt = sock.recv(max(snaplen, 1 << 17))
                 except TimeoutError:
                     continue
                 ts = time.time()

@@ -36,43 +36,54 @@ def run_shell(command: str, stdin_path: str | None = None,
     Non-zero exit raises with the child's stderr, matching the
     reference's error propagation (shell.cpp exit-code diagnostics).
     """
+    import time
+
     fd, spool = tempfile.mkstemp(prefix="tenzir_shell_")
+    efd, errpath = tempfile.mkstemp(prefix="tenzir_shell_err_")
     proc = None
     try:
+        # stdout and stderr go STRAIGHT to files: no Python read loop
+        # means no pipe-buffer deadlock (a child filling stderr while we
+        # drained stdout would block forever against a PIPE), and the
+        # kernel does the copying. The size cap and the overall timeout
+        # are enforced by polling the child — the cap bounds disk/driver
+        # exposure before the child can finish writing.
         with (open(stdin_path, "rb") if stdin_path else
-              open(os.devnull, "rb")) as inp, os.fdopen(fd, "wb") as out:
-            fd = None
-            # stream the child's stdout straight to the spool so the cap
-            # bounds DRIVER MEMORY, not just the final file size — a
-            # buffered subprocess.run would hold the whole output in RAM
-            # before any check could fire
-            proc = subprocess.Popen(
-                command, shell=True, stdin=inp, stdout=subprocess.PIPE,
-                stderr=subprocess.PIPE)
-            written = 0
-            while True:
-                chunk = proc.stdout.read(1 << 20)
-                if not chunk:
-                    break
-                written += len(chunk)
-                if written > MAX_SPOOL_BYTES:
-                    proc.kill()
-                    raise RuntimeError(
-                        f"shell output exceeds {MAX_SPOOL_BYTES} bytes; "
-                        "use a file-based connector for bulk data")
-                out.write(chunk)
-            stderr = proc.stderr.read(65536)
-            rc = proc.wait(timeout=timeout)
-        if rc != 0:
+              open(os.devnull, "rb")) as inp:
+            proc = subprocess.Popen(command, shell=True, stdin=inp,
+                                    stdout=fd, stderr=efd)
+        deadline = time.monotonic() + timeout
+        while proc.poll() is None:
+            if os.fstat(fd).st_size > MAX_SPOOL_BYTES:
+                proc.kill()
+                raise RuntimeError(
+                    f"shell output exceeds {MAX_SPOOL_BYTES} bytes; "
+                    "use a file-based connector for bulk data")
+            if time.monotonic() > deadline:
+                proc.kill()
+                raise RuntimeError(
+                    f"shell command {command!r} timed out after "
+                    f"{timeout}s")
+            time.sleep(0.02)
+        if os.fstat(fd).st_size > MAX_SPOOL_BYTES:
             raise RuntimeError(
-                f"shell command {command!r} exited {rc}: "
-                f"{stderr.decode(errors='replace')[:500]}")
+                f"shell output exceeds {MAX_SPOOL_BYTES} bytes; "
+                "use a file-based connector for bulk data")
+        if proc.returncode != 0:
+            with open(errpath, "rb") as ef:
+                err = ef.read(65536)
+            raise RuntimeError(
+                f"shell command {command!r} exited {proc.returncode}: "
+                f"{err.decode(errors='replace')[:500]}")
         return spool
     except Exception:
         if proc is not None and proc.poll() is None:
             proc.kill()
-        if fd is not None:
-            os.close(fd)
         if os.path.exists(spool):
             os.unlink(spool)
         raise
+    finally:
+        os.close(fd)
+        os.close(efd)
+        if os.path.exists(errpath):
+            os.unlink(errpath)

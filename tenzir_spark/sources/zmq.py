@@ -34,6 +34,11 @@ _FLAG_MORE = 0x01
 _FLAG_LONG = 0x02
 _FLAG_COMMAND = 0x04
 
+#: ceiling on a single ZMTP frame AND on the loader's total spool —
+#: a malformed/malicious peer announcing a 2^40-byte frame must not
+#: drive the driver out of memory (same guard class as shell/net)
+MAX_FRAME_BYTES = 256 * 1024 * 1024
+
 
 def _parse_endpoint(endpoint: str) -> tuple[str, int]:
     ep = endpoint.strip()
@@ -56,13 +61,13 @@ def _greeting() -> bytes:
 
 
 def _recv_exact(sock: socket.socket, n: int) -> bytes:
-    buf = b""
+    buf = bytearray()
     while len(buf) < n:
         chunk = sock.recv(n - len(buf))
         if not chunk:
             raise ConnectionError("ZMTP peer closed the connection")
-        buf += chunk
-    return buf
+        buf.extend(chunk)
+    return bytes(buf)
 
 
 def _send_frame(sock: socket.socket, body: bytes, command: bool = False,
@@ -81,6 +86,10 @@ def _recv_frame(sock: socket.socket) -> tuple[int, bytes]:
         size = struct.unpack(">Q", _recv_exact(sock, 8))[0]
     else:
         size = _recv_exact(sock, 1)[0]
+    if size > MAX_FRAME_BYTES:
+        raise ConnectionError(
+            f"ZMTP frame of {size} bytes exceeds the {MAX_FRAME_BYTES} "
+            "cap — refusing")
     return flags, _recv_exact(sock, size)
 
 
@@ -189,6 +198,7 @@ def load_zmq(endpoint: str = DEFAULT_ENDPOINT, n_messages: int | None = None,
         # ZMTP 3.0 subscription: a message of 0x01 + prefix
         peer.send_message(b"\x01" + filter)
         out: list[bytes] = []
+        total = 0
         deadline = time.monotonic() + timeout
         while (n_messages is None or len(out) < n_messages) \
                 and time.monotonic() < deadline:
@@ -196,7 +206,13 @@ def load_zmq(endpoint: str = DEFAULT_ENDPOINT, n_messages: int | None = None,
                 frames = peer.recv_message()
             except (TimeoutError, ConnectionError, OSError):
                 break
-            out.append(b"".join(frames))
+            msg = b"".join(frames)
+            total += len(msg)
+            if total > MAX_FRAME_BYTES:
+                raise RuntimeError(
+                    f"zmq spool exceeds {MAX_FRAME_BYTES} bytes; "
+                    "use a file-based connector for bulk data")
+            out.append(msg)
         fd, spool = tempfile.mkstemp(prefix="tenzir_zmq_")
         with os.fdopen(fd, "wb") as fh:
             fh.write(b"\n".join(out) + (b"\n" if out else b""))
@@ -213,17 +229,27 @@ def save_zmq(lines, endpoint: str = DEFAULT_ENDPOINT, bind: bool = True,
     honoring the subscriber's prefix subscriptions (slow-joiner-safe:
     waits for the first subscription before publishing). Mirrors
     `to zmq [write <fmt>]` (zmq.md saver). Returns messages sent."""
-    peer, srv = _connect(endpoint, "PUB", bind, timeout)
+    try:
+        peer, srv = _connect(endpoint, "PUB", bind, timeout)
+    except (TimeoutError, socket.timeout):
+        # no subscriber ever connected: ZeroMQ PUB semantics — messages
+        # to nobody are dropped, not an error
+        return 0
     try:
         subs: list[bytes] = []
         # block for the first ACTIVE subscription (slow-joiner safety),
         # then drain any further pending subscription traffic — libzmq
         # peers may cancel a stale subscription first or subscribe to
         # several prefixes, each as its own 0x01/0x00 message
-        peer.sock.settimeout(timeout)
         deadline = time.monotonic() + timeout
         while not subs and time.monotonic() < deadline:
-            flags, body = _recv_frame(peer.sock)
+            peer.sock.settimeout(max(deadline - time.monotonic(), 0.05))
+            try:
+                flags, body = _recv_frame(peer.sock)
+            except (TimeoutError, socket.timeout):
+                # connected peer that never subscribes: publish nothing,
+                # gracefully (PUB drops unmatched messages)
+                return 0
             if flags & _FLAG_COMMAND:
                 continue
             if body[:1] == b"\x01":

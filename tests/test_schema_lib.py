@@ -29,6 +29,20 @@ def test_parse_primitives_and_records():
     assert hints == {"a": "ip", "e.g": "subnet"}
 
 
+def test_keyword_prefix_type_names():
+    """User types whose names begin with a DSL keyword (`listing`,
+    `enumeration_x`, `recorder`) parse — keyword matching requires a
+    word boundary."""
+    out = schema_lib.parse_schemas("""
+        type listing = record { a: string }
+        type recorder = record { b: uint64 }
+        type use = record { x: listing, y: recorder, z: list<listing> }
+    """)
+    st, _ = out["use"]
+    assert st["x"].dataType["a"].dataType == T.StringType()
+    assert st["z"].dataType.elementType["a"].dataType == T.StringType()
+
+
 def test_record_concatenation_and_alias_refs():
     out = schema_lib.parse_schemas("""
         type base = record { x: uint64, y: string }

@@ -87,3 +87,54 @@ def test_tql_zmq_source_and_sink(spark, tmp_path):
 def test_bad_endpoint_rejected():
     with pytest.raises(ValueError, match="tcp"):
         load_zmq("ipc:///tmp/x", n_messages=1, timeout=1)
+
+
+def test_pub_without_subscriber_returns_zero():
+    """ZeroMQ PUB semantics: messages to nobody are dropped, not an
+    error — both the never-connected and connected-but-never-subscribed
+    cases exit gracefully."""
+    port = _free_port()
+    assert save_zmq([b"x"], f"tcp://127.0.0.1:{port}", bind=True,
+                    timeout=1.0) == 0
+
+
+def test_oversized_frame_refused():
+    """A peer announcing a multi-GB frame is refused before any
+    allocation (adversarial-input cap)."""
+    import socket as s
+    import struct
+
+    from tenzir_spark.sources.zmq import _recv_frame
+
+    a, b = s.socketpair()
+    try:
+        b.sendall(b"\x02" + struct.pack(">Q", 1 << 40))
+        a.settimeout(2)
+        with pytest.raises(ConnectionError, match="cap"):
+            _recv_frame(a)
+    finally:
+        a.close()
+        b.close()
+
+
+def test_shell_timeout_enforced():
+    """The shell connector's timeout bounds a child that produces no
+    output (regression: the streaming rewrite had dropped it)."""
+    import time
+
+    from tenzir_spark.sources.shell import run_shell
+
+    t0 = time.monotonic()
+    with pytest.raises(RuntimeError, match="timed out"):
+        run_shell("sleep 30", timeout=1.0)
+    assert time.monotonic() - t0 < 10
+
+
+def test_shell_stderr_flood_no_deadlock():
+    """A child writing far more than a pipe buffer to stderr completes
+    (regression: sequential pipe reads deadlocked)."""
+    from tenzir_spark.sources.shell import run_shell
+
+    spool = run_shell(
+        "head -c 200000 /dev/zero >&2; printf 'done\\n'", timeout=20)
+    assert open(spool).read() == "done\n"
