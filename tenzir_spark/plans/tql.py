@@ -376,6 +376,15 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
             follow = "--follow" in toks
             toks = [t for t in toks if t != "--follow"]
             path = toks[0]
+            infer_src = path
+            if path.split("://", 1)[0] in ("http", "https", "ftp", "ftps",
+                                           "file") and "://" in path:
+                # curl connector (connectors/curl.cpp): driver-side
+                # fetch to a spool, distributed parse; s3a/gs URIs pass
+                # straight through below (Spark-native). Format inference
+                # stays on the URL (the spool has no extension).
+                from tenzir_spark.sources.net import http_fetch
+                path = http_fetch(path)
             if path == "nic":
                 # live AF_PACKET capture -> pcap byte stream (nic.md:
                 # "the default parser for the nic loader is pcap")
@@ -433,7 +442,7 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
             if f is None and op == "load":
                 read_fmt_pending = path  # defer until 'read <fmt>'
                 continue
-            f = f or _infer_format(path)
+            f = f or _infer_format(infer_src)
             if follow:
                 # `file --follow` (reference file.cpp:233) — a Structured
                 # Streaming source over a growing directory; the schema

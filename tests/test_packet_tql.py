@@ -86,6 +86,21 @@ def test_tql_pcap_sink_round_trip(spark, tmp_path):
     assert out.read_bytes() == orig
 
 
+def test_tql_url_source(spark):
+    """`from <url> [read fmt]` routes through the curl connector's
+    driver fetch; format inference uses the URL's extension, not the
+    spool path (file:// exercises the identical urllib path)."""
+    df = exec_pipeline(
+        "from file:///root/repo/fixtures/eve.json"
+        ' | where event_type == "dns" | select src_ip', spark=spark)
+    assert df.count() == 2
+    df2 = exec_pipeline(
+        "from file:///root/repo/fixtures/events.cef read cef"
+        " | select device_vendor | sort device_vendor"
+        " | head 1 --order-by device_vendor", spark=spark)
+    assert df2.collect()[0][0] == "acme"
+
+
 def test_tql_shell_failure_raises(spark):
     import pytest
 
