@@ -213,12 +213,23 @@ def _split_eq_opts(toks: list[str]) -> list[str]:
 
 
 def _duration_seconds(v: str) -> float:
-    """'2', '2s', '500ms', '3min' -> seconds (connector --duration)."""
+    """'2', '2s', '500ms', '3min', '1h' -> seconds (connector
+    --duration; the reference's full duration unit grammar). Multi-char
+    suffixes check first — 'ns'/'us'/'ms' also end in plain 's'."""
     v = v.strip()
-    for suffix, mult in (("ms", 0.001), ("min", 60.0), ("s", 1.0)):
+    for suffix, mult in (("ns", 1e-9), ("us", 1e-6), ("ms", 1e-3),
+                         ("min", 60.0), ("h", 3600.0), ("d", 86400.0),
+                         ("w", 604800.0), ("s", 1.0)):
         if v.endswith(suffix):
-            return float(v[: -len(suffix)]) * mult
-    return float(v)
+            try:
+                return float(v[: -len(suffix)]) * mult
+            except ValueError:
+                break
+    try:
+        return float(v)
+    except ValueError:
+        raise ValueError(
+            f"cannot parse duration {v!r} (use e.g. 2s, 500ms, 3min, 1h)")
 
 
 def _read_fmt(spark: SparkSession, f: str, path: str, opts: list[str] | None = None):
@@ -377,13 +388,17 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
             toks = [t for t in toks if t != "--follow"]
             path = toks[0]
             infer_src = path
-            if path.split("://", 1)[0] in ("http", "https", "ftp", "ftps",
+            # ftps deliberately absent: urllib cannot open it, so
+            # advertising it would only defer the failure
+            if path.split("://", 1)[0] in ("http", "https", "ftp",
                                            "file") and "://" in path:
                 # curl connector (connectors/curl.cpp): driver-side
                 # fetch to a spool, distributed parse; s3a/gs URIs pass
                 # straight through below (Spark-native). Format inference
-                # stays on the URL (the spool has no extension).
+                # uses the URL's PATH component — query strings and
+                # fragments carry no extension.
                 from tenzir_spark.sources.net import http_fetch
+                infer_src = path.split("?", 1)[0].split("#", 1)[0]
                 path = http_fetch(path)
             if path == "nic":
                 # live AF_PACKET capture -> pcap byte stream (nic.md:
@@ -439,6 +454,7 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
                 # stdin connector (reference: connectors/dash.cpp) —
                 # driver-side spool, then the normal distributed reader
                 path = _spool_stdin(f or "json")
+                infer_src = path  # the spool carries the format suffix
             if f is None and op == "load":
                 read_fmt_pending = path  # defer until 'read <fmt>'
                 continue

@@ -54,7 +54,10 @@ def run_shell(command: str, stdin_path: str | None = None,
                                     stdout=fd, stderr=efd)
         deadline = time.monotonic() + timeout
         while proc.poll() is None:
-            if os.fstat(fd).st_size > MAX_SPOOL_BYTES:
+            # cap BOTH spools — an unbounded stderr flood is the same
+            # disk-exhaustion exposure as stdout
+            if os.fstat(fd).st_size > MAX_SPOOL_BYTES \
+                    or os.fstat(efd).st_size > MAX_SPOOL_BYTES:
                 proc.kill()
                 raise RuntimeError(
                     f"shell output exceeds {MAX_SPOOL_BYTES} bytes; "

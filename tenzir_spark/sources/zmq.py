@@ -40,6 +40,12 @@ _FLAG_COMMAND = 0x04
 MAX_FRAME_BYTES = 256 * 1024 * 1024
 
 
+class FrameTooLarge(ConnectionError):
+    """A peer announced a frame above MAX_FRAME_BYTES — distinct from
+    ordinary disconnects so callers can surface it instead of treating
+    it as end-of-stream."""
+
+
 def _parse_endpoint(endpoint: str) -> tuple[str, int]:
     ep = endpoint.strip()
     if ep.startswith("tcp://"):
@@ -87,7 +93,7 @@ def _recv_frame(sock: socket.socket) -> tuple[int, bytes]:
     else:
         size = _recv_exact(sock, 1)[0]
     if size > MAX_FRAME_BYTES:
-        raise ConnectionError(
+        raise FrameTooLarge(
             f"ZMTP frame of {size} bytes exceeds the {MAX_FRAME_BYTES} "
             "cap — refusing")
     return flags, _recv_exact(sock, size)
@@ -204,6 +210,8 @@ def load_zmq(endpoint: str = DEFAULT_ENDPOINT, n_messages: int | None = None,
                 and time.monotonic() < deadline:
             try:
                 frames = peer.recv_message()
+            except FrameTooLarge:
+                raise  # adversarial input must surface, not truncate
             except (TimeoutError, ConnectionError, OSError):
                 break
             msg = b"".join(frames)
@@ -246,9 +254,12 @@ def save_zmq(lines, endpoint: str = DEFAULT_ENDPOINT, bind: bool = True,
             peer.sock.settimeout(max(deadline - time.monotonic(), 0.05))
             try:
                 flags, body = _recv_frame(peer.sock)
-            except (TimeoutError, socket.timeout):
-                # connected peer that never subscribes: publish nothing,
-                # gracefully (PUB drops unmatched messages)
+            except FrameTooLarge:
+                raise
+            except (TimeoutError, socket.timeout, OSError):
+                # connected peer that never subscribes — or disconnects
+                # before subscribing: publish nothing, gracefully (PUB
+                # drops unmatched messages)
                 return 0
             if flags & _FLAG_COMMAND:
                 continue

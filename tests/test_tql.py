@@ -112,6 +112,11 @@ def test_stdin_stdout_dash_connector(spark, monkeypatch, capsys):
     exec_pipeline("from - read json | where a >= 2 | sort a | to -", spark=spark)
     out = capsys.readouterr().out.strip().splitlines()
     assert out == ['{"a":2}', '{"a":3}']
+    # BARE `from -` (no explicit read): format inference must use the
+    # spool's .json suffix, not the literal '-' (regression guard)
+    monkeypatch.setattr("sys.stdin", io.StringIO('{"a": 7}\n'))
+    exec_pipeline("from - | select a | to -", spark=spark)
+    assert capsys.readouterr().out.strip() == '{"a":7}'
 
 
 def test_tql_export_import_lake_roundtrip(spark, tmp_path):
