@@ -123,12 +123,17 @@ def minhash_params(n_hashes: int, seed: int) -> list[tuple[int, int]]:
     ]
 
 
-def md5_base_hash(col: Column) -> Column:
-    """60-bit integer from the first 15 hex chars of md5 — the ONE
-    expensive hash per shingle; the n minhash values derive from it with
-    exact modular arithmetic (classic (a*h+b) mod p family). Reproducible
+def md5_base60(col: Column) -> Column:
+    """60-bit integer from the first 15 hex chars of md5. Reproducible
     anywhere: DuckDB computes ('0x' || substr(md5(g),1,15))::BIGINT."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % F.lit(_MH_PRIME)
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def md5_base_hash(col: Column) -> Column:
+    """The ONE expensive hash per shingle, reduced mod p for the minhash
+    family; the n minhash values derive from it with exact modular
+    arithmetic (classic (a*h+b) mod p family)."""
+    return md5_base60(col) % F.lit(_MH_PRIME)
 
 
 def minhash_signature(shingles: Column, n_hashes: int = 64, seed: int = 1,
@@ -235,8 +240,9 @@ def minhash_lsh_candidates(
         # one md5 per shingle, n derived values by modular arithmetic —
         # F.md5 costs ~10us/call, so calling it n times per shingle (as a
         # naive per-seed family would) dominates everything else
-        ex = ex.select("__id", "__g", md5_base_hash(F.col("__g")).alias("__h"))
-        elems = [F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(_MH_PRIME)).alias(f"__h{i}")
+        ex = ex.select("__id", "__g", md5_base60(F.col("__g")).alias("__h60"))
+        h = F.col("__h60") % F.lit(_MH_PRIME)
+        elems = [F.min((F.lit(a) * h + F.lit(b)) % F.lit(_MH_PRIME)).alias(f"__h{i}")
                  for i, (a, b) in enumerate(minhash_params(n_hashes, seed))]
     else:
         elems = [F.min(F.xxhash64(F.col("__g"), F.lit(seed + i))).alias(f"__h{i}")
@@ -244,15 +250,16 @@ def minhash_lsh_candidates(
     if exact_verify:
         # the groupBy's input rows ARE the (id, shingle) pairs — the
         # distinct shingle set aggregates in the same pass. The set
-        # elements are the 64-bit shingle hashes already computed for the
-        # signature (md5 base hash / xxhash64), not the strings: a
-        # primitive long array is ~5x lighter through the two shuffles
-        # and intersects on primitive equality. Jaccard over the hash
-        # sets equals Jaccard over the shingle sets unless two distinct
-        # shingles of one PAIR collide in 64 bits — odds ~|A||B|/2^61
-        # (~1e-13 at 300-shingle docs); the DuckDB oracle recomputes the
-        # same hash sets, so verification stays bit-identical either way.
-        hcol = F.col("__h") if hash_family == "md5" \
+        # elements are WIDE shingle hashes (the UNREDUCED 60-bit md5
+        # base — not the mod-2^31 family input — or full xxhash64), not
+        # the strings: a primitive long array is ~5x lighter through the
+        # two shuffles and intersects on primitive equality. Jaccard over
+        # the hash sets equals Jaccard over the shingle sets unless two
+        # distinct shingles of one PAIR collide in >=60 bits — odds
+        # ~|A||B|/2^60 (~1e-13 at 300-shingle docs, still <1e-5 at 100k-
+        # shingle documents); the DuckDB oracle recomputes the same hash
+        # sets, so verification stays bit-identical either way.
+        hcol = F.col("__h60") if hash_family == "md5" \
             else F.xxhash64(F.col("__g"))
         elems = elems + [F.collect_set(hcol).alias("__shs")]
     sig_cols = ["__id", F.array(*[F.col(f"__h{i}")

@@ -137,6 +137,11 @@ def _decap_flat(pdf, data_col: str, linktype_col: str):
     etype = np.where(qdb, u16(20), etype)
     l3off[qdb] = 22
     l2 |= qdb
+    # a truncated QinQ frame clears l2 AFTER the outer tag was assigned
+    # — mask the vlan fields like every other layer-2 output, so an
+    # unparsable frame never emits a lone vlan struct
+    vlan_outer[~l2] = np.nan
+    vlan_inner[~l2] = np.nan
 
     hexes = np.array([f"{i:02X}" for i in range(256)])
 
@@ -155,7 +160,9 @@ def _decap_flat(pdf, data_col: str, linktype_col: str):
     rem = lens - l3off
     is_v4 = l2 & (etype == 0x0800) & (rem >= 20)
     ihl = (at(l3off) & 0x0F) * 4
-    is_v4 &= rem >= ihl
+    # IHL < 5 words is malformed (the transport offset would point
+    # INSIDE the IP header, yielding bogus ports/community ids)
+    is_v4 &= (ihl >= 20) & (rem >= ihl)
     is_v6 = l2 & (etype == 0x86DD) & (rem >= 40)
     l3 = is_v4 | is_v6
     ip_proto = np.where(is_v4, at(l3off + 9), at(l3off + 6))

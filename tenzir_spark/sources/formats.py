@@ -103,6 +103,18 @@ def read_lines(spark: SparkSession, path: str, skip_empty: bool = False) -> Data
     return df
 
 
+def _require_local_master(df: DataFrame, who: str) -> None:
+    """The single-file printers assemble part files from a DRIVER-local
+    temp dir; on a multi-machine cluster the parts commit on executor
+    disks and the output would silently be empty — refuse loudly (at
+    cluster scale, write per-partition files via the directory sinks)."""
+    master = df.sparkSession.sparkContext.master
+    if not master.startswith("local"):
+        raise NotImplementedError(
+            f"{who} assembles one file via driver-local storage and "
+            f"supports local masters only (got {master!r})")
+
+
 # ------------------------------------------------------------------ zeek-tsv
 
 _ZEEK_TYPE_MAP = {
@@ -201,6 +213,7 @@ def write_zeek_tsv(df: DataFrame, path: str, log_path: str = "tenzir") -> None:
     import shutil as _shutil
     import tempfile as _tempfile
 
+    _require_local_master(df, "write_zeek_tsv")
     sep, unset, empty = "\t", "-", "(empty)"
     names, ztypes, rendered = [], [], []
     for f in df.schema.fields:
@@ -327,6 +340,8 @@ def write_yaml(df: DataFrame, path: str) -> None:
     import tempfile as _tempfile
 
     import pandas as pd
+
+    _require_local_master(df, "write_yaml")
 
     def render(batches):
         import yaml as _y

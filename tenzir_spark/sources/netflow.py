@@ -188,10 +188,11 @@ def _parse_v9_ipfix(blob: bytes, off: int, templates: dict):
                     p += 4
                     fields = []
                     for _ in range(fcount):
+                        # RFC 3954 field types are plain 16-bit values —
+                        # NO enterprise bit (that is IPFIX-only); vendor
+                        # types >= 0x8000 (e.g. Cisco ASA NSEL) are
+                        # ordinary ids here and must not shift the parse
                         ie, sz = struct.unpack_from(">HH", blob, p)
-                        if ie & 0x8000:  # enterprise IE (IPFIX): skip PEN
-                            p += 4
-                            ie &= 0x7FFF
                         fields.append((ie, sz))
                         p += 4
                     templates[tid] = fields
@@ -212,6 +213,11 @@ def _parse_v9_ipfix(blob: bytes, off: int, templates: dict):
         return outs, pos
     if version == 10:
         _, length, export_time, _, _ = struct.unpack_from(">HHIII", blob, off)
+        if length < 16:
+            # a zero/short length field would pin the caller's offset in
+            # place forever — one malformed message must not hang the task
+            raise ValueError(
+                f"malformed IPFIX message length {length} at offset {off}")
         msg_end = off + length
         pos = off + 16
         while pos + 4 <= msg_end:
@@ -219,7 +225,14 @@ def _parse_v9_ipfix(blob: bytes, off: int, templates: dict):
             if slen < 4:
                 break
             body, body_len = pos + 4, slen - 4
-            if set_id in (2, 3):  # template / options-template set
+            if set_id == 3:
+                # options template (RFC 7011 §3.4.2.2): its header has a
+                # Scope Field Count the regular layout lacks — register
+                # nothing rather than a misaligned template; its data
+                # sets (exporter statistics, not flows) are then skipped
+                pos += slen
+                continue
+            if set_id == 2:  # template set
                 p = body
                 while p + 4 <= body + body_len:
                     tid, fcount = struct.unpack_from(">HH", blob, p)
@@ -278,7 +291,11 @@ def read_netflow(spark: SparkSession, path: str) -> DataFrame:
             if not parts:
                 yield pd.DataFrame({c: [] for c in _COLS})
                 continue
-            yield pd.DataFrame(
-                {c: np.concatenate([p[c] for p in parts]) for c in _COLS})
+            cols = {c: np.concatenate([p[c] for p in parts]) for c in _COLS}
+            # epoch-derived instants are UTC: localize so Arrow does not
+            # re-interpret the naive values in the session timezone
+            cols["exported_at"] = (pd.Series(cols["exported_at"])
+                                   .dt.tz_localize("UTC"))
+            yield pd.DataFrame(cols)
 
     return files.select("content").mapInPandas(parse, FLOW_SCHEMA)

@@ -91,15 +91,20 @@ def _parse_file(blob: bytes, emit_file_headers: bool):
         def _is_file_header(pos: int) -> bool:
             # a packet's ts_sec can coincide with the magic bytes (e.g.
             # a capture taken at epoch 0xa1b2c3d4) — require the 2.4
-            # version fields too, which a packet header cannot mimic
-            # without also being a >2-billion-usec fraction
+            # version fields AND zeroed reserved words (mandated by the
+            # pcap spec). Under the packet-header overlay those map to
+            # ts_frac == 0x00040002 AND incl == orig == 0, i.e. only a
+            # zero-length packet with a forged timestamp can still mimic
+            # a header — the narrowest ambiguity the stateless format
+            # permits.
             if pos + 24 > n:
                 return False
             for e in ("<", ">"):
                 m = struct.unpack_from(e + "I", blob, pos)[0]
                 if m in (MAGIC_USEC, MAGIC_NSEC):
-                    maj, mi = struct.unpack_from(e + "HH", blob, pos + 4)
-                    if maj == 2 and mi == 4:
+                    maj, mi, r1, r2 = struct.unpack_from(
+                        e + "HHII", blob, pos + 4)
+                    if maj == 2 and mi == 4 and r1 == 0 and r2 == 0:
                         return True
             return False
 
@@ -166,9 +171,14 @@ def read_pcap(spark: SparkSession, path: str,
                     out["reserved2"].append(r2)
                     out["snaplen"].append(snap)
                     out["linktype"].append(linktype)
+                    # tz-AWARE UTC: a naive datetime would be localized
+                    # to spark.sql.session.timeZone by the Arrow
+                    # serializer, shifting the stored instant whenever
+                    # the session is not UTC
                     out["timestamp"].append(
                         None if micros is None else
-                        datetime.datetime(1970, 1, 1)
+                        datetime.datetime(1970, 1, 1,
+                                          tzinfo=datetime.timezone.utc)
                         + datetime.timedelta(microseconds=micros))
                     out["captured_packet_length"].append(incl)
                     out["original_packet_length"].append(orig)
@@ -210,11 +220,24 @@ def write_pcap(df: DataFrame, path: str, linktype: int = 1,
 
     import pandas as pd
 
+    if not df.sparkSession.sparkContext.master.startswith("local"):
+        # the single-file assembly below lists a DRIVER-local temp dir;
+        # on a multi-machine cluster the part files commit on executor
+        # disks and the output would silently hold only the 24-byte
+        # header — refuse loudly instead (same constraint as the
+        # zeek-tsv/yaml single-stream printers; write per-executor
+        # captures with the parquet/directory sinks at cluster scale)
+        raise NotImplementedError(
+            "write_pcap assembles one file via driver-local storage and "
+            "supports local masters only")
     cols = df.columns
     if "_schema" in cols:
+        # deterministic blueprint: with several input captures unioned,
+        # 'first' has no defined order — pick the smallest header tuple
         hdr = (df.filter(F.col("_schema") == "pcap.file_header")
                .select("magic_number", "major_version", "minor_version",
                        "reserved1", "reserved2", "snaplen", "linktype")
+               .orderBy("magic_number", "snaplen", "linktype")
                .limit(1).collect())
         if hdr:
             magic = int(hdr[0]["magic_number"])
@@ -231,13 +254,19 @@ def write_pcap(df: DataFrame, path: str, linktype: int = 1,
         vmaj, vmin, r1, r2 = 2, 4, 0, 0
         pkts = df
     nanos = magic == MAGIC_NSEC
+    # Arrow hands the UDF NAIVE datetimes rendered in the session tz;
+    # localize through it so the written epoch is the true UTC instant
+    # (symmetric with read_pcap's tz-aware emit)
+    session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
 
     def render(batches):
+        import pandas as pd
+
         for pdf in batches:
             parts = []
-            # robust to pandas delivering datetime64[ns] or [us]
-            usec = (pdf["timestamp"].to_numpy()
-                    .astype("datetime64[us]").astype("int64"))
+            usec = (pd.to_datetime(pdf["timestamp"])
+                    .dt.tz_localize(session_tz)
+                    .astype("int64").to_numpy() // 1000)
             for ts_us, incl, orig, data in zip(
                     usec, pdf["captured_packet_length"],
                     pdf["original_packet_length"], pdf["data"]):
