@@ -436,8 +436,9 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
                 n = _flag(ztoks, "--count")
                 filt = _flag(ztoks, "-f") or _flag(ztoks, "--filter") or ""
                 bind = "-b" in ztoks or "--bind" in ztoks
+                raw = "--raw" in ztoks
                 spool = load_zmq(ep, n_messages=int(n) if n else None,
-                                 bind=bind, filter=filt.encode())
+                                 bind=bind, filter=filt.encode(), raw=raw)
                 ridx = ztoks.index("read") if "read" in ztoks else None
                 if ridx is not None:
                     p = Pipeline(_read_fmt(spark, ztoks[ridx + 1], spool,

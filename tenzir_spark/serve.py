@@ -48,15 +48,29 @@ class ServeBuffer:
 
     def put(self, rows: list[dict], schema_json: str | None = None) -> None:
         """Append rows; blocks while the buffer is full (backpressure —
-        the reference parks the pipeline's put until a get drains)."""
+        the reference parks the pipeline's put until a get drains).
+
+        The capacity bound is enforced per chunk, not just checked once:
+        a single oversized batch is admitted ``buffer_size - len`` rows
+        at a time, waiting for the consumer to drain in between. After
+        ``finish()`` the buffer is closed and further rows are refused.
+        """
         with self._cv:
             if schema_json is not None:
                 self._schema_json = schema_json
-            while (len(self._rows) >= self.buffer_size
-                   and not self._done):
-                self._cv.wait(timeout=0.5)
-            self._rows.extend(rows)
-            self._cv.notify_all()
+            i = 0
+            while i < len(rows):
+                while (len(self._rows) >= self.buffer_size
+                       and not self._done):
+                    self._cv.wait(timeout=0.5)
+                if self._done:
+                    raise RuntimeError(
+                        f"serve buffer {self.serve_id!r} is finished; "
+                        f"refusing {len(rows) - i} late rows")
+                room = self.buffer_size - len(self._rows)
+                self._rows.extend(rows[i:i + room])
+                i += room
+                self._cv.notify_all()
 
     def finish(self) -> None:
         with self._cv:
@@ -237,7 +251,12 @@ def serve(df: DataFrame, serve_id: str, manager: ServeManager,
     schema_json = df.schema.json()
     if df.isStreaming:
         def sink(batch_df, _epoch):
-            buf.put([r.asDict(recursive=True) for r in batch_df.collect()],
+            # Same serialization as the batch path: toJSON renders
+            # timestamps/dates/decimals/binary as JSON-safe values.
+            # Row.asDict would leak datetime/Decimal objects into the
+            # buffer and make json.dumps fail at reply time, dropping
+            # the chunk after the token already advanced.
+            buf.put([json.loads(r) for r in batch_df.toJSON().collect()],
                     schema_json)
         query = (df.writeStream.outputMode("append")
                  .foreachBatch(sink).start())
@@ -253,6 +272,8 @@ def serve(df: DataFrame, serve_id: str, manager: ServeManager,
         try:
             for row in df.toJSON().toLocalIterator():
                 buf.put([json.loads(row)], schema_json)
+        except RuntimeError:
+            pass  # buffer closed under us (stop_buffer): end the drain
         finally:
             buf.finish()
 

@@ -156,10 +156,15 @@ def _decode_set(blob, off, length, fields, unix_secs):
     return out
 
 
-def _parse_v9_ipfix(blob: bytes, off: int, templates: dict):
+def _parse_v9_ipfix(blob: bytes, off: int, templates: dict,
+                    pending: list | None = None):
     """One v9 (RFC 3954) or IPFIX (RFC 7011) message; returns decoded
     column dicts. Template sets update ``templates`` (scoped per file,
-    like a collector scopes them per exporter session)."""
+    like a collector scopes them per exporter session). A data set whose
+    template has not arrived yet is recorded in ``pending`` as
+    ``(set_id, body_off, body_len, export_time, version)`` so the caller
+    can re-decode it once the template registers — the standard collector
+    behavior for captures that start mid-stream."""
     version = struct.unpack_from(">H", blob, off)[0]
     outs = []
     if version == 9:
@@ -206,8 +211,11 @@ def _parse_v9_ipfix(blob: bytes, off: int, templates: dict):
                     sets_left -= len(o["version"])
             else:
                 # data set whose template has not arrived yet: its byte
-                # length is known (skip it) but its record count is not —
-                # assume at least one so the loop still terminates
+                # length is known (skip it for now) but its record count
+                # is not — assume at least one so the loop terminates;
+                # park it for a second pass after all templates landed
+                if pending is not None:
+                    pending.append((set_id, body, body_len, unix_secs, 9))
                 sets_left -= 1
             pos += length
         return outs, pos
@@ -249,12 +257,15 @@ def _parse_v9_ipfix(blob: bytes, off: int, templates: dict):
                                 "variable-length IPFIX elements unsupported")
                         fields.append((ie, sz))
                     templates[tid] = fields
-            elif set_id >= 256 and set_id in templates:
-                o = _decode_set(blob, body, body_len, templates[set_id],
-                                export_time)
-                if o is not None:
-                    o["version"][:] = 10.0
-                    outs.append(o)
+            elif set_id >= 256:
+                if set_id in templates:
+                    o = _decode_set(blob, body, body_len, templates[set_id],
+                                    export_time)
+                    if o is not None:
+                        o["version"][:] = 10.0
+                        outs.append(o)
+                elif pending is not None:
+                    pending.append((set_id, body, body_len, export_time, 10))
             pos += slen
         return outs, msg_end
     raise ValueError(f"unsupported netflow version {version}")
@@ -275,6 +286,7 @@ def read_netflow(spark: SparkSession, path: str) -> DataFrame:
             for blob in pdf["content"]:
                 blob = bytes(blob)
                 templates: dict = {}
+                pending: list = []
                 off = 0
                 while off + 2 <= len(blob):
                     version = struct.unpack_from(">H", blob, off)[0]
@@ -282,12 +294,32 @@ def read_netflow(spark: SparkSession, path: str) -> DataFrame:
                         out, off = _parse_v5(blob, off)
                         parts.append(out)
                     elif version in (9, 10):
-                        outs, off = _parse_v9_ipfix(blob, off, templates)
+                        outs, off = _parse_v9_ipfix(blob, off, templates,
+                                                    pending)
                         parts.extend(outs)
                     else:
                         raise ValueError(
                             f"unsupported netflow version {version} at "
                             f"offset {off}")
+                # second pass: data sets that arrived before their
+                # template decode now that the file's templates are all
+                # registered (templates are file-scoped, so this is cheap)
+                unresolved = 0
+                for set_id, body, body_len, ts, ver in pending:
+                    if set_id in templates:
+                        o = _decode_set(blob, body, body_len,
+                                        templates[set_id], ts)
+                        if o is not None:
+                            o["version"][:] = float(ver)
+                            parts.append(o)
+                    else:
+                        unresolved += 1
+                if unresolved:
+                    import warnings
+                    warnings.warn(
+                        f"read_netflow: {unresolved} data set(s) had no "
+                        f"matching template anywhere in the file; their "
+                        f"flows are dropped")
             if not parts:
                 yield pd.DataFrame({c: [] for c in _COLS})
                 continue

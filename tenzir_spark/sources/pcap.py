@@ -264,8 +264,19 @@ def write_pcap(df: DataFrame, path: str, linktype: int = 1,
 
         for pdf in batches:
             parts = []
-            usec = (pd.to_datetime(pdf["timestamp"])
-                    .dt.tz_localize(session_tz)
+            ts = pd.to_datetime(pdf["timestamp"])
+            if ts.isna().any():
+                # NaT would silently become the int64-min sentinel and
+                # write a garbage packet header — refuse loudly instead
+                raise ValueError(
+                    "write_pcap: null packet timestamp(s) in input; "
+                    "drop or fill them before writing")
+            # nonexistent='shift_forward' keeps a timestamp that falls in
+            # a DST gap of a non-UTC session tz writable instead of
+            # raising NonExistentTimeError for the whole file
+            usec = (ts.dt.tz_localize(session_tz,
+                                      nonexistent="shift_forward",
+                                      ambiguous=False)
                     .astype("int64").to_numpy() // 1000)
             for ts_us, incl, orig, data in zip(
                     usec, pdf["captured_packet_length"],

@@ -191,11 +191,19 @@ def _connect(endpoint: str, socket_type: str, bind: bool,
 
 def load_zmq(endpoint: str = DEFAULT_ENDPOINT, n_messages: int | None = None,
              timeout: float = 10.0, bind: bool = False,
-             filter: bytes = b"") -> str:
+             filter: bytes = b"", raw: bool = False) -> str:
     """SUB-socket loader: subscribe (prefix ``filter``, default all),
     spool received messages newline-joined to a temp file for the
     distributed readers; stops after ``n_messages`` or on timeout.
-    Mirrors `from zmq <endpoint> read <fmt>` (zmq.md loader)."""
+    Mirrors `from zmq <endpoint> read <fmt>` (zmq.md loader).
+
+    The default spool is newline-FRAMED (one message per line, the shape
+    the line-based readers split on), so a payload that itself contains a
+    newline is refused loudly — silently spooling it would split one
+    message into several records downstream. For self-framing formats
+    (multi-line JSON, binary streams) pass ``raw=True``: messages are
+    concatenated verbatim with no delimiter and the reader owns framing.
+    """
     import os
     import tempfile
 
@@ -220,10 +228,18 @@ def load_zmq(endpoint: str = DEFAULT_ENDPOINT, n_messages: int | None = None,
                 raise RuntimeError(
                     f"zmq spool exceeds {MAX_FRAME_BYTES} bytes; "
                     "use a file-based connector for bulk data")
+            if not raw and b"\n" in msg:
+                raise ValueError(
+                    "zmq message contains a newline and would corrupt the "
+                    "line-framed spool; pass raw=True (TQL: --raw) for "
+                    "self-framing payloads")
             out.append(msg)
         fd, spool = tempfile.mkstemp(prefix="tenzir_zmq_")
         with os.fdopen(fd, "wb") as fh:
-            fh.write(b"\n".join(out) + (b"\n" if out else b""))
+            if raw:
+                fh.write(b"".join(out))
+            else:
+                fh.write(b"\n".join(out) + (b"\n" if out else b""))
         return spool
     finally:
         peer.close()

@@ -141,3 +141,42 @@ def test_mixed_versions_one_file(spark, tmp_path):
     df = read_netflow(spark, str(p))
     assert sorted(r["version"] for r in df.select("version").collect()) \
         == [5, 9, 9]
+
+
+def test_v9_data_before_template_recovered(spark, tmp_path):
+    """A capture that starts mid-stream (data FlowSet first, its template
+    re-sent in a LATER message) must still yield the flows: collectors
+    buffer unresolved data sets until the template registers."""
+    # message 1: data set for template 256 — template not yet seen
+    rec = (struct.pack(">I", _ip(7, 7, 7, 7)) + struct.pack(">I", _ip(6, 6, 6, 6))
+           + struct.pack(">HH", 8080, 443) + struct.pack(">B", 6)
+           + struct.pack(">I", 4242))
+    dset = struct.pack(">HH", 256, 4 + len(rec)) + rec
+    m1 = struct.pack(">HHIIII", 9, 1, 100, 1700000050, 1, 0) + dset
+    # message 2: the template (+ its own data), as _v9_message builds it
+    p = tmp_path / "recover.bin"
+    p.write_bytes(m1 + _v9_message())
+    rows = read_netflow(spark, str(p)).collect()
+    assert len(rows) == 3  # 1 buffered-then-decoded + 2 from message 2
+    got = {r["src_addr"]: r for r in rows}
+    assert got["7.7.7.7"]["dst_addr"] == "6.6.6.6"
+    assert (got["7.7.7.7"]["src_port"], got["7.7.7.7"]["dst_port"]) == (8080, 443)
+    assert got["7.7.7.7"]["bytes"] == 4242
+    assert got["7.7.7.7"]["version"] == 9
+
+
+def test_ipfix_data_before_template_recovered(spark, tmp_path):
+    """Same mid-stream start for IPFIX (RFC 7011): the data set arrives
+    in an earlier message than its template and is decoded on the second
+    pass."""
+    rec = struct.pack(">IIHH", _ip(10, 5, 5, 5), _ip(10, 6, 6, 6), 1111, 22)
+    dset = struct.pack(">HH", 256, 4 + len(rec)) + rec
+    m1 = struct.pack(">HHIII", 10, 16 + len(dset), 1700000150, 1, 0) + dset
+    p = tmp_path / "recover_ipfix.bin"
+    p.write_bytes(m1 + _ipfix_message())
+    rows = read_netflow(spark, str(p)).collect()
+    assert len(rows) == 2
+    got = {r["src_addr"]: r for r in rows}
+    assert got["10.5.5.5"]["dst_addr"] == "10.6.6.6"
+    assert (got["10.5.5.5"]["src_port"], got["10.5.5.5"]["dst_port"]) == (1111, 22)
+    assert got["10.5.5.5"]["version"] == 10

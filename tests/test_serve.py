@@ -146,3 +146,71 @@ def test_serve_streaming(spark, manager, tmp_path):
             break
     q.stop()
     assert sorted(r["v"] for r in rows) == [1, 2, 3]
+
+
+def test_serve_streaming_timestamp_types(spark, manager, tmp_path):
+    """Streaming micro-batches with timestamp/date/binary columns must
+    serialize like the batch path (toJSON), not leak datetime objects
+    into the buffer where json.dumps would fail AFTER the token already
+    advanced and lose the chunk permanently."""
+    src = tmp_path / "ts_src"
+    src.mkdir()
+    (src / "a.json").write_text(
+        '{"v": 1, "ts": "2024-03-01T12:00:00"}\n'
+        '{"v": 2, "ts": "2024-03-02T13:30:00"}\n')
+    m, port = manager
+    static = (spark.read.json(str(src))
+              .selectExpr("v", "CAST(ts AS TIMESTAMP) AS ts"))
+    stream = (spark.readStream.schema(spark.read.json(str(src)).schema)
+              .json(str(src))
+              .selectExpr("v", "CAST(ts AS TIMESTAMP) AS ts",
+                          "CAST(v AS DECIMAL(10,2)) AS dec",
+                          "CAST('ab' AS BINARY) AS bin"))
+    q = serve(stream, "qts", m)
+    deadline = time.time() + 30
+    rows, token = [], None
+    while time.time() < deadline:
+        status, resp = _post(port, {"serve_id": "qts", "max_events": 10,
+                                    "continuation_token": token,
+                                    "timeout": "1s"})
+        assert status == 200, resp
+        rows.extend(d["data"] for d in resp["data"])
+        token = resp["next_continuation_token"]
+        if len(rows) >= 2:
+            break
+    q.stop()
+    assert sorted(r["v"] for r in rows) == [1, 2]
+    assert all("2024-03" in r["ts"] for r in rows)
+
+
+def test_serve_buffer_bound_enforced():
+    """One oversized put must not overshoot buffer_size: it is admitted
+    chunk-by-chunk as the consumer drains, and a finished buffer refuses
+    further rows instead of appending past the bound."""
+    import threading as _t
+
+    from tenzir_spark.serve import ServeBuffer
+
+    buf = ServeBuffer("cap", buffer_size=4)
+    seen = []
+
+    def producer():
+        buf.put([{"i": i} for i in range(10)])  # 10 rows into a 4-slot buffer
+        buf.finish()
+
+    t = _t.Thread(target=producer, daemon=True)
+    t.start()
+    token = None
+    for _ in range(20):
+        with buf._cv:
+            assert len(buf._rows) <= 4  # the bound holds at every step
+        resp = buf.get(token, max_events=3, timeout=2.0)
+        seen.extend(d["data"]["i"] for d in resp["data"])
+        token = resp["next_continuation_token"]
+        if token is None:
+            break
+    t.join(timeout=10)
+    assert seen == list(range(10))
+    # put after finish is refused, not silently appended
+    with pytest.raises(RuntimeError, match="finished"):
+        buf.put([{"late": True}])

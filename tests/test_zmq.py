@@ -138,3 +138,34 @@ def test_shell_stderr_flood_no_deadlock():
     spool = run_shell(
         "head -c 200000 /dev/zero >&2; printf 'done\\n'", timeout=20)
     assert open(spool).read() == "done\n"
+
+
+def test_multiline_payload_refused_in_line_spool():
+    """A message with an embedded newline would silently split into
+    several records under the line-framed spool — it must be refused
+    with a pointer to raw mode instead."""
+    port = _free_port()
+    results: dict = {}
+    t = threading.Thread(
+        target=_pub, args=([b'{"a":\n 1}'], port, results))
+    t.start()
+    try:
+        with pytest.raises(ValueError, match="raw"):
+            load_zmq(f"tcp://127.0.0.1:{port}", n_messages=1, timeout=15)
+    finally:
+        t.join(timeout=15)
+
+
+def test_multiline_payload_raw_spool_verbatim():
+    """raw=True concatenates message bytes with no delimiter — framing
+    belongs to the self-framing payload format."""
+    port = _free_port()
+    results: dict = {}
+    t = threading.Thread(
+        target=_pub, args=([b'{"a":\n 1}', b'{"b": 2}'], port, results))
+    t.start()
+    spool = load_zmq(f"tcp://127.0.0.1:{port}", n_messages=2, timeout=15,
+                     raw=True)
+    t.join(timeout=15)
+    assert results["sent"] == 2
+    assert open(spool, "rb").read() == b'{"a":\n 1}{"b": 2}'
