@@ -322,29 +322,33 @@ class LakeTable:
         # cache: the change set feeds (a) the stats collect and (b) the
         # merge join — without this the dedup + UDF lineage runs twice
         changes = changes.persist()
-        # small collect: epoch-level apply stats + touched bucket ids
-        agg = changes.groupBy().agg(
-            F.collect_set("__bucket").alias("buckets"),
-            F.count(F.lit(1)).alias("rows"),
-            F.max(lsn_col).alias("watermark"),
-        ).collect()[0]
-        touched = sorted(agg["buckets"] or [])
-        if not touched:
-            entry = {"rows_applied": 0, "lsn_watermark": None,
-                     "committed_at": time.time()}
-            self._commit_files([], replace_buckets=[], epoch=ek, epoch_stats=entry)
-            return entry
-
-        payload_cols = [f.name for f in self.snapshot.schema.fields]
-        ch = changes.select(
-            F.col(key).alias("__k"),
-            F.col(op_col).alias("__op"),
-            *[F.col(c).alias(f"__c_{c}") for c in payload_cols if c != key],
-        )
-        entry = {"rows_applied": int(agg["rows"]),
-                 "lsn_watermark": int(agg["watermark"]) if agg["watermark"] is not None else None,
-                 "committed_at": time.time()}
+        # one try owns the persist: the stats collect, the empty-epoch
+        # early return, and the merge loop all release it on every path
+        # (an exception in the collect or a `return` must not leak blocks)
         try:
+            # small collect: epoch-level apply stats + touched bucket ids
+            agg = changes.groupBy().agg(
+                F.collect_set("__bucket").alias("buckets"),
+                F.count(F.lit(1)).alias("rows"),
+                F.max(lsn_col).alias("watermark"),
+            ).collect()[0]
+            touched = sorted(agg["buckets"] or [])
+            if not touched:
+                entry = {"rows_applied": 0, "lsn_watermark": None,
+                         "committed_at": time.time()}
+                self._commit_files([], replace_buckets=[], epoch=ek,
+                                   epoch_stats=entry)
+                return entry
+
+            payload_cols = [f.name for f in self.snapshot.schema.fields]
+            ch = changes.select(
+                F.col(key).alias("__k"),
+                F.col(op_col).alias("__op"),
+                *[F.col(c).alias(f"__c_{c}") for c in payload_cols if c != key],
+            )
+            entry = {"rows_applied": int(agg["rows"]),
+                     "lsn_watermark": int(agg["watermark"]) if agg["watermark"] is not None else None,
+                     "committed_at": time.time()}
             for _ in range(5):
                 # the merge is computed against base's file set; commit
                 # validates those buckets are unchanged and we recompute

@@ -16,6 +16,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     s = get_spark("tenzir_spark_tests", master="local[4]", shuffle_partitions=4)
     yield s
+    # every operator releases its persists on all paths (incl. early
+    # returns and exceptions); a leftover cached RDD here is a leak.
+    # gc first: `repeat` ties its localCheckpoint release to DataFrame
+    # collection, which is correct but nondeterministic until a gc pass.
+    import gc
+    gc.collect()
+    leaked = s.sparkContext._jsc.getPersistentRDDs()
+    assert leaked.isEmpty(), (
+        f"persisted RDDs leaked by the suite: {leaked}")
 
 
 @pytest.fixture(scope="session")

@@ -309,3 +309,32 @@ def test_gc_concurrent_with_merge_race(spark, tmp_path):
         assert _os.path.exists(_os.path.join(root, f.path)), f.path
     assert {r.url: r.v for r in t.read().collect()} == {"a": 9, "b": 90}
     assert set(t.snapshot.ledger) == {str(e) for e in range(10)}
+
+
+def test_empty_epoch_releases_persist(table, spark):
+    """The empty-change-set early return must still unpersist the change
+    cache (the round-3 leak class: persist at the top, return before the
+    try/finally that owned the release)."""
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    empty = spark.createDataFrame([], "url string, op string, lsn long, v long")
+    entry = table.merge(empty, 0)
+    assert entry["rows_applied"] == 0
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before, "empty-epoch merge leaked a persisted RDD"
+    # replay of the committed empty epoch stays a ledger no-op
+    assert table.merge(empty, 0).get("skipped") is True
+
+
+def test_merge_stats_failure_releases_persist(table, spark, monkeypatch):
+    """An exception inside the stats collect (before the merge loop) must
+    not leak the change-set cache either."""
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    df = spark.createDataFrame([("a", "insert", 1, 10)],
+                               "url string, op string, lsn long, v long")
+    # poison the commit that the empty/normal path reaches
+    monkeypatch.setattr(table, "_write_bucketed",
+                        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom")))
+    with pytest.raises(RuntimeError, match="boom"):
+        table.merge(df, 0)
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before, "failed merge leaked a persisted RDD"
