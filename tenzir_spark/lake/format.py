@@ -135,6 +135,17 @@ class LocalFileIO:
         joins with '/' regardless of host OS."""
         return os.path.join(*parts)
 
+    def relpath(self, path: str, start: str) -> str:
+        """Inverse of join: path relative to a root. Object-store
+        backends strip the '<start>/' prefix."""
+        return os.path.relpath(path, start)
+
+    def normpath(self, path: str) -> str:
+        """Canonical form for path identity comparisons (GC's
+        referenced-file set). Object-store keys are already canonical —
+        a backend may return the path unchanged."""
+        return os.path.normpath(path)
+
     def makedirs(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
 
@@ -188,6 +199,17 @@ class LocalFileIO:
             os.unlink(path)
         except FileNotFoundError:
             pass
+
+    def open_write(self, path: str):
+        """Streaming binary writer for driver-side single-file assembly
+        (the copyMerge shape used by the one-stream format printers).
+        Object-store backends return a multipart-upload stream."""
+        return open(path, "wb")
+
+    def delete_dir(self, path: str) -> None:
+        """Recursive delete of a temporary part-file directory."""
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
 
     def mtime(self, path: str) -> float:
         """Last-modified epoch seconds (object stores: the object's

@@ -4,7 +4,6 @@ and an exactly-once epoch ledger. See format.py for the on-disk layout.
 
 from __future__ import annotations
 
-import os
 import time
 import uuid
 
@@ -72,8 +71,8 @@ class LakeTable:
         if write_mode not in ("cow", "mor"):
             raise ValueError("write_mode must be 'cow' or 'mor'")
         io = io or DEFAULT_IO
-        io.makedirs(os.path.join(root, "_meta"))
-        io.makedirs(os.path.join(root, DATA_DIR))
+        io.makedirs(io.join(root, "_meta"))
+        io.makedirs(io.join(root, DATA_DIR))
         if key_col not in schema.fieldNames():
             raise ValueError(f"key column {key_col!r} not in schema")
         snap = Snapshot(
@@ -174,7 +173,7 @@ class LakeTable:
             return self.spark.range(0).select(*cols)
         by_epoch: dict[int, list[str]] = {}
         for f in files:
-            by_epoch.setdefault(f.schema_epoch, []).append(os.path.join(self.root, f.path))
+            by_epoch.setdefault(f.schema_epoch, []).append(self.io.join(self.root, f.path))
         parts = []
         for epoch, paths in sorted(by_epoch.items()):
             parts.append(self._align(self.spark.read.parquet(*paths), epoch))
@@ -452,7 +451,7 @@ class LakeTable:
         nb = self.snapshot.num_buckets
         stat_cols = [key] + (["__lsn"] if "__lsn" in df.columns else [])
         commit = f"commit-{uuid.uuid4().hex[:12]}"
-        out_dir = os.path.join(self.root, DATA_DIR, commit)
+        out_dir = self.io.join(self.root, DATA_DIR, commit)
         if not clustered:
             df = df.withColumn("__b", bucket_expr(key, nb))
             if only_buckets is not None:
@@ -468,11 +467,11 @@ class LakeTable:
             if not bdir.startswith("__b="):
                 continue
             bucket = int(bdir.split("=")[1])
-            for name in self.io.list(os.path.join(out_dir, bdir)):
+            for name in self.io.list(self.io.join(out_dir, bdir)):
                 if not name.endswith(".parquet"):
                     continue
-                fpath = os.path.join(out_dir, bdir, name)
-                rel = os.path.relpath(fpath, self.root)
+                fpath = self.io.join(out_dir, bdir, name)
+                rel = self.io.relpath(fpath, self.root)
                 rows, stats = _footer_stats(fpath, stat_cols, self.io)
                 files.append(DataFile(rel, bucket, rows, schema_epoch, stats, kind))
         return files
@@ -548,7 +547,7 @@ class LakeTable:
         from tenzir_spark.lake.format import META_DIR, snapshot_at
 
         keep_last = max(1, int(keep_last))
-        meta_dir = os.path.join(self.root, META_DIR)
+        meta_dir = self.io.join(self.root, META_DIR)
         versions = sorted(
             int(n[1:9]) for n in self.io.list(meta_dir)
             if n.startswith("v") and n.endswith(".json"))
@@ -556,12 +555,12 @@ class LakeTable:
         referenced: set[str] = set()
         for v in kept:
             for f in snapshot_at(self.root, v, self.io).files:
-                referenced.add(os.path.normpath(os.path.join(self.root, f.path)))
+                referenced.add(self.io.normpath(self.io.join(self.root, f.path)))
         now = time.time()
         removed_files = 0
-        data_root = os.path.join(self.root, DATA_DIR)
+        data_root = self.io.join(self.root, DATA_DIR)
         for path in self.io.walk_files(data_root):
-            if os.path.normpath(path) in referenced or not path.endswith(".parquet"):
+            if self.io.normpath(path) in referenced or not path.endswith(".parquet"):
                 continue
             try:
                 if now - self.io.mtime(path) < grace_seconds:
@@ -571,7 +570,7 @@ class LakeTable:
             except FileNotFoundError:
                 continue  # another GC or writer cleanup got there first
         for v in expired:
-            self.io.delete(os.path.join(meta_dir, f"v{v:08d}.json"))
+            self.io.delete(self.io.join(meta_dir, f"v{v:08d}.json"))
         self.refresh()
         return {"snapshots_removed": len(expired), "files_removed": removed_files}
 
@@ -593,7 +592,7 @@ class LakeTable:
             "lsn_watermark": pa.array([r[3] for r in rows], pa.int64()),
             "commit_epoch": pa.array([r[4] for r in rows], pa.float64()),
         })
-        cp_dir = os.path.join(self.root, CHECKPOINT_DIR)
+        cp_dir = self.io.join(self.root, CHECKPOINT_DIR)
         self.io.makedirs(cp_dir)
         if pq is not None:
             # atomic publish through the FileIO seam: serialize to a
@@ -603,11 +602,11 @@ class LakeTable:
             sink = pa.BufferOutputStream()
             pq.write_table(tbl, sink)
             name = f"cp-{epoch}-{uuid.uuid4().hex[:8]}.parquet"
-            self.io.put_atomic(os.path.join(cp_dir, name),
+            self.io.put_atomic(self.io.join(cp_dir, name),
                                sink.getvalue().to_pybytes())
 
     def checkpoints(self) -> DataFrame:
-        path = os.path.join(self.root, CHECKPOINT_DIR)
+        path = self.io.join(self.root, CHECKPOINT_DIR)
         if not self.io.is_dir(path):
             return self.spark.createDataFrame(
                 [], "checkpoint_epoch long, partition_id int, rows_applied long,"

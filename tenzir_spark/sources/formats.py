@@ -103,16 +103,49 @@ def read_lines(spark: SparkSession, path: str, skip_empty: bool = False) -> Data
     return df
 
 
-def _require_local_master(df: DataFrame, who: str) -> None:
-    """The single-file printers assemble part files from a DRIVER-local
-    temp dir; on a multi-machine cluster the parts commit on executor
-    disks and the output would silently be empty — refuse loudly (at
-    cluster scale, write per-partition files via the directory sinks)."""
-    master = df.sparkSession.sparkContext.master
-    if not master.startswith("local"):
-        raise NotImplementedError(
-            f"{who} assembles one file via driver-local storage and "
-            f"supports local masters only (got {master!r})")
+def _assemble_parts(lines_df: DataFrame, path: str, head: bytes = b"",
+                    tail: bytes = b"", transform=None, io=None) -> None:
+    """Cluster-safe single-file assembly (the copyMerge shape): Spark
+    writes part files into a sibling directory of the DESTINATION — on a
+    real cluster that is shared storage, unlike the driver-local tempdir
+    the round-3 printers used (which silently lost executor-written
+    parts) — then the driver streams the parts in name order through the
+    FileIO seam into one file.
+
+    ``lines_df`` must have exactly one string column. ``transform`` maps
+    each line's bytes (newline stripped) to output bytes — e.g. base64
+    decode for binary formats; None streams text parts through verbatim.
+    The reference prints these formats as single driver-side streams too
+    (formats/zeek_tsv.cpp, formats/pcap.cpp); only the row rendering is
+    distributed, the final concat is O(output bytes) on one stream by
+    the format's nature.
+    """
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from tenzir_spark.lake.format import DEFAULT_IO
+    io = io or DEFAULT_IO
+    parts_dir = path + f".parts-{_uuid.uuid4().hex}"
+    lines_df.write.mode("overwrite").text(parts_dir)
+    try:
+        with io.open_write(path) as out:
+            if head:
+                out.write(head)
+            for part in io.list(parts_dir):
+                if not part.startswith("part-"):
+                    continue
+                with io.open_read(io.join(parts_dir, part)) as src:
+                    if transform is None:
+                        _shutil.copyfileobj(src, out)
+                    else:
+                        for line in src:
+                            line = line.rstrip(b"\n")
+                            if line:
+                                out.write(transform(line))
+            if tail:
+                out.write(tail)
+    finally:
+        io.delete_dir(parts_dir)
 
 
 # ------------------------------------------------------------------ zeek-tsv
@@ -206,14 +239,11 @@ def write_zeek_tsv(df: DataFrame, path: str, log_path: str = "tenzir") -> None:
     (reference printer: formats/zeek_tsv.cpp).
 
     Rows are rendered distributed (one JVM concat_ws projection); the
-    final single-file assembly streams part files through the driver —
-    inherent to the single-stream .log format, not a data-scale path.
+    final single-file assembly streams SHARED-storage part files through
+    the driver via the FileIO seam (_assemble_parts) — inherent to the
+    single-stream .log format, not a data-scale path, and safe on a
+    multi-machine cluster.
     """
-    import os as _os
-    import shutil as _shutil
-    import tempfile as _tempfile
-
-    _require_local_master(df, "write_zeek_tsv")
     sep, unset, empty = "\t", "-", "(empty)"
     names, ztypes, rendered = [], [], []
     for f in df.schema.fields:
@@ -244,24 +274,15 @@ def write_zeek_tsv(df: DataFrame, path: str, log_path: str = "tenzir") -> None:
         rendered.append(F.coalesce(s, F.lit(unset)))
     line = F.concat_ws(sep, *rendered)
 
-    tmp = _tempfile.mkdtemp(prefix="zeek_out_")
-    try:
-        df.select(line.alias("value")).write.mode("overwrite").text(tmp)
-        with open(path, "w") as out:
-            out.write("#separator \\x09\n")
-            out.write(f"#set_separator{sep},\n")
-            out.write(f"#empty_field{sep}{empty}\n")
-            out.write(f"#unset_field{sep}{unset}\n")
-            out.write(f"#path{sep}{log_path}\n")
-            out.write(f"#fields{sep}" + sep.join(names) + "\n")
-            out.write(f"#types{sep}" + sep.join(ztypes) + "\n")
-            for part in sorted(_os.listdir(tmp)):
-                if part.startswith("part-"):
-                    with open(_os.path.join(tmp, part)) as src:
-                        _shutil.copyfileobj(src, out)
-            out.write(f"#close{sep}-\n")
-    finally:
-        _shutil.rmtree(tmp, ignore_errors=True)
+    head = ("#separator \\x09\n"
+            f"#set_separator{sep},\n"
+            f"#empty_field{sep}{empty}\n"
+            f"#unset_field{sep}{unset}\n"
+            f"#path{sep}{log_path}\n"
+            f"#fields{sep}" + sep.join(names) + "\n"
+            f"#types{sep}" + sep.join(ztypes) + "\n")
+    _assemble_parts(df.select(line.alias("value")), path,
+                    head=head.encode(), tail=f"#close{sep}-\n".encode())
 
 
 # ------------------------------------------------------------------ cef
@@ -328,20 +349,14 @@ def write_yaml(df: DataFrame, path: str) -> None:
     document-stream output; ``read_yaml(write_yaml(df))`` round-trips.
 
     Rows are rendered distributed (an Arrow-batched mapInPandas emitting
-    one YAML doc per row); the single-file assembly streams part files
-    through the driver — inherent to a one-stream text format, same as
-    the zeek-tsv printer."""
+    one YAML doc per row); the single-file assembly streams shared-
+    storage part files through the FileIO seam — inherent to a one-stream
+    text format, same as the zeek-tsv printer, cluster-safe."""
     try:
         import yaml  # noqa: F401
     except ImportError as exc:  # pragma: no cover
         raise NotImplementedError("yaml format needs PyYAML (not installed)") from exc
-    import os as _os
-    import shutil as _shutil
-    import tempfile as _tempfile
-
     import pandas as pd
-
-    _require_local_master(df, "write_yaml")
 
     def render(batches):
         import yaml as _y
@@ -360,17 +375,7 @@ def write_yaml(df: DataFrame, path: str) -> None:
             ]
             yield pd.DataFrame({"doc": docs})
 
-    tmp = _tempfile.mkdtemp(prefix="yaml_out_")
-    try:
-        df.mapInPandas(render, "doc string").write.mode("overwrite").text(tmp)
-        with open(path, "w") as out:
-            for part in sorted(_os.listdir(tmp)):
-                if not part.startswith("part-"):
-                    continue
-                with open(_os.path.join(tmp, part)) as src:
-                    _shutil.copyfileobj(src, out)
-    finally:
-        _shutil.rmtree(tmp, ignore_errors=True)
+    _assemble_parts(df.mapInPandas(render, "doc string"), path)
 
 
 # ------------------------------------------------------------------ parquet / feather

@@ -209,27 +209,16 @@ def write_pcap(df: DataFrame, path: str, linktype: int = 1,
     which emits host byte order (pcap.cpp make_file_header).
 
     Packet records render distributed (one base64 blob per Arrow batch
-    via mapInPandas); the single-file assembly streams part files through
-    the driver in partition order — inherent to a one-stream binary
-    format, same as the zeek-tsv printer.
+    via mapInPandas); the single-file assembly streams SHARED-storage
+    part files through the FileIO seam in partition order — inherent to
+    a one-stream binary format, same as the zeek-tsv printer, and safe
+    on a multi-machine cluster (parts land next to the destination, not
+    in a driver-local tempdir).
     """
     import base64
-    import os as _os
-    import shutil as _shutil
-    import tempfile as _tempfile
 
     import pandas as pd
 
-    if not df.sparkSession.sparkContext.master.startswith("local"):
-        # the single-file assembly below lists a DRIVER-local temp dir;
-        # on a multi-machine cluster the part files commit on executor
-        # disks and the output would silently hold only the 24-byte
-        # header — refuse loudly instead (same constraint as the
-        # zeek-tsv/yaml single-stream printers; write per-executor
-        # captures with the parquet/directory sinks at cluster scale)
-        raise NotImplementedError(
-            "write_pcap assembles one file via driver-local storage and "
-            "supports local masters only")
     cols = df.columns
     if "_schema" in cols:
         # deterministic blueprint: with several input captures unioned,
@@ -290,22 +279,12 @@ def write_pcap(df: DataFrame, path: str, linktype: int = 1,
             yield pd.DataFrame(
                 {"b64": [base64.b64encode(b"".join(parts)).decode()]})
 
-    tmp = _tempfile.mkdtemp(prefix="pcap_out_")
-    try:
-        (pkts.select("timestamp", "captured_packet_length",
-                     "original_packet_length", "data")
-         .mapInPandas(render, "b64 string")
-         .write.mode("overwrite").text(tmp))
-        with open(path, "wb") as out:
-            out.write(struct.pack("<IHHIIII", magic, vmaj, vmin, r1, r2,
-                                  snaplen, linktype))
-            for part in sorted(_os.listdir(tmp)):
-                if not part.startswith("part-"):
-                    continue
-                with open(_os.path.join(tmp, part)) as src:
-                    for line in src:
-                        line = line.strip()
-                        if line:
-                            out.write(base64.b64decode(line))
-    finally:
-        _shutil.rmtree(tmp, ignore_errors=True)
+    from tenzir_spark.sources.formats import _assemble_parts
+    _assemble_parts(
+        pkts.select("timestamp", "captured_packet_length",
+                    "original_packet_length", "data")
+        .mapInPandas(render, "b64 string"),
+        path,
+        head=struct.pack("<IHHIIII", magic, vmaj, vmin, r1, r2,
+                         snaplen, linktype),
+        transform=base64.b64decode)

@@ -45,3 +45,4 @@ def events(spark, sf_dir):
 @pytest.fixture(scope="session")
 def documents(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+

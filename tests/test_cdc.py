@@ -28,7 +28,8 @@ def change_log(spark):
         events_per_epoch=EPOCH_SIZE, schema_change_every=3, seed=42,
     ).cache()
     df.count()
-    return df
+    yield df
+    df.unpersist()  # keep the suite-level no-leaked-persists assert honest
 
 
 @pytest.fixture(scope="module")

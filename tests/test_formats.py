@@ -115,3 +115,50 @@ def test_yaml_roundtrip(spark, tmp_path):
     docs.sort(key=lambda d: d["id"])
     assert docs[0] == {"id": 1, "s": "x", "v": 1.5}
     assert docs[1] == {"id": 2, "s": "multi\nline"}  # nulls omitted
+
+
+def test_assemble_parts_respects_fileio_seam(spark, tmp_path):
+    """The single-stream printers must route every driver-side path
+    operation through the FileIO seam so an object-store backend (with
+    its own path semantics) can take over — no bare open()/os.listdir
+    on the assembly path."""
+    from tenzir_spark.lake.format import LocalFileIO
+    from tenzir_spark.sources.formats import _assemble_parts
+
+    calls = []
+
+    class RecordingIO(LocalFileIO):
+        def open_write(self, path):
+            calls.append(("open_write", path))
+            return super().open_write(path)
+
+        def open_read(self, path):
+            calls.append(("open_read", path))
+            return super().open_read(path)
+
+        def list(self, path):
+            calls.append(("list", path))
+            return super().list(path)
+
+        def join(self, *parts):
+            calls.append(("join", parts))
+            return super().join(*parts)
+
+        def delete_dir(self, path):
+            calls.append(("delete_dir", path))
+            return super().delete_dir(path)
+
+    out = str(tmp_path / "one.txt")
+    df = spark.range(5).selectExpr("CAST(id AS STRING) AS v")
+    _assemble_parts(df, out, head=b"H\n", tail=b"T\n", io=RecordingIO())
+    lines = open(out).read().splitlines()
+    assert lines[0] == "H" and lines[-1] == "T"
+    assert sorted(lines[1:-1]) == ["0", "1", "2", "3", "4"]
+    ops = {c[0] for c in calls}
+    assert {"open_write", "open_read", "list", "join", "delete_dir"} <= ops
+    # the temporary parts dir is a sibling of the destination (shared
+    # storage on a cluster), and it is cleaned up
+    parts_dirs = [c[1] for c in calls if c[0] == "delete_dir"]
+    assert parts_dirs and parts_dirs[0].startswith(out + ".parts-")
+    import os
+    assert not os.path.exists(parts_dirs[0])
