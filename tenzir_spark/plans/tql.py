@@ -511,6 +511,38 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
             from tenzir_spark.plans.registry import get_table
             p = Pipeline(get_table(shlex.split(arg)[0]).read())
             continue
+        if op == "fluent-bit":
+            # reference surface: `fluent-bit <plugin> [key=value...]`
+            # (plugins/fluent-bit/src/plugin.cpp:548, source AND sink).
+            # The embedded engine links libfluent-bit (absent in this
+            # environment); the `forward` plugin — the protocol agents
+            # use to ship events between hosts — is implemented from the
+            # public forward-protocol spec in sources/fluentbit.py, the
+            # same way the zmq connector speaks ZMTP without libzmq.
+            ftoks = shlex.split(arg)
+            plugin_name = ftoks.pop(0) if ftoks and "=" not in ftoks[0] \
+                else "forward"
+            if plugin_name != "forward":
+                raise NotImplementedError(
+                    f"fluent-bit plugin {plugin_name!r} needs the "
+                    f"fluent-bit library; only the spec-level 'forward' "
+                    f"network plugin is available here")
+            fopts = dict(t.split("=", 1) for t in ftoks if "=" in t)
+            port = fopts.get("port", "24224")
+            if p is None:
+                from tenzir_spark.sources.fluentbit import load_forward
+                ep = f"tcp://{fopts.get('listen', '127.0.0.1')}:{port}"
+                cnt = fopts.get("count")
+                spool = load_forward(
+                    ep, n_events=int(cnt) if cnt else None,
+                    timeout=float(fopts.get("timeout", "10")))
+                p = Pipeline(_read_fmt(spark, "json", spool, []))
+            else:
+                sink = _Sink(
+                    "fluent-bit",
+                    f"tcp://{fopts.get('host', '127.0.0.1')}:{port}")
+                sink.tag = fopts.get("tag", "tenzir")
+            continue
 
         if p is None:
             raise ValueError(f"pipeline has no source before {op!r}")
@@ -747,6 +779,15 @@ def run_pipeline(p: Pipeline):
         # memory stays bounded to a partition instead of the full result
         return save_zmq(p.df.toJSON().toLocalIterator(), sink.path,
                         bind=not getattr(sink, "connect", False))
+    if sink.kind == "fluent-bit":
+        import json as _json
+
+        from tenzir_spark.sources.fluentbit import save_forward
+        # one pass over the result via toLocalIterator: driver memory
+        # stays bounded to a partition, same policy as the zmq sink
+        rows = (_json.loads(line) for line in p.df.toJSON().toLocalIterator())
+        return save_forward(rows, sink.path,
+                            tag=getattr(sink, "tag", "tenzir"))
     if sink.kind == "import":
         from pyspark.sql import functions as F
 
