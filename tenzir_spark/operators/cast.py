@@ -35,6 +35,22 @@ def _widen(a: T.DataType, b: T.DataType) -> T.DataType:
     ra, rb = _RANK.get(type(a)), _RANK.get(type(b))
     if ra is not None and rb is not None:
         return a if ra >= rb else b
+    # uint64 policy (SURVEY §1.2; reference type.hpp:521): uint64 rides
+    # as DECIMAL(20,0) losslessly, so int64 + uint64 streams unify to
+    # decimal(20,0) — the reference's int64<->uint64 lattice edge
+    # (cast.hpp:545,570) — not the string fallback
+    for x, y in ((a, b), (b, a)):
+        if isinstance(x, T.DecimalType) and x.scale == 0 \
+                and isinstance(y, (T.ByteType, T.ShortType, T.IntegerType,
+                                   T.LongType)):
+            return T.DecimalType(max(x.precision, 20), 0)
+        if isinstance(x, T.DecimalType) and \
+                isinstance(y, (T.FloatType, T.DoubleType)):
+            return T.DoubleType()
+    if isinstance(a, T.DecimalType) and isinstance(b, T.DecimalType):
+        scale = max(a.scale, b.scale)
+        whole = max(a.precision - a.scale, b.precision - b.scale)
+        return T.DecimalType(min(whole + scale, 38), scale)
     if isinstance(a, T.StructType) and isinstance(b, T.StructType):
         return unify_struct(a, b)
     if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):

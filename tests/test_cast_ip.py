@@ -121,3 +121,79 @@ def test_uint64_parquet_roundtrip(spark, tmp_path):
     assert df.schema["u"].dataType.simpleString() == "decimal(20,0)"
     vals = sorted(int(r.u) for r in df.collect())
     assert vals == [1, big]
+
+
+def test_uint64_int64_streams_unify_to_decimal(spark, tmp_path):
+    """int64 + uint64 streams unify to DECIMAL(20,0) (the reference's
+    int64<->uint64 lattice edge, cast.hpp:545,570; uint64 is a native
+    type at type.hpp:521) — values above 2^63-1 survive unification."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tenzir_spark.operators.cast import unify_streams
+
+    p = str(tmp_path / "u64b.parquet")
+    big = 2**64 - 1  # uint64 max
+    pq.write_table(pa.table({"v": pa.array([big, 2**63], pa.uint64())}), p)
+    u64 = spark.read.parquet(p)
+    i64 = spark.createDataFrame([(-5,), (7,)], "v long")
+    u = unify_streams([u64, i64], schema_col=None)
+    assert u.schema["v"].dataType.simpleString() == "decimal(20,0)"
+    vals = sorted(int(r.v) for r in u.collect())
+    assert vals == [-5, 7, 2**63, big]
+
+
+def test_uint64_overflow_to_int64_is_loud(spark):
+    """Casting a uint64 (decimal) value above 2^63-1 down to int64 must
+    not silently wrap: ANSI mode raises CAST_OVERFLOW; try_cast is the
+    tolerated null-producing spelling. Divergence note: the reference's
+    native uint64 (type.hpp:521) never overflows in-type; our decimal
+    carrier makes the narrowing explicit instead."""
+    from decimal import Decimal
+
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(Decimal(2**63 + 41),)], "u decimal(20,0)")
+    with _pt.raises(Exception, match="CAST_OVERFLOW|overflow"):
+        df.select(F.col("u").cast("long")).collect()
+    assert df.select(F.col("u").try_cast("long").alias("l")).collect()[0].l \
+        is None
+    # in-range values narrow exactly
+    ok = spark.createDataFrame([(Decimal(2**63 - 1),)], "u decimal(20,0)")
+    assert ok.select(F.col("u").cast("long").alias("l")).collect()[0].l \
+        == 2**63 - 1
+
+
+def test_ns_timestamp_truncates_to_micros(spark):
+    """The reference's `time` is a NANOSECOND timestamp (type.hpp:602);
+    Spark's TimestampType is microseconds. Policy (SURVEY §1.2, pinned):
+    ns fractions TRUNCATE toward zero — .999999999 becomes .999999, not
+    a rounded 1.000000 — and the truncated value is stable under a
+    parquet round trip."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("2024-01-01T00:00:00.123456789",),
+         ("2024-01-01T00:00:00.999999999",),
+         ("2024-01-01T00:00:00.000000001",)], "s string")
+    out = [str(r.ts) for r in
+           df.select(F.col("s").cast("timestamp").alias("ts"))
+           .orderBy("ts").collect()]
+    assert out == ["2024-01-01 00:00:00",          # 1 ns -> truncated away
+                   "2024-01-01 00:00:00.123456",
+                   "2024-01-01 00:00:00.999999"]   # truncated, NOT rounded
+
+
+def test_ns_truncation_round_trips_through_parquet(spark, tmp_path):
+    """ns->us truncation happens once at ingest; write+read changes
+    nothing further (idempotent truncation)."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "ts.parquet")
+    df = spark.createDataFrame([("2024-06-01T12:00:00.123456789",)], "s string") \
+        .select(F.col("s").cast("timestamp").alias("ts"))
+    df.write.mode("overwrite").parquet(p)
+    back = spark.read.parquet(p)
+    assert [str(r.ts) for r in back.collect()] == ["2024-06-01 12:00:00.123456"]
+    assert back.schema["ts"].dataType.simpleString() == "timestamp"
