@@ -42,7 +42,7 @@ AGGREGATION_FUNCTIONS = {
 }
 
 
-def _agg_column(spec: str | tuple | Column) -> Column:
+def _agg_column(spec: str | tuple | Column, binder=None) -> Column:
     """Accepts 'out=func(field)', ('out','func','field'), or a Column."""
     if isinstance(spec, Column):
         return spec
@@ -60,10 +60,24 @@ def _agg_column(spec: str | tuple | Column) -> Column:
         if out is None:
             out = f"{func}_{field}".replace(".", "_").replace("*", "star")
     fn = AGGREGATION_FUNCTIONS[func]
-    col = F.lit(1) if field in (".", "*", "") else F.col(field)
+    col = F.lit(1) if field in (".", "*", "") else _field_col(field, binder)
     if func == "count" and field in (".", "*", ""):
         fn = AGGREGATION_FUNCTIONS["count_star"]
     return fn(col).alias(out)
+
+
+def _field_col(field: str, binder) -> Column:
+    """Resolve an aggregate/key field like the reference's extractors:
+    suffix match against the schema; a field ABSENT from the schema
+    aggregates/groups as null instead of failing analysis
+    (tests.yaml:919 'Summarize All None Some' — distinct(y) over a
+    schema without y yields null, by z groups everything under null)."""
+    if binder is None:
+        return F.col(field)
+    hits = binder.field_matches(field)
+    if not hits:
+        return F.lit(None)
+    return binder.col(hits[0])
 
 
 def summarize(
@@ -85,6 +99,8 @@ def summarize(
     Scale: plain groupBy — Catalyst gives partial aggregation before the
     shuffle; AQE coalesces post-shuffle partitions.
     """
+    from tenzir_spark.expr import Binder
+    binder = Binder(df.schema)
     keys: list[Column] = []
     for k in by:
         if isinstance(k, Column):
@@ -92,14 +108,15 @@ def summarize(
         elif resolution and time_col and k == time_col:
             keys.append(F.window(F.col(k), resolution).start.alias(k))
         else:
-            keys.append(F.col(k))
+            keys.append(_field_col(k, binder).alias(k.split(".")[-1]
+                        if k not in df.columns else k))
     if resolution and time_col and time_col not in [k for k in by if isinstance(k, str)]:
         # resolution given but the time key absent from `by`: the reference
         # floors the time key it finds and groups by it regardless
         # (summarize.cpp:41-95 FloorTemporal) — append the floored key so
         # the option is never a silent no-op
         keys.append(F.window(F.col(time_col), resolution).start.alias(time_col))
-    agg_cols = [_agg_column(a) for a in aggs]
+    agg_cols = [_agg_column(a, binder) for a in aggs]
     if keys:
         return df.groupBy(*keys).agg(*agg_cols)
     return df.agg(*agg_cols)

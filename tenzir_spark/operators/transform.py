@@ -252,14 +252,16 @@ def batch(df: DataFrame, limit: int = 65536) -> DataFrame:
 
 
 def repeat(df: DataFrame, n: int = 2) -> DataFrame:
-    """Repeat the input n times. Reference: repeat.cpp:31. A lazy
-    localCheckpoint runs the upstream once and ties the stored blocks to
-    this DataFrame's lifetime (a plain .cache() would outlive the query
-    in the session's persistent-RDD registry)."""
+    """Repeat the input n times. Reference: repeat.cpp:31.
+
+    Declarative form: a broadcast cross join against a tiny n-row
+    relation duplicates every row n times in place — the upstream is
+    evaluated ONCE, inside one Catalyst plan, with no cached/checkpointed
+    state to manage (the previous localCheckpoint variant left its
+    blocks in the persistent-RDD registry until a JVM GC). Row order is
+    not the reference's strict n-fold sequence, but distributed row
+    order is undefined anyway."""
     if n <= 1:
         return df
-    df = df.localCheckpoint(eager=False)
-    out = df
-    for _ in range(n - 1):
-        out = out.unionAll(df)
-    return out
+    rep = df.sparkSession.range(n).toDF("__repeat_i")
+    return df.crossJoin(F.broadcast(rep)).drop("__repeat_i")

@@ -498,6 +498,16 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
                 cmd = cmd[1:-1]
             read_fmt_pending = run_shell(cmd, stdin_path=read_fmt_pending)
             continue
+        if op == "decompress":
+            # byte-stream codec between load and read
+            # (compress_decompress.cpp:257; tests.yaml:1068 'load file
+            # x.gz | decompress gzip | read ...')
+            if read_fmt_pending is None:
+                raise ValueError("'decompress' requires a preceding 'load'")
+            from tenzir_spark.sources.codecs import decompress_file
+            read_fmt_pending = decompress_file(
+                read_fmt_pending, shlex.split(arg)[0])
+            continue
         if op == "show":
             if spark is None:
                 raise ValueError("'show' requires a SparkSession")

@@ -46,3 +46,4 @@ def events(spark, sf_dir):
 def documents(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
+

@@ -91,6 +91,55 @@ CASES = [
     ("json_record_list_conflict.txt",
      "from /root/repo/fixtures/record-list-with-null-conflict.json"
      " read json"),
+    # tests.yaml:919 'Summarize All None Some' — S-by-A (present field
+    # grouped by meta), N-by-A (ABSENT field: aggregates as null/empty
+    # instead of failing analysis), count-by-N (absent group key: one
+    # null group; NDJSON omits the null key column)
+    ("summarize_distinct_by_schema.txt",
+     f"from {EVE} read suricata"
+     " | summarize x=distinct(src_ip) by _schema | sort _schema"),
+    ("summarize_distinct_absent.txt",
+     f"from {EVE} read suricata"
+     " | summarize x=distinct(nope) by _schema | sort _schema"),
+    ("summarize_by_absent_key.txt",
+     f"from {CONN} read zeek-tsv | summarize n=count(.) by zzz"),
+    # tests.yaml:959 'Summarize Dot' — count(.) counts events
+    ("summarize_count_dot.txt",
+     f"from {CONN} read zeek-tsv | summarize x=count(.)"),
+    # tests.yaml:971 'Flatten Operator' over suricata input: nested
+    # records become dotted flat columns selectable by full name
+    ("flatten_suricata_dns.txt",
+     f"from {EVE} read suricata | where _schema == \"suricata.dns\""
+     " | flatten | select src_ip dns.rrname | sort src_ip"),
+    # tests.yaml:994 'Unflatten Operator' — flatten | unflatten
+    # round-trips the nested shape (records inside lists included)
+    ("flatten_unflatten_roundtrip.txt",
+     "from /root/repo/fixtures/record-list-new-field.json read json"
+     " | flatten | unflatten"),
+    # tests.yaml:1077 'Lines' — read lines, and the -s skip-empty flag
+    ("lines_count.txt",
+     f"from {CEF} read lines | summarize n=count(.)"),
+    ("lines_count_skip_empty.txt",
+     f"from {CEF} read lines -s | summarize n=count(.)"),
+    # tests.yaml:776 'Repeat'
+    ("repeat_uid.txt",
+     f"from {CONN} read zeek-tsv | head 1 --order-by uid | repeat 3"
+     " | select uid"),
+    # tests.yaml:873 'Slice Regression Test' shape — head then tail
+    ("slice_head_tail.txt",
+     f"from {CONN} read zeek-tsv | sort uid | head 5"
+     " | tail 2 --order-by uid | select uid"),
+    # show aspect as a TQL source piped through operators
+    # (tests.yaml:1038 YAML shape: `show plugins | where name == ...`)
+    ("show_version_component.txt",
+     "show version | where component == \"tenzir_spark\""
+     " | select component"),
+    # tests.yaml:1046 'PCAP Format' concat step: shell-concatenated
+    # captures with -e keep file_header/packet sequencing per input
+    ("pcap_concat_schemas.txt",
+     "shell \"cat /root/repo/fixtures/vlan-single-tagging.pcap"
+     " /root/repo/fixtures/vlan-double-tagging.pcap\""
+     " | read pcap -e | summarize n=count(.) by _schema | sort _schema"),
 ]
 
 
@@ -100,3 +149,54 @@ def test_golden_pipeline(spark, capsys, golden, pipeline):
     got = capsys.readouterr().out.strip().splitlines()
     expected = open(os.path.join(GOLDEN_DIR, golden)).read().strip().splitlines()
     assert got == expected, f"{golden}: {got} != {expected}"
+
+
+def test_golden_decompress_gzip(spark, tmp_path, capsys):
+    """tests.yaml:1068 'Compression': `load file x.gz | decompress gzip
+    | read ...` — the byte-stream codec between load and read."""
+    import gzip
+    import shutil
+
+    gz = str(tmp_path / "eve.json.gz")
+    with open(EVE, "rb") as src, gzip.open(gz, "wb") as dst:
+        shutil.copyfileobj(src, dst)
+    exec_pipeline(
+        f"load {gz} | decompress gzip | read json"
+        " --selector event_type:suricata"
+        " | summarize n=count(.) by _schema | sort _schema | to -",
+        spark=spark)
+    got = capsys.readouterr().out.strip().splitlines()
+    assert got == ['{"_schema":"suricata.alert","n":1}',
+                   '{"_schema":"suricata.dns","n":2}',
+                   '{"_schema":"suricata.flow","n":2}']
+
+
+def test_golden_import_export_roundtrip(spark, tmp_path, capsys):
+    """tests.yaml:92/149 'Node Zeek conn log' + 'Export json' shape:
+    ingest via `import`, query back via `export | where | sort`, all
+    through TQL against a registered lake table."""
+    from pyspark.sql import types as T
+
+    from tenzir_spark.lake import LakeTable
+    from tenzir_spark.plans.registry import register_table
+
+    schema = T.StructType([
+        T.StructField("uid", T.StringType(), False),
+        T.StructField("proto", T.StringType(), True),
+        T.StructField("duration", T.DoubleType(), True),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "conn_t"), schema, "uid",
+                         num_buckets=4)
+    register_table("golden_conn", t)
+    entry = exec_pipeline(
+        f"from {CONN} read zeek-tsv | select uid proto duration"
+        " | import golden_conn", spark=spark)
+    assert entry["rows_applied"] == 6
+    exec_pipeline(
+        "export golden_conn | where proto == \"tcp\""
+        " | select uid proto | sort uid | to -", spark=spark)
+    got = capsys.readouterr().out.strip().splitlines()
+    assert got == ['{"uid":"Cu1","proto":"tcp"}',
+                   '{"uid":"Cu3","proto":"tcp"}',
+                   '{"uid":"Cu5","proto":"tcp"}',
+                   '{"uid":"Cu6","proto":"tcp"}']
