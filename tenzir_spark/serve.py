@@ -238,7 +238,8 @@ def default_manager() -> ServeManager:
 
 
 def serve(df: DataFrame, serve_id: str, manager: ServeManager,
-          buffer_size: int = DEFAULT_BUFFER_SIZE):
+          buffer_size: int = DEFAULT_BUFFER_SIZE,
+          available_now: bool = False):
     """Attach a DataFrame's results to ``manager`` under ``serve_id``.
 
     Batch: a background thread drains ``toLocalIterator`` into the
@@ -258,8 +259,13 @@ def serve(df: DataFrame, serve_id: str, manager: ServeManager,
             # the chunk after the token already advanced.
             buf.put([json.loads(r) for r in batch_df.toJSON().collect()],
                     schema_json)
-        query = (df.writeStream.outputMode("append")
-                 .foreachBatch(sink).start())
+        writer = df.writeStream.outputMode("append").foreachBatch(sink)
+        if available_now:
+            # drain everything currently available, then terminate — the
+            # buffer finishes and the LAST get returns a null token
+            # (serve.cpp:733 completion semantics)
+            writer = writer.trigger(availableNow=True)
+        query = writer.start()
 
         def finish_when_done():
             query.awaitTermination()

@@ -214,3 +214,36 @@ def test_serve_buffer_bound_enforced():
     # put after finish is refused, not silently appended
     with pytest.raises(RuntimeError, match="finished"):
         buf.put([{"late": True}])
+
+
+def test_serve_streaming_available_now_completes(spark, manager, tmp_path):
+    """availableNow streaming serve: the query drains existing files and
+    terminates; the client pages with continuation tokens until the
+    buffer completes with next_continuation_token == null — the
+    reference's completion contract (serve.cpp:733), now pinned under
+    streaming."""
+    src = tmp_path / "an_src"
+    src.mkdir()
+    (src / "a.json").write_text('{"v": 1}\n{"v": 2}\n{"v": 3}\n')
+    (src / "b.json").write_text('{"v": 4}\n{"v": 5}\n')
+    m, port = manager
+    static = spark.read.json(str(src))
+    stream = spark.readStream.schema(static.schema).json(str(src))
+    q = serve(stream, "qan", m, available_now=True)
+    rows, token, chunks = [], None, 0
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        status, resp = _post(port, {"serve_id": "qan", "max_events": 2,
+                                    "continuation_token": token,
+                                    "timeout": "2s"})
+        assert status == 200, resp
+        rows.extend(d["data"] for d in resp["data"])
+        if resp["data"]:
+            chunks += 1
+        token = resp["next_continuation_token"]
+        if token is None:
+            break
+    assert token is None, "buffer never completed with a null token"
+    assert sorted(r["v"] for r in rows) == [1, 2, 3, 4, 5]
+    assert chunks >= 3  # max_events=2 paging actually paged
+    assert not q.isActive  # availableNow terminated the query itself
