@@ -130,6 +130,7 @@ _TOKEN_RE = re.compile(
   | (?P<typex>:[A-Za-z_][A-Za-z0-9_.]*)
   | (?P<metax>\#[A-Za-z_][A-Za-z0-9_]*)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_.]*)
+  | (?P<pattern>/(?=\S)(?:\\.|[^/\\])+/i?)
   | (?P<arith>[+\-*/%])
     """,
     re.VERBOSE,
@@ -163,8 +164,16 @@ def tokenize(text: str) -> list[tuple[str, str]]:
         m = _TOKEN_RE.match(text, pos)
         if not m:
             raise ValueError(f"cannot tokenize expression at: {text[pos:pos + 20]!r}")
-        pos = m.end()
         kind = m.lastgroup
+        if kind == "pattern" and tokens and tokens[-1][0] not in (
+                "relop", "lparen", "comma", "and", "or", "not"):
+            # '/' after a value position is division, not a pattern
+            # literal — patterns only occur as operands ("x == /re/"),
+            # which disambiguates "a/2 + b/3" without lexer backtracking
+            tokens.append(("arith", "/"))
+            pos += 1
+            continue
+        pos = m.end()
         if kind == "ws":
             continue
         tokens.append((kind, m.group()))
@@ -320,6 +329,12 @@ class _Parser:
             return Literal(text, "time")
         if kind == "subnet":
             return Literal(text, "subnet")
+        if kind == "pattern":
+            # /regex/ or /regex/i (reference pattern literal,
+            # pattern.hpp:41 case_insensitive_flag)
+            ci = text.endswith("i")
+            body = text[1:-2] if ci else text[1:-1]
+            return Literal((body, ci), "pattern")
         if kind == "ip":
             return Literal(text, "ip")
         if kind == "typex":
@@ -760,6 +775,24 @@ def _apply_relop(col: Column, op: str, rcol: Column, rlit: Literal | None) -> Co
     if rlit is not None and rlit.type_name == "subnet" and op in ("in", "==", "!in", "!="):
         inside = ip_in_subnet(col, rlit.value)
         return ~inside if op in ("!in", "!=") else inside
+    if rlit is not None and rlit.type_name == "pattern":
+        # reference pattern semantics (pattern.cpp:41-51): `==` is a
+        # FULL match, `in` is a partial search; /…/i flips RE2's
+        # case-insensitive option -> Java regex (?i) flag. JVM-side
+        # rlike keeps the predicate codegen'd.
+        body, ci = rlit.value
+        flags = "(?i)" if ci else ""
+        full = col.rlike(f"{flags}^(?:{body})$")
+        if op == "==":
+            return full
+        if op == "!=":
+            return ~F.coalesce(full, F.lit(False))
+        part = col.rlike(f"{flags}{body}")
+        if op == "in":
+            return part
+        if op == "!in":
+            return ~F.coalesce(part, F.lit(False))
+        raise ValueError(f"operator {op!r} unsupported for pattern literals")
     # Value semantics, not SQL 3VL: the reference evaluates predicates to
     # definite bitmap bits (null == v is false, null != v is true).
     # Positive ordered comparisons stay PLAIN SQL so they push down to the

@@ -73,6 +73,72 @@ def split_pipeline(text: str) -> list[str]:
     return [s for s in segs if s]
 
 
+def _strip_comments(text: str) -> str:
+    """Remove ``/* ... */`` comments outside quotes (reference TQL
+    comments, tests.yaml:647: non-nested — the FIRST ``*/`` ends the
+    comment, so ``/*double beginning /* is valid*/``; an unterminated
+    opener or a stray closer is a parse error)."""
+    out: list[str] = []
+    i, n = 0, len(text)
+    quote: str | None = None
+    while i < n:
+        ch = text[i]
+        if quote:
+            out.append(ch)
+            if ch == "\\" and i + 1 < n:
+                out.append(text[i + 1])
+                i += 2
+                continue
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in "\"'":
+            quote = ch
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "/" and not text.startswith("/*", i):
+            # pattern literal? only in operand position (after a relop
+            # or opener) — same disambiguation rule as the expression
+            # tokenizer; its body may contain "*/" (e.g. /flow.*/),
+            # which must not read as a comment closer
+            prev = "".join(out).rstrip()
+            if prev.endswith(("==", "!=", " in", "(", ",", "!")):
+                j = i + 1
+                while j < n and text[j] != "/":
+                    j += 2 if text[j] == "\\" else 1
+                if j < n:
+                    j += 1
+                    if j < n and text[j] == "i":
+                        j += 1
+                    out.append(text[i:j])
+                    i = j
+                    continue
+        # comment delimiters must stand alone (preceded by start,
+        # whitespace, or '|') so glob paths like /data/*/x.parquet
+        # never lex as comments
+        standalone = i == 0 or text[i - 1].isspace() or text[i - 1] == "|"
+        if standalone and text.startswith("/*", i):
+            end = text.find("*/", i + 2)
+            if end < 0:
+                raise ValueError("unterminated /* comment in pipeline")
+            i = end + 2
+            continue
+        if standalone and text.startswith("*/", i):
+            raise ValueError("stray */ outside a comment in pipeline")
+        out.append(ch)
+        i += 1
+    stripped = "".join(out)
+    # a segment that held ONLY a comment is not a valid operator
+    # (tests.yaml:647: `select x | /**/` must error, matching the
+    # reference's parser)
+    empty_seg = re.compile(r"(?:^|\|)\s*(?:\||$)")
+    if empty_seg.search(stripped) and not empty_seg.search(text):
+        raise ValueError("a pipeline operator cannot be only a comment")
+    return stripped
+
+
 def _split_top(text: str, sep: str = ",") -> list[str]:
     """Split on a separator at paren/quote depth 0."""
     out, depth, quote, cur = [], 0, None, []
@@ -117,6 +183,7 @@ _READERS: dict[str, Callable] = {
     "yaml": fmt.read_yaml,
     "parquet": fmt.read_parquet,
     "feather": fmt.read_feather,
+    "syslog": fmt.read_syslog,
 }
 
 
@@ -344,6 +411,7 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
     ``source``. A trailing sink (``to``/``write``/``save``/``discard``) is
     recorded on the Pipeline and executes via ``.run()``.
     """
+    text = _strip_comments(text)
     segs = split_pipeline(text)
     if not segs:
         raise ValueError("empty pipeline")

@@ -204,3 +204,39 @@ def test_load_concepts_yaml(tmp_path, spark):
     from tenzir_spark.expr import compile_expression
     pred = compile_expression('source_ip == "8.8.8.8"', df, concepts=concepts)
     assert [r.x for r in df.filter(pred).collect()] == [2]
+
+
+def test_pattern_literal_full_match(spark):
+    """Reference pattern semantics (pattern.cpp:41-51): `== /re/` is a
+    FULL match, `in` is a partial search, /re/i is case-insensitive
+    (pattern.hpp:41)."""
+    from tenzir_spark.operators.transform import where
+
+    df = spark.createDataFrame(
+        [("netflow",), ("flow",), ("FLOW",), ("flowing",), (None,)],
+        "event_type string")
+    got = sorted(r.event_type for r in
+                 where(df, "event_type == /.*flow$/").collect())
+    assert got == ["flow", "netflow"]
+    got_i = sorted(r.event_type for r in
+                   where(df, "event_type == /.*FLOW$/i").collect())
+    assert got_i == ["FLOW", "flow", "netflow"]
+    # != is the 3VL-coalesced negation: null rows are kept (null != p)
+    got_ne = [r.event_type for r in
+              where(df, "event_type != /.*flow$/").collect()]
+    assert sorted(x for x in got_ne if x is not None) == ["FLOW", "flowing"]
+    assert None in got_ne
+    # `in` searches (PartialMatch): 'flowing' now matches
+    got_in = sorted(r.event_type for r in
+                    where(df, "event_type in /flow/").collect())
+    assert got_in == ["flow", "flowing", "netflow"]
+
+
+def test_pattern_vs_division_disambiguation(spark):
+    """'/' in value position stays arithmetic division: a/2 + b/3 must
+    not lex as one pattern literal spanning the middle."""
+    from tenzir_spark.operators.transform import where
+
+    df = spark.createDataFrame([(4, 6), (1, 1)], "a int, b int")
+    got = [(r.a, r.b) for r in where(df, "a/2 + b/3 >= 4").collect()]
+    assert got == [(4, 6)]

@@ -162,3 +162,83 @@ def test_assemble_parts_respects_fileio_seam(spark, tmp_path):
     assert parts_dirs and parts_dirs[0].startswith(out + ".parts-")
     import os
     assert not os.path.exists(parts_dirs[0])
+
+
+def test_read_syslog_rfc5424(spark):
+    """RFC 5424 reader over the reference's own integration capture
+    (tenzir/integration/data/syslog/syslog.log) with the reference
+    semantics (format/syslog.hpp header_parser; import-syslog goldens):
+    facility=prival/8, severity=prival%8, '-' -> empty string fields /
+    null timestamp, tz offsets normalize to UTC, BOM stripped from the
+    message, priority-less lines route to syslog.unknown."""
+    from tenzir_spark.sources.formats import read_syslog
+
+    df = read_syslog(spark, "/root/repo/fixtures/syslog.log")
+    rows = df.collect()
+    assert len(rows) == 13
+    by_schema = {}
+    for r in rows:
+        by_schema.setdefault(r["_schema"], []).append(r)
+    assert len(by_schema["syslog.unknown"]) == 1
+    assert by_schema["syslog.unknown"][0]["syslog_message"].startswith(
+        "2003-10-11T22:14:15.003Z mymachineexamplecom")
+    parsed = by_schema["syslog.rfc5424"]
+    assert len(parsed) == 12
+
+    # line 1: <34>8 ... su asd ID47 [exampleSDID@32473 ...] BOM'su root'...
+    first = [r for r in parsed if r["process_id"] == "asd"][0]
+    assert (first["facility"], first["severity"], first["version"]) == (4, 2, 8)
+    assert first["hostname"] == "mymachineexamplecom"
+    assert first["app_name"] == "su"
+    assert first["message_id"] == "ID47"
+    # escaped \] inside a param value (pattern from the reference data)
+    assert first["structured_data"]["exampleSDID@32473"]["eventSource"] \
+        == "App]lication"
+    assert first["message"].startswith("BOM'su root' failed")
+    assert str(first["ts"]).startswith("2003-10-11 22:14:15.003")
+
+    # line 3: nil timestamp ('-') and nil msg_id; pid present
+    nil_ts = [r for r in parsed if r["hostname"] == "192.0.2.1"][0]
+    assert nil_ts["ts"] is None
+    assert nil_ts["process_id"] == "8710"
+    assert nil_ts["message_id"] == ""
+    assert nil_ts["message"] == "%% It's time to make the do-nuts."
+
+    # escaped \" and \\ in param values
+    v4 = [r for r in parsed if r["structured_data"] and
+          r["structured_data"].get("exampleSDID@32473", {}).get("iut") == "4"][0]
+    assert v4["structured_data"]["exampleSDID@32473"]["eventSource"] \
+        == 'Applic"ation'
+    v5 = [r for r in parsed if r["structured_data"] and
+          r["structured_data"].get("exampleSDID@32473", {}).get("iut") == "5"][0]
+    assert v5["structured_data"]["exampleSDID@32473"]["eventSource"] \
+        == "Applic\\ation"
+    # two SD elements on one message; no trailing message content
+    assert v5["structured_data"]["examplePriority@32473"]["class"] == "high"
+    assert v5["message"] is None
+
+    # tz-offset timestamps normalize to UTC (import-syslog/step_01.ref:
+    # 19:37:57+01:00 -> 18:37:57)
+    rsys = [r for r in parsed if r["app_name"] == "rsyslogd"][0]
+    assert str(rsys["ts"]).startswith("2020-03-02 18:37:57.819")
+    # nil SD: the bracketed text stays in the message
+    assert rsys["message"].lstrip().startswith("[origin software=")
+
+    # message preserves its leading space after the one separator
+    # (step_01.ref: " no mapping for commit")
+    gnome = [r for r in parsed if r["app_name"] == "gnome-software"][0]
+    assert gnome["message"] == " no mapping for commit"
+    assert (gnome["facility"], gnome["severity"]) == (1, 4)
+
+
+def test_read_syslog_tql(spark):
+    """`from <file> read syslog | where severity <= N` through TQL."""
+    from tenzir_spark.plans.tql import parse_pipeline
+
+    p = parse_pipeline(
+        "from /root/repo/fixtures/syslog.log read syslog"
+        " | where _schema == \"syslog.rfc5424\" && severity == 2"
+        " | select hostname app_name", spark=spark)
+    rows = p.df.collect()
+    assert len(rows) == 2  # both <34> lines (severity 34%8=2)
+    assert {r.app_name for r in rows} == {"su"}

@@ -282,3 +282,27 @@ def test_reader_options_csv_no_header(spark, tmp_path):
     f.write_text("1,a\n2,b\n")
     p = parse_pipeline(f"from {f} read csv --no-header", spark=spark)
     assert p.df.count() == 2 and len(p.df.columns) == 2
+
+
+def test_tql_comments(spark, tmp_path):
+    """Reference TQL /* */ comments (tests.yaml:647): non-nested (the
+    first */ ends the comment), standalone-delimited so glob paths
+    survive; unterminated opener and a bare comment segment error."""
+    import pytest as _pt
+
+    from tenzir_spark.plans.tql import exec_pipeline, parse_pipeline
+
+    p = tmp_path / "c.json"
+    p.write_text('{"a": 1, "s": "foo"}\n{"a": 2, "s": "bar"}\n')
+    out = parse_pipeline(
+        f"from {p} read json | select a /*double beginning /* is valid */",
+        spark=spark)
+    assert sorted(r.a for r in out.df.collect()) == [1, 2]
+    with _pt.raises(ValueError):
+        parse_pipeline(f"from {p} read json | select a | /**/", spark=spark)
+    with _pt.raises(ValueError, match="unterminated"):
+        parse_pipeline(f"from {p} read json /* no closer", spark=spark)
+    # a pattern literal whose body ends in '*' does not close a comment
+    out2 = parse_pipeline(
+        f"from {p} read json | where s != /x.*/ | select a", spark=spark)
+    assert sorted(r.a for r in out2.df.collect()) == [1, 2]
