@@ -122,7 +122,7 @@ _TOKEN_RE = re.compile(
   | (?P<relop>==|!=|<=|>=|<|>|!in\b|\bin\b|!ni\b|\bni\b)
   | (?P<not>!)
   | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
-  | (?P<subnet>\d{1,3}(?:\.\d{1,3}){3}/\d{1,2})
+  | (?P<subnet>(?:\d{1,3}(?:\.\d{1,3}){3}|[0-9a-fA-F:]*::[0-9a-fA-F:.]*|(?:[0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4})/\d{1,3})
   | (?P<ip>\d{1,3}(?:\.\d{1,3}){3}|[0-9a-fA-F:]*::[0-9a-fA-F:.]*)
   | (?P<time>\d{4}-\d{2}-\d{2}(?:[T ]\d{2}:\d{2}(?::\d{2}(?:\.\d+)?)?)?(?:Z|[+-]\d{2}:?\d{2})?)
   | (?P<duration>\d+(?:\.\d+)?\s*(?:ns|us|ms|s|sec|min|mins|h|hrs|d|days?|w|weeks?)\b)
@@ -583,7 +583,11 @@ class Binder:
                 return None
             if paths[0] == "__meta_schema__":
                 return (F.lit(self.schema_name) if self.schema_name is not None
-                        else F.lit(None).cast("string"))
+                        else (F.col("_schema")
+                              if any(p == "_schema" for p, _ in self.leaves)
+                              else F.lit(None).cast("string")))
+            if paths[0] == "__meta_schema_id__":
+                return self._schema_id_col()
             return self.col(paths[0])
         if isinstance(node, BinOp):
             lc, rc = self.value(node.lhs), self.value(node.rhs)
@@ -670,13 +674,29 @@ class Binder:
         if isinstance(operand, MetaExtractor):
             if operand.name == "schema":
                 return ["__meta_schema__"]
+            if operand.name == "schema_id":
+                return ["__meta_schema_id__"]
             if operand.name == "import_time":
                 return ["_import_time"] if any(p == "_import_time" for p, _ in self.leaves) else []
             return []
         raise TypeError(f"predicate lhs must be an extractor, got {operand!r}")
 
+    def _schema_id_col(self) -> Column:
+        """#schema_id: a stable 16-hex fingerprint of the frame's schema
+        (reference: schema-id extractor, tests.yaml:732; the reference
+        hashes its own type representation — type.cpp make_fingerprint —
+        so VALUES diverge by construction across implementations, but
+        the semantics hold: equal schemas hash equal, put/where work).
+        Multi-schema frames fold the per-row _schema routing value in."""
+        base = F.lit(self.schema.json())
+        if any(p == "_schema" for p, _ in self.leaves):
+            base = F.concat(base, F.coalesce(F.col("_schema"), F.lit("")))
+        return F.substring(F.md5(base), 1, 16)
+
     def _one(self, path: str, op: str, rhs) -> Column:
-        if path == "__meta_schema__":
+        if path == "__meta_schema_id__":
+            col = self._schema_id_col()
+        elif path == "__meta_schema__":
             col = (F.lit(self.schema_name) if self.schema_name is not None
                    else (F.col("_schema") if any(p == "_schema" for p, _ in self.leaves)
                          else F.lit(None).cast("string")))
@@ -834,6 +854,14 @@ def ip_in_subnet(col: Column, cidr: str) -> Column:
     fall through to false here — handled by functions.ip.pandas helpers.)
     """
     net = ipaddress.ip_network(cidr, strict=False)
+    if net.version == 6:
+        # IPv6 has no 32-bit JVM arithmetic form; containment runs in
+        # the Arrow-batched stdlib UDF (the reference's evaluate.cpp
+        # handles both families natively — Query Operators test:
+        # `id.orig_h in fe80:5074:1b53:7e7::/64`). The predicate loses
+        # parquet pushdown for this one clause; correctness first.
+        from tenzir_spark.functions.ip import make_in_subnet_udf
+        return F.coalesce(make_in_subnet_udf(cidr)(col), F.lit(False))
     parts = F.split(col, r"\.")
     as_int = (
         parts.getItem(0).cast("long") * 16777216

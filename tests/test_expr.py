@@ -240,3 +240,50 @@ def test_pattern_vs_division_disambiguation(spark):
     df = spark.createDataFrame([(4, 6), (1, 1)], "a int, b int")
     got = [(r.a, r.b) for r in where(df, "a/2 + b/3 >= 4").collect()]
     assert got == [(4, 6)]
+
+
+def test_schema_id_meta_extractor(spark):
+    """#schema_id (tests.yaml:732 'Schema ID Extractor'): a stable
+    16-hex fingerprint usable in put and where. Values diverge from the
+    reference's C++ type fingerprints by construction; the semantics —
+    same schema => same id, equality filters partition the stream —
+    are what the test pins."""
+    import re as _re
+
+    from tenzir_spark.operators.transform import put, where
+    from tenzir_spark.sources.formats import read_cef
+
+    df = read_cef(spark, "/root/repo/fixtures/events.cef")
+    from tenzir_spark.expr import compile_operand
+    tagged = put(df, fingerprint=compile_operand("#schema_id", df),
+                 name=F.col("name"))
+    fps = [r.fingerprint for r in tagged.collect()]
+    assert len(set(fps)) == 1 and _re.fullmatch(r"[0-9a-f]{16}", fps[0])
+    fp = fps[0]
+    assert where(df, f'#schema_id == "{fp}"').count() == df.count()
+    assert where(df, f'#schema_id != "{fp}"').count() == 0
+    # multi-schema frames fold the routing column in: per-_schema ids differ
+    from tenzir_spark.sources.formats import read_suricata
+    eve = read_suricata(spark, "/root/repo/fixtures/eve.json")
+    ids = {(r["_schema"], r["fingerprint"]) for r in
+           put(eve, _schema=F.col("_schema"),
+               fingerprint=compile_operand("#schema_id", eve)).collect()}
+    assert len({i for _, i in ids}) == len({s for s, _ in ids})
+
+
+def test_ipv6_subnet_containment(spark):
+    """IPv6 CIDR containment ('Query Operators' test: `id.orig_h in
+    fe80:...::/64`): v6 literals tokenize and containment evaluates via
+    the Arrow-batched stdlib path (v4 keeps the JVM fast path)."""
+    from tenzir_spark.operators.transform import where
+
+    df = spark.createDataFrame(
+        [("fe80:5074:1b53:7e7::10",), ("fe80:5074:1b53:7e8::10",),
+         ("192.168.1.5",), (None,)], "h string")
+    got = [r.h for r in
+           where(df, "h in fe80:5074:1b53:7e7::/64",
+                 type_hints={"h": "ip"}).collect()]
+    assert got == ["fe80:5074:1b53:7e7::10"]
+    got4 = [r.h for r in
+            where(df, "h in 192.168.1.0/24", type_hints={"h": "ip"}).collect()]
+    assert got4 == ["192.168.1.5"]
