@@ -641,6 +641,31 @@ def q_netflow(spark, sf):
             .orderBy("version", "src_addr", "src_port"))
 
 
+def q_read_syslog(spark, sf):
+    """RFC 5424 syslog reader over the reference's own integration
+    capture (format/syslog.cpp; import-syslog goldens). The oracle
+    recomputes the header grammar in DuckDB regex; messages are
+    compared only for nil-SD rows (bracket/escape parsing is pinned by
+    the pytest golden instead), timestamps as epoch micros (-1 = nil),
+    and '-' renders string fields empty per the reference parser."""
+    from tenzir_spark.sources.formats import read_syslog
+    df = read_syslog(spark, "/root/repo/fixtures/syslog.log")
+    # NULL bigints sentinel'd to -1: DuckDB fetches via pandas where a
+    # NULL BIGINT becomes NaN (same note as read_zeek_tsv/netflow)
+    return (df.select(
+        "_schema",
+        F.coalesce(F.col("facility"), F.lit(-1)).alias("facility"),
+        F.coalesce(F.col("severity"), F.lit(-1)).alias("severity"),
+        F.coalesce(F.col("version"), F.lit(-1)).alias("version"),
+        F.coalesce(F.unix_micros(F.col("ts")), F.lit(-1)).alias("ts_us"),
+        "hostname", "app_name", "process_id", "message_id",
+        F.when(F.col("structured_data").isNull(), F.col("message"))
+         .alias("msg_nosd"),
+        "syslog_message",
+    ).orderBy("_schema", "hostname", "app_name", "process_id",
+              "message_id", "ts_us", "msg_nosd"))
+
+
 def q_cube(spark, sf):
     li = _t(spark, sf, "lineitem")
     return (li.cube("l_returnflag", "l_linestatus")
@@ -712,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "pivot": q_pivot,
         "cube": q_cube,
+        "read_syslog": q_read_syslog,
     }
 
 
@@ -1246,6 +1272,53 @@ def oracle_sql() -> dict[str, str]:
             FROM region, range(0, 3) t(i)
             GROUP BY r_regionkey ORDER BY r_regionkey
         """,
+        # independent DuckDB recompute of the RFC 5424 header grammar
+        # (regex, not this parser): facility=pri/8, severity=pri%8,
+        # '-' -> empty strings / null ts, tz offsets to UTC epoch
+        # micros; msg compared for nil-SD rows only (escape-aware SD
+        # parsing is pinned by tests/test_formats.py goldens)
+        "read_syslog": ("""
+            WITH raw AS (
+              SELECT column0 AS line
+              FROM read_csv('/root/repo/fixtures/syslog.log',
+                            delim='\x01', header=false, auto_detect=false,
+                            columns={'column0':'VARCHAR'})
+              WHERE length(line) > 0
+            ), g AS (""" + r"""
+              SELECT line,
+                TRY_CAST(regexp_extract(line, '^<(\d{1,3})>', 1) AS BIGINT) AS pri,
+                TRY_CAST(regexp_extract(line, '^<\d{1,3}>(\d{1,3}) ', 1) AS BIGINT) AS ver,
+                regexp_extract(line,
+                  '^<\d{1,3}>\d{1,3} (\S+) (\S+) (\S+) (\S+) (\S+) (\S+)( (.*))?$',
+                  ['ts','host','app','pid','msgid','sd7','sp','tail']) AS m
+              FROM raw
+            ), rows_ AS (
+              SELECT line, pri, ver, m,
+                (pri IS NOT NULL AND pri <= 191 AND ver IS NOT NULL
+                 AND ver > 0 AND m.host IS NOT NULL AND m.host != '') AS ok
+              FROM g
+            )
+            SELECT
+              CASE WHEN ok THEN 'syslog.rfc5424' ELSE 'syslog.unknown' END AS _schema,
+              CAST(CASE WHEN ok THEN pri // 8 ELSE -1 END AS BIGINT) AS facility,
+              CAST(CASE WHEN ok THEN pri % 8 ELSE -1 END AS BIGINT) AS severity,
+              CAST(CASE WHEN ok THEN ver ELSE -1 END AS BIGINT) AS version,
+              CAST(CASE WHEN NOT ok OR m.ts = '-' THEN -1
+                   ELSE epoch_us(CAST(m.ts AS TIMESTAMPTZ)) END AS BIGINT) AS ts_us,
+              CASE WHEN NOT ok THEN NULL
+                   WHEN m.host = '-' THEN '' ELSE m.host END AS hostname,
+              CASE WHEN NOT ok THEN NULL
+                   WHEN m.app = '-' THEN '' ELSE m.app END AS app_name,
+              CASE WHEN NOT ok THEN NULL
+                   WHEN m.pid = '-' THEN '' ELSE m.pid END AS process_id,
+              CASE WHEN NOT ok THEN NULL
+                   WHEN m.msgid = '-' THEN '' ELSE m.msgid END AS message_id,
+              CASE WHEN ok AND m.sd7 = '-' THEN m.tail END AS msg_nosd,
+              CASE WHEN NOT ok THEN line END AS syslog_message
+            FROM rows_
+            ORDER BY _schema, hostname, app_name, process_id,
+                     message_id, ts_us, msg_nosd
+        """),
         "minhash_near_dups": _minhash_oracle(),
         "near_dup_composed": _near_dup_composed_oracle(),
         "simhash": _simhash_oracle(),
