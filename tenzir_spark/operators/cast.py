@@ -113,7 +113,10 @@ def cast_to(df: DataFrame, target: T.StructType) -> DataFrame:
     cols = []
     for f in target.fields:
         if f.name in src:
-            cols.append(_conform(F.col(f.name), src[f.name], f.dataType).alias(f.name))
+            # backticks: a flat column literally named `id.orig_h`
+            # (zeek) must not parse as nested struct access
+            c = F.col(f"`{f.name}`") if "." in f.name else F.col(f.name)
+            cols.append(_conform(c, src[f.name], f.dataType).alias(f.name))
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
     return df.select(*cols)

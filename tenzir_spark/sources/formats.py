@@ -172,7 +172,20 @@ def read_zeek_tsv(spark: SparkSession, path: str) -> DataFrame:
 
     The #separator/#set_separator/#unset_field directives are honored
     from the header block; `time` columns become TimestampType.
+
+    Multi-schema streams (several header blocks in ONE file — zeek logs
+    merged on stdin, 'Zeek TSV Pipeline Format' / 'Node Zeek multiple
+    imports' integration shapes): each block parses with its own header
+    and the blocks unify via the cast lattice with a ``_schema`` column
+    from ``#path`` (``zeek.<path>``), like the reference's heterogeneous
+    stream. The block split streams the file once on the driver — the
+    same class as the stdin/shell spools it arrives from; zeek's own
+    on-disk layout (one log type per file) stays the distributed path.
     """
+    n_headers = (spark.read.text(path)
+                 .filter(F.col("value").startswith("#separator")).count())
+    if n_headers > 1:
+        return _read_zeek_tsv_multi(spark, path)
     head = spark.read.text(path).limit(200).collect()
     sep, unset, empty = "\t", "-", "(empty)"
     fields: list[str] = []
@@ -222,6 +235,45 @@ def read_zeek_tsv(spark: SparkSession, path: str) -> DataFrame:
             col = raw.cast(_ZEEK_TYPE_MAP.get(base, T.StringType()))
         cols.append(col.alias(name))
     return lines.select(*cols)
+
+
+def _read_zeek_tsv_multi(spark: SparkSession, path: str) -> DataFrame:
+    """Split a multi-header zeek-tsv stream into per-schema spools, parse
+    each with the single-schema reader, and unify (cast.unify_streams)
+    with ``_schema`` = ``zeek.<#path>``."""
+    import gzip as _gzip
+    import os as _os
+    import tempfile as _tempfile
+
+    from tenzir_spark.operators.cast import unify_streams
+
+    opener = _gzip.open if path.endswith(".gz") else open
+    blocks: list[tuple[str, object]] = []  # (#path name, spool handle)
+    cur = None
+    cur_name = "tenzir"
+    with opener(path, "rt") as src:
+        for line in src:
+            if line.startswith("#separator"):
+                if cur is not None:
+                    cur.close()
+                fd, spool = _tempfile.mkstemp(prefix="zeek_block_",
+                                              suffix=".log")
+                cur = _os.fdopen(fd, "w")
+                blocks.append([cur_name, spool, cur])
+            if cur is None:
+                raise ValueError(f"{path}: data before the first "
+                                 f"#separator header")
+            if line.startswith("#path"):
+                cur_name = line.split(None, 1)[1].strip()
+                blocks[-1][0] = cur_name
+            cur.write(line)
+    if cur is not None:
+        cur.close()
+    frames = []
+    for name, spool, _fh in blocks:
+        df = read_zeek_tsv(spark, spool)
+        frames.append(df.withColumn("_schema", F.lit(f"zeek.{name}")))
+    return unify_streams(frames, schema_col=None)
 
 
 _ZEEK_OUT_TYPE = {

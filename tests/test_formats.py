@@ -242,3 +242,26 @@ def test_read_syslog_tql(spark):
     rows = p.df.collect()
     assert len(rows) == 2  # both <34> lines (severity 34%8=2)
     assert {r.app_name for r in rows} == {"su"}
+
+
+def test_read_zeek_tsv_multi_schema_stream(spark):
+    """'Zeek TSV Pipeline Format' shape: one stream carrying several
+    zeek logs (conn + dns header blocks): each block parses with its
+    own #fields/#types and the frames unify with _schema = zeek.<path>."""
+    from tenzir_spark.sources.formats import read_zeek_tsv
+
+    df = read_zeek_tsv(spark, "/root/repo/fixtures/zeek_merge.log")
+    counts = {r["_schema"]: r["n"] for r in
+              df.groupBy("_schema").count().withColumnRenamed("count", "n")
+              .collect()}
+    assert counts == {"zeek.conn": 4, "zeek.dns": 5}
+    conn = df.filter("_schema = 'zeek.conn'")
+    assert {r["uid"] for r in conn.select("uid").collect()} == \
+        {"Pii6cUUq1v4", "nkCxlvNN8pi", "9VdICMMnxQ7", "bEgBnkI31Vf"}
+    # conn-only columns are null on dns rows and vice versa
+    dns = df.filter("_schema = 'zeek.dns'")
+    assert all(r["service"] is None for r in dns.select("service").collect())
+    assert {r["query"] for r in dns.select("query").collect()} == \
+        {"WORKGROUP", "DOMEX"}
+    # typed per block: conn duration is double-ish, dns trans_id numeric
+    assert conn.schema["duration"].dataType.typeName() in ("double", "float")

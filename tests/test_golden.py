@@ -140,6 +140,13 @@ CASES = [
      "shell \"cat /root/repo/fixtures/vlan-single-tagging.pcap"
      " /root/repo/fixtures/vlan-double-tagging.pcap\""
      " | read pcap -e | summarize n=count(.) by _schema | sort _schema"),
+    # tests.yaml:792 'Zeek TSV Pipeline Format' / :104 'Node Zeek
+    # multiple imports': one stream carrying several zeek logs — each
+    # header block parses with its own #fields/#types, frames unify
+    # with _schema = zeek.<path>
+    ("zeek_merge_schemas.txt",
+     "from /root/repo/fixtures/zeek_merge.log read zeek-tsv"
+     " | summarize n=count(.) by _schema | sort _schema"),
 ]
 
 
