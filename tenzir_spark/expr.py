@@ -444,7 +444,13 @@ class Binder:
 
     def col(self, path: str) -> Column:
         """Column for a resolved leaf path; dotted FLAT names get
-        backticks so Spark does not interpret them as struct access."""
+        backticks so Spark does not interpret them as struct access.
+        Map-key access markers ('col\\x00key', from field_matches'
+        map fallback) compile to getItem."""
+        if "\x00" in path:
+            mp, key = path.split("\x00", 1)
+            base = F.col(f"`{mp}`") if mp in self._dotted_flat else F.col(mp)
+            return base.getItem(key)
         if path in self._dotted_flat:
             return F.col(f"`{path}`")
         return F.col(path)
@@ -468,7 +474,23 @@ class Binder:
                     if p not in out:
                         out.append(p)
             return out
-        return [p for p, _ in self.leaves if _suffix_matches(p, suffix)]
+        hits = [p for p, _ in self.leaves if _suffix_matches(p, suffix)]
+        if hits:
+            return hits
+        # map-key access: `extension.dvc` reaches key 'dvc' of a map
+        # column matching 'extension' (the reference's cef extension bag
+        # is a record, so `select extension.dvc` / `extend
+        # foo=extension.dvc` are ordinary field paths there —
+        # tests.yaml:873 'Slice Regression Test')
+        parts = suffix.split(".")
+        for i in range(len(parts) - 1, 0, -1):
+            head, key = ".".join(parts[:i]), ".".join(parts[i:])
+            for p, dt in self.leaves:
+                if isinstance(dt, T.MapType) and _suffix_matches(p, head):
+                    hits.append(f"{p}\x00{key}")
+            if hits:
+                return hits
+        return hits
 
     def type_matches(self, type_name: str) -> list[str]:
         hinted = [p for p, t in self.type_hints.items() if t == type_name]

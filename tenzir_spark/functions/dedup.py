@@ -503,11 +503,19 @@ def near_dup_pairs(
         shingle_k=shingle_k, seed=seed, hash_family=hash_family,
         max_bucket=max_bucket)
     if cache_candidates:
-        # eager localCheckpoint instead of persist+count: same effect
-        # (materialize once before the three verify branches race), but
-        # the stored blocks are GC-tied to this DataFrame — no cached
-        # RDD outliving the query (round-2 verdict wrong-item #5 class)
-        cand = cand.localCheckpoint(eager=True)
+        # materialize once before the three verify branches race (lazy
+        # persist alone loses to AQE's concurrent stage scheduling) —
+        # via a parquet spool, NOT persist/localCheckpoint: checkpoint
+        # blocks stay registered in the JVM until a ContextCleaner GC
+        # that may never run (caught by the suite's no-leaked-persists
+        # teardown), while a spool pins no executor memory and the
+        # id-pair frame is tiny relative to the corpus. Executors write
+        # and rescan it in parallel; the dir lives like the other spool
+        # files (reaped with the process tmpdir).
+        import tempfile as _tempfile
+        spool = _tempfile.mkdtemp(prefix="tenzir_nd_cand_")
+        cand.write.mode("overwrite").parquet(spool)
+        cand = df.sparkSession.read.parquet(spool)
     return verify_jaccard_pairs(df, id_col, text_col, cand,
                                 k=shingle_k, use_words=False,
                                 threshold=threshold)

@@ -52,10 +52,26 @@ def _match_paths(df: DataFrame, extractors: Iterable[str]) -> list[str]:
                 if p not in out:
                     out.append(p)
             continue
+        hit = False
         for p, _ in leaves:
-            if p not in out and any(_suffix_matches(a, ex)
-                                    for a in ancestors(p)):
-                out.append(p)
+            if any(_suffix_matches(a, ex) for a in ancestors(p)):
+                hit = True
+                if p not in out:
+                    out.append(p)
+        if not hit and "." in ex:
+            # map-key fallback, same resolution as Binder.field_matches
+            parts = ex.split(".")
+            for i in range(len(parts) - 1, 0, -1):
+                head, key = ".".join(parts[:i]), ".".join(parts[i:])
+                found = False
+                for p, dt in leaves:
+                    if isinstance(dt, T.MapType) and _suffix_matches(p, head):
+                        m = f"{p}\x00{key}"
+                        found = True
+                        if m not in out:
+                            out.append(m)
+                if found:
+                    break
     return out
 
 
@@ -77,18 +93,45 @@ def _rebuild(schema: T.StructType, keep: set[str], prefix: str = "") -> list[Col
 
 def select(df: DataFrame, *extractors: str) -> DataFrame:
     """Keep only fields matching the extractors (suffix semantics), preserving
-    nesting. Reference: select.cpp:48 (resolution at :58-67)."""
-    keep = set(_match_paths(df, extractors))
+    nesting. Reference: select.cpp:48 (resolution at :58-67).
+
+    Map-key paths (``extension.dvc`` over the cef map column) project
+    the key into a struct of the map's name — the reference models the
+    extension bag as a record, so this matches its `select` output
+    shape (tests.yaml:873)."""
+    matched = _match_paths(df, extractors)
+    keep = {p for p in matched if "\x00" not in p}
     cols = _rebuild(df.schema, keep)
+    map_hits: dict[str, list[str]] = {}
+    for p in matched:
+        if "\x00" in p:
+            mp, key = p.split("\x00", 1)
+            map_hits.setdefault(mp, []).append(key)
+    for mp, keys in map_hits.items():
+        base = F.col(f"`{mp}`") if "." in mp else F.col(mp)
+        cols.append(F.struct(*[base.getItem(k).alias(k) for k in keys])
+                    .alias(mp))
     return df.select(*cols)
 
 
 def drop(df: DataFrame, *extractors: str) -> DataFrame:
-    """Remove fields matching the extractors. Reference: drop.cpp:51."""
-    victims = set(_match_paths(df, extractors))
+    """Remove fields matching the extractors. Reference: drop.cpp:51.
+    Map-key paths remove that key from the map (map_filter)."""
+    matched = _match_paths(df, extractors)
+    victims = {p for p in matched if "\x00" not in p}
     keep = {p for p, _ in leaf_paths(df.schema)} - victims
     cols = _rebuild(df.schema, keep)
-    return df.select(*cols)
+    dropped_keys: dict[str, list[str]] = {}
+    for p in matched:
+        if "\x00" in p:
+            mp, key = p.split("\x00", 1)
+            dropped_keys.setdefault(mp, []).append(key)
+    out = df.select(*cols)
+    for mp, keys in dropped_keys.items():
+        base = F.col(f"`{mp}`") if "." in mp else F.col(mp)
+        out = out.withColumn(mp, F.map_filter(
+            base, lambda k, _v: ~k.isin(keys)))
+    return out
 
 
 def put(df: DataFrame, **fields: Column | str) -> DataFrame:

@@ -17,14 +17,22 @@ def spark():
     s = get_spark("tenzir_spark_tests", master="local[4]", shuffle_partitions=4)
     yield s
     # every operator releases its persists on all paths (incl. early
-    # returns and exceptions); a leftover cached RDD here is a leak.
-    # gc first: `repeat` ties its localCheckpoint release to DataFrame
-    # collection, which is correct but nondeterministic until a gc pass.
+    # returns and exceptions); an UNRECLAIMABLE cached RDD here is a
+    # leak. GC-tied localCheckpoint blocks (near_dup join path) release
+    # via the JVM ContextCleaner only after a JVM GC, so force one and
+    # poll before declaring a leak.
     import gc
-    gc.collect()
+    import time
+    for _ in range(20):
+        gc.collect()
+        s._jvm.System.gc()
+        if s.sparkContext._jsc.getPersistentRDDs().isEmpty():
+            break
+        time.sleep(0.5)
     leaked = s.sparkContext._jsc.getPersistentRDDs()
     assert leaked.isEmpty(), (
-        f"persisted RDDs leaked by the suite: {leaked}")
+        f"persisted RDDs leaked by the suite (unreclaimed after forced "
+        f"JVM GC): {leaked}")
 
 
 @pytest.fixture(scope="session")
@@ -45,5 +53,6 @@ def events(spark, sf_dir):
 @pytest.fixture(scope="session")
 def documents(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
 
 

@@ -58,3 +58,36 @@ def test_measure_totals(spark):
     got = {r["schema"]: 0 for r in m.collect()}
     total = sum(r["events"] for r in m.collect())
     assert total == 3 and set(got) == {"a", "b"}
+
+
+def test_map_key_access_select_extend_drop(spark):
+    """tests.yaml:873 'Slice Regression Test' shape: `select
+    extension.dvc` / `extend foo=extension.dvc` reach keys of the cef
+    extension map through dotted paths; drop removes the key."""
+    from tenzir_spark.operators.transform import drop, select
+    from tenzir_spark.plans.tql import parse_pipeline
+    from tenzir_spark.sources.formats import read_cef
+
+    df = read_cef(spark, "/root/repo/fixtures/events.cef")
+    out = select(df, "extension.src")
+    assert out.columns == ["extension"]
+    assert out.schema["extension"].dataType.typeName() == "struct"
+    srcs = {r["extension"]["src"] for r in out.collect()}
+    assert any(s for s in srcs)  # at least one row carries src=
+    # extend via the expression surface
+    p = parse_pipeline(
+        "from /root/repo/fixtures/events.cef read cef"
+        " | extend foo=extension.src | select name foo | sort name",
+        spark=spark)
+    rows = p.df.collect()
+    assert "foo" in p.df.columns
+    assert {r.foo for r in rows} == srcs
+    # where over a map key
+    p2 = parse_pipeline(
+        "from /root/repo/fixtures/events.cef read cef"
+        " | where extension.src != null | select name", spark=spark)
+    assert p2.df.count() == len([s for s in srcs if s is not None])
+    # drop removes the key from the map, keeps the rest
+    d = drop(df, "extension.src")
+    assert all("src" not in (r["extension"] or {}) for r in d.collect())
+    assert any((r["extension"] or {}) for r in d.collect())
