@@ -255,6 +255,12 @@ def _reader_kwargs(f: str, toks: list[str]) -> dict:
         elif t == "--null-value" and f in ("csv", "tsv", "ssv"):
             kw["null_value"] = toks[i + 1]
             i += 2
+        elif t == "--unnest-separator" and f in ("json", "suricata",
+                                                 "zeek-json"):
+            # json.cpp --unnest-separator: flatten nested records into
+            # separator-joined top-level names at parse time
+            kw["__unnest"] = toks[i + 1]
+            i += 2
         elif t in ("-s", "--skip-empty") and f == "lines":
             kw["skip_empty"] = True
             i += 1
@@ -304,7 +310,11 @@ def _read_fmt(spark: SparkSession, f: str, path: str, opts: list[str] | None = N
         raise ValueError(f"unknown read format {f!r}")
     kw = _reader_kwargs(f, opts or [])
     hints = kw.pop("__hints", None)
+    unnest = kw.pop("__unnest", None)
     df = _READERS[f](spark, path, **kw)
+    if unnest is not None:
+        from tenzir_spark.operators.transform import flatten
+        df = flatten(df, sep=unnest)
     if hints:
         # extractor type hints from the named schema (ip/subnet columns)
         # ride on the frame for the downstream `where` compiler
@@ -750,8 +760,12 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
             else:
                 f = toks[2] if len(toks) >= 3 and toks[1] == "write" else _infer_format(path)
                 sink = _Sink(f, path)
+                if len(toks) >= 3 and toks[1] == "write":
+                    sink.opts = toks[3:]
         elif op == "write":
-            sink = _Sink(shlex.split(arg)[0], None)
+            wtoks = shlex.split(arg)
+            sink = _Sink(wtoks[0], None)
+            sink.opts = wtoks[1:]
         elif op == "import":
             # sink into a registered lake table under the exactly-once
             # ledger (reference import.cpp:70); --epoch defaults to the
@@ -894,13 +908,30 @@ def run_pipeline(p: Pipeline):
         p.to_parquet(sink.path)
         return None
     if sink.kind == "json":
-        fmt.write_json(p.df, sink.path)
+        opts = getattr(sink, "opts", [])
+        for o in opts:
+            if o in ("--omit-empty", "--omit-empty-objects",
+                     "--omit-empty-lists"):
+                raise NotImplementedError(
+                    f"json printer option {o} is unsupported (needs "
+                    f"per-row structural pruning Spark's writer lacks)")
+            if o not in ("-c", "--compact-output", "--omit-nulls"):
+                raise ValueError(f"unknown json printer option {o!r}")
+        # reference default (json.cpp printer) INCLUDES null fields;
+        # --omit-nulls drops them. -c/--compact-output is accepted: the
+        # output is NDJSON, which is already the compact form (the
+        # reference's non-compact default pretty-prints multi-line).
+        fmt.write_json(p.df, sink.path,
+                       ignoreNullFields=("--omit-nulls" in opts))
         return None
     if sink.kind in ("csv", "tsv", "ssv"):
         fmt.write_xsv(p.df, sink.path, sep={"csv": ",", "tsv": "\t", "ssv": " "}[sink.kind])
         return None
     if sink.kind == "zeek-tsv":
-        fmt.write_zeek_tsv(p.df, sink.path)
+        fmt.write_zeek_tsv(
+            p.df, sink.path,
+            disable_timestamp_tags=("--disable-timestamp-tags"
+                                    in getattr(sink, "opts", [])))
         return None
     if sink.kind == "yaml":
         fmt.write_yaml(p.df, sink.path)

@@ -284,7 +284,8 @@ _ZEEK_OUT_TYPE = {
 }
 
 
-def write_zeek_tsv(df: DataFrame, path: str, log_path: str = "tenzir") -> None:
+def write_zeek_tsv(df: DataFrame, path: str, log_path: str = "tenzir",
+                   disable_timestamp_tags: bool = False) -> None:
     """Zeek-native TSV printer: the full #separator/#set_separator/
     #empty_field/#unset_field/#path/#fields/#types header block followed
     by TSV rows, so ``read_zeek_tsv(write_zeek_tsv(df))`` round-trips
@@ -330,11 +331,20 @@ def write_zeek_tsv(df: DataFrame, path: str, log_path: str = "tenzir") -> None:
             f"#set_separator{sep},\n"
             f"#empty_field{sep}{empty}\n"
             f"#unset_field{sep}{unset}\n"
-            f"#path{sep}{log_path}\n"
-            f"#fields{sep}" + sep.join(names) + "\n"
-            f"#types{sep}" + sep.join(ztypes) + "\n")
+            f"#path{sep}{log_path}\n")
+    tail = ""
+    if not disable_timestamp_tags:
+        # zeek_tsv.cpp:312-342: #open after the directives, #close at
+        # the end, both wall-clock-stamped unless disabled
+        import datetime as _dt
+        stamp = _dt.datetime.now(_dt.timezone.utc).strftime(
+            "%Y-%m-%d-%H-%M-%S")
+        head += f"#open{sep}{stamp}\n"
+        tail = f"#close{sep}{stamp}\n"
+    head += (f"#fields{sep}" + sep.join(names) + "\n"
+             f"#types{sep}" + sep.join(ztypes) + "\n")
     _assemble_parts(df.select(line.alias("value")), path,
-                    head=head.encode(), tail=f"#close{sep}-\n".encode())
+                    head=head.encode(), tail=tail.encode())
 
 
 # ------------------------------------------------------------------ cef

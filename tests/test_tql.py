@@ -306,3 +306,81 @@ def test_tql_comments(spark, tmp_path):
     out2 = parse_pipeline(
         f"from {p} read json | where s != /x.*/ | select a", spark=spark)
     assert sorted(r.a for r in out2.df.collect()) == [1, 2]
+
+
+def test_json_printer_flags(spark, tmp_path):
+    """tests.yaml:1018 'JSON Printer': the reference default INCLUDES
+    null fields; --omit-nulls drops them; -c is accepted (NDJSON is
+    already compact); the omit-empty family refuses loudly."""
+    import glob
+    import json as _json
+
+    import pytest as _pt
+
+    from tenzir_spark.plans.tql import exec_pipeline
+
+    src = tmp_path / "n.json"
+    src.write_text('{"a": 1, "b": null}\n{"a": 2}\n')
+
+    def read_out(d):
+        rows = []
+        for f in glob.glob(str(d) + "/part-*"):
+            rows += [_json.loads(line) for line in open(f) if line.strip()]
+        return sorted(rows, key=lambda r: r["a"])
+
+    d1 = tmp_path / "with_nulls"
+    exec_pipeline(f"from {src} read json | to {d1} write json", spark=spark)
+    assert read_out(d1) == [{"a": 1, "b": None}, {"a": 2, "b": None}]
+
+    d2 = tmp_path / "omit"
+    exec_pipeline(f"from {src} read json | to {d2} write json --omit-nulls",
+                  spark=spark)
+    assert read_out(d2) == [{"a": 1}, {"a": 2}]
+
+    d3 = tmp_path / "compact"
+    exec_pipeline(f"from {src} read json | to {d3} write json -c --omit-nulls",
+                  spark=spark)
+    assert read_out(d3) == [{"a": 1}, {"a": 2}]
+
+    with _pt.raises(NotImplementedError, match="omit-empty"):
+        exec_pipeline(f"from {src} read json | to {tmp_path}/x write json"
+                      " --omit-empty", spark=spark)
+
+
+def test_zeek_tsv_timestamp_tags(spark, tmp_path):
+    """zeek_tsv.cpp:312-342: #open/#close wall-clock tags by default,
+    none with --disable-timestamp-tags."""
+    from tenzir_spark.plans.tql import exec_pipeline
+
+    src = tmp_path / "r.json"
+    src.write_text('{"uid": "u1", "n": 1}\n')
+    out1 = tmp_path / "tagged.log"
+    exec_pipeline(f"from {src} read json | write zeek-tsv | save {out1}",
+                  spark=spark)
+    text = out1.read_text()
+    assert "#open\t" in text and "#close\t" in text
+    out2 = tmp_path / "untagged.log"
+    exec_pipeline(f"from {src} read json"
+                  f" | write zeek-tsv --disable-timestamp-tags"
+                  f" | save {out2}", spark=spark)
+    t2 = out2.read_text()
+    assert "#open" not in t2 and "#close" not in t2
+    # round trip unaffected either way
+    from tenzir_spark.sources.formats import read_zeek_tsv
+    assert read_zeek_tsv(spark, str(out1)).count() == 1
+    assert read_zeek_tsv(spark, str(out2)).count() == 1
+
+
+def test_json_unnest_separator(spark, tmp_path):
+    """json.cpp --unnest-separator: nested records flatten into
+    separator-joined top-level names at parse time."""
+    from tenzir_spark.plans.tql import parse_pipeline
+
+    src = tmp_path / "nested.json"
+    src.write_text('{"a": {"b": 1, "c": {"d": "x"}}, "e": 2}\n')
+    p = parse_pipeline(
+        f"from {src} read json --unnest-separator . | select a.b a.c.d e",
+        spark=spark)
+    assert sorted(p.df.columns) == ["a.b", "a.c.d", "e"]
+    r = p.df.collect()[0]
+    assert (r["a.b"], r["a.c.d"], r["e"]) == (1, "x", 2)
