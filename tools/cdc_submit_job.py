@@ -54,28 +54,40 @@ def main() -> None:
     engine.run(log)
     dt = time.monotonic() - t0
 
-    # correctness: final table state equals the pure-Python replay
-    expected, _cols = replay([r.asDict() for r in log.collect()])
-    got = {r["url"]: r.asDict() for r in table.read().collect()}
-    assert set(got) == set(expected), (
-        f"url sets differ: {len(got)} vs {len(expected)}")
-    for url, row in expected.items():
-        for k, v in row.items():
-            g = got[url].get(k)
-            if hasattr(g, "isoformat"):
-                g = g.isoformat(sep=" ")
-            if hasattr(v, "isoformat"):
-                v = v.isoformat(sep=" ")
-            assert g == v, f"{url}.{k}: {g!r} != {v!r}"
+    # correctness: final table state equals the pure-Python replay.
+    # The replay oracle runs on the driver, so it collects the change
+    # log — exact by design at test scale; above the cap only the
+    # engine-side invariants are asserted (the per-run equality is
+    # pinned at small scale on the identical code path).
+    state_equal = None
+    if n_events <= 500_000:
+        expected, _cols = replay([r.asDict() for r in log.collect()])
+        got = {r["url"]: r.asDict() for r in table.read().collect()}
+        assert set(got) == set(expected), (
+            f"url sets differ: {len(got)} vs {len(expected)}")
+        for url, row in expected.items():
+            for k, v in row.items():
+                g = got[url].get(k)
+                if hasattr(g, "isoformat"):
+                    g = g.isoformat(sep=" ")
+                if hasattr(v, "isoformat"):
+                    v = v.isoformat(sep=" ")
+                assert g == v, f"{url}.{k}: {g!r} != {v!r}"
+        state_equal = True
+        n_final = len(got)
+    else:
+        n_final = table.read().count()
+        assert n_final > 0
     lineage_rows = table.checkpoints().count()
+    assert lineage_rows > 0
     print(json.dumps({
         "submitted_via": "spark-submit --py-files",
         "events": n_events,
         "apply_sec": round(dt, 3),
         "events_per_sec": round(n_events / dt, 1),
-        "rows_final": len(got),
+        "rows_final": n_final,
         "lineage_rows": lineage_rows,
-        "state_equal_to_replay": True,
+        "state_equal_to_replay": state_equal,
     }))
     spark.stop()
 
