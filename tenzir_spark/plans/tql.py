@@ -438,7 +438,10 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
             if sink.path is None and sink.kind not in ("stdout", "discard") and msave:
                 path = msave.group(1)
                 if path == "-":
-                    sink = _Sink("stdout")
+                    if sink.kind == "ascii":
+                        sink.path = "-"  # ascii keeps its printer on stdout
+                    else:
+                        sink = _Sink("stdout")
                 else:
                     sink.path = path
                 continue
@@ -790,7 +793,8 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
 
     if p is None:
         raise ValueError("pipeline has no source")
-    if sink is not None and sink.path is None and sink.kind not in ("stdout", "discard"):
+    if sink is not None and sink.path is None \
+            and sink.kind not in ("stdout", "discard", "ascii"):
         # bare `write <fmt>` with no following `save <path>` would
         # otherwise crash at run time (round-2 advice #5)
         raise ValueError(
@@ -926,6 +930,15 @@ def run_pipeline(p: Pipeline):
         return None
     if sink.kind in ("csv", "tsv", "ssv"):
         fmt.write_xsv(p.df, sink.path, sep={"csv": ",", "tsv": "\t", "ssv": " "}[sink.kind])
+        return None
+    if sink.kind == "ascii":
+        # reference debug format (format/ascii.cpp): <v1, v2, ...> rows
+        lines = fmt.ascii_lines(p.df)
+        if sink.path in (None, "-"):
+            for row in lines.toLocalIterator():
+                print(row["value"])
+            return None
+        fmt._assemble_parts(lines, sink.path)
         return None
     if sink.kind == "zeek-tsv":
         fmt.write_zeek_tsv(

@@ -440,6 +440,86 @@ def write_yaml(df: DataFrame, path: str) -> None:
     _assemble_parts(df.mapInPandas(render, "doc string"), path)
 
 
+# ------------------------------------------------------------------ ascii
+
+def _ascii_value(v) -> str:
+    """One value in the reference's ascii data syntax
+    (src/format/ascii.cpp + the data printer): null / true / false,
+    quoted strings, bare numbers and timestamps (ISO, µs), [] lists,
+    <...> records, {k -> v} maps. Durations print as plain numbers here
+    (we carry them as seconds; the reference humanizes its native
+    duration type — documented divergence)."""
+    import datetime as _dt
+
+    import numpy as _np
+    import pandas as _pd
+
+    if v is None or (isinstance(v, float) and v != v) or v is _pd.NaT:
+        return "null"
+    if isinstance(v, (bool, _np.bool_)):
+        return "true" if v else "false"
+    if isinstance(v, (_dt.datetime, _pd.Timestamp)):
+        return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    if isinstance(v, str):
+        return '"' + v.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    if isinstance(v, bytes):
+        return '"' + v.hex() + '"'
+    if isinstance(v, (_np.integer,)):
+        return str(int(v))
+    if isinstance(v, (_np.floating,)):
+        return str(float(v))
+    if isinstance(v, (list, tuple, _np.ndarray)):
+        return "[" + ", ".join(_ascii_value(x) for x in v) + "]"
+    if isinstance(v, dict):
+        # pandas renders Spark structs as dicts too; structs print as
+        # records (<...>), maps as {k -> v} — both arrive as dict, so
+        # records are detected by their insertion-ordered field names
+        # being strings is not distinguishing; Spark Rows come through
+        # as dicts with all-string keys either way. Use map syntax only
+        # for MapType via the caller's schema hint when available.
+        return "{" + ", ".join(f"{_ascii_value(k)} -> {_ascii_value(x)}"
+                               for k, x in v.items()) + "}"
+    return str(v)
+
+
+def ascii_lines(df: DataFrame) -> DataFrame:
+    """Render rows as the reference's `<v1, v2, ...>` ascii format
+    (format/ascii.cpp) — one 'value' string column, distributed."""
+    import pandas as pd
+
+    names = df.columns
+    struct_cols = {f.name for f in df.schema.fields
+                   if isinstance(f.dataType, T.StructType)}
+    int_cols = {f.name for f in df.schema.fields
+                if isinstance(f.dataType, (T.ByteType, T.ShortType,
+                                           T.IntegerType, T.LongType))}
+
+    def render(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.to_dict(orient="records"):
+                vals = []
+                for n in names:
+                    v = row[n]
+                    if n in struct_cols and isinstance(v, dict):
+                        vals.append("<" + ", ".join(
+                            _ascii_value(x) for x in v.values()) + ">")
+                    elif n in int_cols and isinstance(v, float) and v == v:
+                        # pandas widens nullable int columns to float
+                        vals.append(str(int(v)))
+                    else:
+                        vals.append(_ascii_value(v))
+                out.append("<" + ", ".join(vals) + ">")
+            yield pd.DataFrame({"value": out})
+
+    return df.mapInPandas(render, "value string")
+
+
+def write_ascii(df: DataFrame, path: str) -> None:
+    """ascii printer to a single file (cluster-safe copyMerge shape)."""
+    _assemble_parts(ascii_lines(df), path)
+
+
 # ------------------------------------------------------------------ syslog
 
 _SYSLOG_SCHEMA = (

@@ -384,3 +384,39 @@ def test_json_unnest_separator(spark, tmp_path):
     assert sorted(p.df.columns) == ["a.b", "a.c.d", "e"]
     r = p.df.collect()[0]
     assert (r["a.b"], r["a.c.d"], r["e"]) == (1, "x", 2)
+
+
+def test_ascii_printer(spark, tmp_path, capsys):
+    """Reference ascii debug format (format/ascii.cpp, the export ascii
+    default): <v1, v2, ...> rows — null/true/false, quoted strings,
+    bare numbers/timestamps, [] lists."""
+    from tenzir_spark.plans.tql import exec_pipeline
+
+    src = tmp_path / "a.json"
+    src.write_text(
+        '{"n": 1, "s": "x", "b": true, "l": [1, 2], "m": null,'
+        ' "t": "2009-11-18T21:01:53.173350"}\n'
+        '{"n": 2, "s": "y \\"q\\"", "b": false, "l": [], "m": 3,'
+        ' "t": null}\n')
+    exec_pipeline(
+        f"from {src} read json | select n s b l m"
+        " | sort n | write ascii", spark=spark)
+    out = capsys.readouterr().out.strip().splitlines()
+    # spark's json reader orders keys alphabetically: b, l, m, n, s
+    assert out == [
+        '<true, [1, 2], null, 1, "x">',
+        '<false, [], 3, 2, "y \\"q\\"">',
+    ]
+    # timestamps print bare in ISO form with microseconds
+    exec_pipeline(
+        "from /root/repo/fixtures/syslog.log read syslog"
+        " | where app_name == \"rsyslogd\" | select ts app_name"
+        " | write ascii", spark=spark)
+    out2 = capsys.readouterr().out.strip().splitlines()
+    assert out2 == ['<2020-03-02T18:37:57.819303, "rsyslogd">']
+    # file sink via the cluster-safe assembly
+    dest = tmp_path / "out.txt"
+    exec_pipeline(
+        f"from {src} read json | select n | sort n"
+        f" | write ascii | save {dest}", spark=spark)
+    assert dest.read_text().strip().splitlines() == ["<1>", "<2>"]
