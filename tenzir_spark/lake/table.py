@@ -463,6 +463,7 @@ class LakeTable:
         (df.write.mode("overwrite").partitionBy("__b").parquet(out_dir))
         files: list[DataFile] = []
         schema_epoch = len(self.snapshot.schema_log)
+        targets: list[tuple[int, str, str]] = []
         for bdir in self.io.list(out_dir):
             if not bdir.startswith("__b="):
                 continue
@@ -471,9 +472,18 @@ class LakeTable:
                 if not name.endswith(".parquet"):
                     continue
                 fpath = self.io.join(out_dir, bdir, name)
-                rel = self.io.relpath(fpath, self.root)
-                rows, stats = _footer_stats(fpath, stat_cols, self.io)
-                files.append(DataFile(rel, bucket, rows, schema_epoch, stats, kind))
+                targets.append((bucket, fpath,
+                                self.io.relpath(fpath, self.root)))
+        # footer reads are independent driver-side I/O on the epoch's
+        # SERIAL path (Amdahl's s in BASELINE.md) — a thread pool turns
+        # O(buckets) sequential opens into one round trip; object-store
+        # backends benefit even more (per-request latency dominates)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(16, max(len(targets), 1))) as ex:
+            stats_list = list(ex.map(
+                lambda t: _footer_stats(t[1], stat_cols, self.io), targets))
+        for (bucket, _fp, rel), (rows, stats) in zip(targets, stats_list):
+            files.append(DataFile(rel, bucket, rows, schema_epoch, stats, kind))
         return files
 
     def _commit_files(self, new_files: list[DataFile], replace_buckets: list[int] | None,
