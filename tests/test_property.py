@@ -80,3 +80,61 @@ def test_deduplicate_keeps_max_lsn(spark, rows):
             expected[k] = lsn
     assert {k: v[0] for k, v in out.items()} == expected
     assert all(v[1] == f"p{v[0]}" for v in out.values())  # payload rides along
+
+
+# ------------------------------------------------------ round-4 parsers
+
+json_scalars = st.one_of(st.none(), st.booleans(),
+                         st.integers(min_value=-2**62, max_value=2**63 - 1),
+                         st.floats(allow_nan=False, allow_infinity=False),
+                         st.text(max_size=40))
+json_values = st.recursive(
+    json_scalars,
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=5),
+        st.dictionaries(st.text(max_size=10), inner, max_size=5)),
+    max_leaves=12)
+
+
+@given(json_values)
+@settings(max_examples=200, deadline=None)
+def test_msgpack_round_trip_property(v):
+    """The from-spec MessagePack codec round-trips every JSON-shaped
+    value the forward protocol can carry."""
+    from tenzir_spark.sources.fluentbit import msgpack_decode, msgpack_encode
+
+    enc = msgpack_encode(v)
+    dec, off = msgpack_decode(enc)
+    assert off == len(enc)
+    assert dec == v
+
+
+@given(st.binary(max_size=120))
+@settings(max_examples=200, deadline=None)
+def test_msgpack_decoder_never_hangs_on_garbage(buf):
+    """Adversarial bytes either decode, signal incompleteness, or raise
+    a clean ValueError — never loop or crash the interpreter."""
+    from tenzir_spark.sources.fluentbit import _Incomplete, msgpack_decode
+
+    try:
+        _, off = msgpack_decode(buf)
+        assert 0 < off <= len(buf)
+    except (_Incomplete, ValueError, UnicodeDecodeError):
+        pass
+
+
+@given(st.text(max_size=200).filter(lambda s: "\n" not in s))
+@settings(max_examples=300, deadline=None)
+def test_syslog_line_parser_total(line):
+    """The RFC 5424 line parser is TOTAL: every input yields either a
+    parsed rfc5424 row or the syslog.unknown fallback — no exceptions
+    (the reference's multi_schema_reader falls back the same way,
+    syslog.cpp:130-141)."""
+    from tenzir_spark.sources.formats import _parse_syslog_line
+
+    row = _parse_syslog_line(line)
+    assert row["_schema"] in ("syslog.rfc5424", "syslog.unknown")
+    if row["_schema"] == "syslog.unknown":
+        assert row["syslog_message"] == line
+    else:
+        assert 0 <= row["facility"] <= 23 and 0 <= row["severity"] <= 7
