@@ -505,17 +505,16 @@ def near_dup_pairs(
     if cache_candidates:
         # materialize once before the three verify branches race (lazy
         # persist alone loses to AQE's concurrent stage scheduling) —
-        # via a parquet spool, NOT persist/localCheckpoint: checkpoint
-        # blocks stay registered in the JVM until a ContextCleaner GC
-        # that may never run (caught by the suite's no-leaked-persists
-        # teardown), while a spool pins no executor memory and the
-        # id-pair frame is tiny relative to the corpus. Executors write
-        # and rescan it in parallel; the dir lives like the other spool
-        # files (reaped with the process tmpdir).
-        import tempfile as _tempfile
-        spool = _tempfile.mkdtemp(prefix="tenzir_nd_cand_")
-        cand.write.mode("overwrite").parquet(spool)
-        cand = df.sparkSession.read.parquet(spool)
+        # eager localCheckpoint: blocks live on the executors that
+        # computed them (cluster-correct; the earlier parquet spool
+        # wrote to a driver-local tmpdir, which on a non-local master
+        # lands parts on executor disks the driver can't read) and are
+        # reaped by ContextCleaner when this frame is GC'd (the suite's
+        # no-leaked-persists teardown GC-polls for exactly that).
+        # Tradeoff: checkpoint blocks are non-replicated, so an executor
+        # loss fails the query instead of recomputing — acceptable for a
+        # candidate frame that is tiny relative to the corpus.
+        cand = cand.localCheckpoint(eager=True)
     return verify_jaccard_pairs(df, id_col, text_col, cand,
                                 k=shingle_k, use_words=False,
                                 threshold=threshold)

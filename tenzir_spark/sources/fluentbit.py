@@ -79,7 +79,9 @@ def msgpack_encode(obj, out: bytearray | None = None) -> bytes:
     elif isinstance(obj, float):
         b += struct.pack(">Bd", 0xCB, obj)
     elif isinstance(obj, str):
-        s = obj.encode()
+        # surrogateescape mirrors the decoder: a str that came off the
+        # wire carrying non-UTF-8 bytes round-trips to the same bytes
+        s = obj.encode("utf-8", "surrogateescape")
         if len(s) <= 31:
             b.append(0xA0 | len(s))
         else:
@@ -130,7 +132,11 @@ def msgpack_decode(buf: bytes, off: int = 0):
     if 0xA0 <= c <= 0xBF:
         n = c & 0x1F
         _need(buf, off, n)
-        return buf[off:off + n].decode("utf-8", "replace"), off + n
+        # surrogateescape, not replace: total (never raises) AND
+        # byte-lossless, so a PackedForward payload mis-typed as str by
+        # the client re-encodes to the exact wire bytes; lossy U+FFFD
+        # rendering happens only at the row/spool boundary (_clean_str)
+        return buf[off:off + n].decode("utf-8", "surrogateescape"), off + n
     if c == 0xC0:
         return None, off
     if c == 0xC2:
@@ -164,7 +170,7 @@ def msgpack_decode(buf: bytes, off: int = 0):
         n = int.from_bytes(buf[off:off + w], "big")
         off += w
         _need(buf, off, n)
-        return buf[off:off + n].decode("utf-8", "replace"), off + n
+        return buf[off:off + n].decode("utf-8", "surrogateescape"), off + n
     if c == 0xDC:
         _need(buf, off, 2)
         return _dec_array(buf, off + 2, struct.unpack_from(">H", buf, off)[0])
@@ -239,6 +245,22 @@ def _unpack_entries(payload: bytes):
         yield entry
 
 
+def _clean(v):
+    """Row-boundary sanitizer: decoded strings may carry surrogate
+    escapes (lossless non-UTF-8 bytes); the JSON spool must be strict
+    UTF-8 for Spark's Jackson parser, so render them as U+FFFD here —
+    the same lossy view the old decoder produced everywhere."""
+    if isinstance(v, str):
+        return v.encode("utf-8", "surrogateescape").decode("utf-8", "replace")
+    if isinstance(v, dict):
+        return {_clean(k): _clean(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_clean(x) for x in v]
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).decode("utf-8", "replace")
+    return v
+
+
 def decode_forward_message(msg) -> tuple[list[dict], dict | None]:
     """One decoded forward-mode message -> (rows, option). Handles
     Message, Forward, PackedForward and CompressedPackedForward modes
@@ -256,12 +278,16 @@ def decode_forward_message(msg) -> tuple[list[dict], dict | None]:
             option = msg[2]
         for entry in second:
             rows.append(_entry_to_row(tag, entry[0], entry[1]))
-    elif isinstance(second, (bytes, bytearray)) or (
-            isinstance(second, str) and len(msg) >= 3):
+    elif isinstance(second, (bytes, bytearray)) or isinstance(second, str):
+        # a str second element is always PackedForward: Message mode's
+        # second element is a timestamp (int/float/EventTime), never str
         # PackedForward / CompressedPackedForward (payload may be bin
-        # or str per spec)
-        payload = second.encode("latin-1") if isinstance(second, str) \
-            else bytes(second)
+        # or str per spec). surrogateescape inverts the decoder exactly,
+        # recovering the original wire bytes even when the payload is
+        # not valid UTF-8 (the old latin-1 re-encode raised
+        # UnicodeEncodeError on any multibyte char or escaped byte)
+        payload = second.encode("utf-8", "surrogateescape") \
+            if isinstance(second, str) else bytes(second)
         if len(msg) >= 3 and isinstance(msg[2], dict):
             option = msg[2]
         if option and option.get("compressed") == "gzip":
@@ -345,7 +371,7 @@ def load_forward(endpoint: str = DEFAULT_ENDPOINT,
         fd, spool = tempfile.mkstemp(prefix="tenzir_fwd_")
         with os.fdopen(fd, "w") as fh:
             for r in rows:
-                fh.write(json.dumps(r) + "\n")
+                fh.write(json.dumps(_clean(r)) + "\n")
         return spool
     finally:
         srv.close()

@@ -182,10 +182,17 @@ def read_zeek_tsv(spark: SparkSession, path: str) -> DataFrame:
     same class as the stdin/shell spools it arrives from; zeek's own
     on-disk layout (one log type per file) stays the distributed path.
     """
-    n_headers = (spark.read.text(path)
-                 .filter(F.col("value").startswith("#separator")).count())
-    if n_headers > 1:
-        return _read_zeek_tsv_multi(spark, path)
+    # multi-schema detection only for a single LOCAL file: a glob or
+    # directory of same-schema logs has one #separator PER FILE (not a
+    # multi-block stream), and the block splitter open()s the literal
+    # path on the driver — it cannot take a glob. Per-file single-schema
+    # parsing below handles the glob/directory case distributed.
+    import os as _os
+    if _os.path.isfile(path):
+        n_headers = (spark.read.text(path)
+                     .filter(F.col("value").startswith("#separator")).count())
+        if n_headers > 1:
+            return _read_zeek_tsv_multi(spark, path)
     head = spark.read.text(path).limit(200).collect()
     sep, unset, empty = "\t", "-", "(empty)"
     fields: list[str] = []
@@ -259,6 +266,9 @@ def _read_zeek_tsv_multi(spark: SparkSession, path: str) -> DataFrame:
                 fd, spool = _tempfile.mkstemp(prefix="zeek_block_",
                                               suffix=".log")
                 cur = _os.fdopen(fd, "w")
+                # reset per block: a header block without its own #path
+                # must get the default name, not the previous block's
+                cur_name = "tenzir"
                 blocks.append([cur_name, spool, cur])
             if cur is None:
                 raise ValueError(f"{path}: data before the first "
@@ -273,6 +283,10 @@ def _read_zeek_tsv_multi(spark: SparkSession, path: str) -> DataFrame:
     for name, spool, _fh in blocks:
         df = read_zeek_tsv(spark, spool)
         frames.append(df.withColumn("_schema", F.lit(f"zeek.{name}")))
+        # the frame reads the spool lazily — unlink at interpreter exit,
+        # not here (deleting now would break any later action on it)
+        import atexit as _atexit
+        _atexit.register(lambda p=spool: _os.path.exists(p) and _os.unlink(p))
     return unify_streams(frames, schema_col=None)
 
 

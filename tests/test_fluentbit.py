@@ -75,6 +75,33 @@ def test_packed_forward_modes():
     assert [r["message"]["i"] for r in rows] == [0, 1, 2]
 
 
+def test_packed_forward_str_typed_payload():
+    """Spec-legal clients may type the PackedForward payload as msgpack
+    str rather than bin. The decoder's utf-8 pass must stay byte-lossless
+    through re-encode — multibyte UTF-8 AND invalid-UTF-8 bytes in the
+    payload both previously aborted load_forward (latin-1 re-encode
+    raised UnicodeEncodeError)."""
+    import struct
+
+    entries = b"".join(
+        msgpack_encode([100 + i, {"msg": "café", "i": i}])
+        for i in range(3))
+    # wrap the payload in a str32 header instead of bin32
+    as_str = struct.pack(">BI", 0xDB, len(entries)) + entries
+    wire = msgpack_encode(["t", None]).replace(b"\xc0", as_str, 1)
+    msg, _ = msgpack_decode(wire)
+    assert isinstance(msg[1], str)
+    rows, _ = decode_forward_message(msg)
+    assert [r["message"]["i"] for r in rows] == [0, 1, 2]
+    assert rows[0]["message"]["msg"] == "café"
+    # invalid-UTF-8 bytes inside the str-typed payload survive too
+    raw = msgpack_encode([100, {"k": 1}]) + b"\xff\xfe"  # trailing garbage
+    as_str = struct.pack(">BI", 0xDB, len(raw)) + raw
+    msg, _ = msgpack_decode(msgpack_encode(["t", None]).replace(b"\xc0", as_str, 1))
+    payload = msg[1].encode("utf-8", "surrogateescape")
+    assert payload == raw  # byte-identical round trip
+
+
 def test_loopback_with_ack():
     """save_forward ships one chunk'd Forward message; load_forward must
     decode it, reply the ack (at-least-once), and spool NDJSON rows in

@@ -244,6 +244,42 @@ def test_read_syslog_tql(spark):
     assert {r.app_name for r in rows} == {"su"}
 
 
+def test_read_zeek_tsv_glob_of_same_schema_files(spark, tmp_path):
+    """A glob / directory of same-schema zeek logs has one #separator
+    PER FILE — that must stay on the distributed single-schema path
+    (regression: the multi-block counter summed headers across files and
+    routed to the driver-side block splitter, which open()s the literal
+    glob string and fails)."""
+    import shutil
+
+    from tenzir_spark.sources.formats import read_zeek_tsv
+
+    src = "/root/repo/fixtures/conn.log"
+    shutil.copy(src, tmp_path / "conn.1.log")
+    shutil.copy(src, tmp_path / "conn.2.log")
+    one = read_zeek_tsv(spark, src)
+    both = read_zeek_tsv(spark, str(tmp_path / "conn.*.log"))
+    assert both.count() == 2 * one.count()
+    assert both.schema == one.schema
+
+
+def test_read_zeek_tsv_multi_block_without_path_gets_default(spark, tmp_path):
+    """A later header block that lacks its own #path must get the
+    default schema name, not inherit the previous block's #path."""
+    from tenzir_spark.sources.formats import read_zeek_tsv
+
+    blk1 = ("#separator \\x09\n#path\tconn\n#fields\tuid\n#types\tstring\n"
+            "u1\nu2\n")
+    blk2 = ("#separator \\x09\n#fields\tname\n#types\tstring\n"
+            "n1\n")
+    p = tmp_path / "merged.log"
+    p.write_text(blk1 + blk2)
+    df = read_zeek_tsv(spark, str(p))
+    got = {r["_schema"]: r["count"] for r in
+           df.groupBy("_schema").count().collect()}
+    assert got == {"zeek.conn": 2, "zeek.tenzir": 1}
+
+
 def test_read_zeek_tsv_multi_schema_stream(spark):
     """'Zeek TSV Pipeline Format' shape: one stream carrying several
     zeek logs (conn + dns header blocks): each block parses with its
