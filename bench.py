@@ -83,7 +83,12 @@ def bench_cdc(spark, n_events: int, n_salts: int = 16) -> tuple[float, int, floa
         dt = None
         compact_dt = None
         trial_secs: list[float] = []
-        for trial in range(trials):
+        # same outlier guard as the query loop: one extra trial if the
+        # observed applies disagree >3x (host-noise burst)
+        for trial in range(trials + 1):
+            if trial >= trials and (
+                    max(trial_secs) <= 3 * min(trial_secs)):
+                break
             table = LakeTable.create(
                 spark, os.path.join(root, f"pages{trial}"), pages_schema(), "url",
                 num_buckets=int(os.environ.get("BENCH_BUCKETS", "32")),
@@ -155,14 +160,19 @@ def main():
     for name in names:
         if name not in qs:
             continue
-        best = None
-        for _ in range(trials):
+        obs: list[float] = []
+        # outlier guard: if the trials disagree >3x (a host-noise burst —
+        # the shared VM swings 2-4x), run up to 2 extra trials so one bad
+        # scheduling window can't pollute the official artifact (the r4
+        # driver run recorded a 13.75s simhash whose warm cost is ~1.6s)
+        for t in range(trials + 2):
+            if t >= trials and max(obs) <= 3 * min(obs):
+                break
             df = qs[name](spark, sf_dir)
             t0 = time.perf_counter()
             _force(df)
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            obs.append(time.perf_counter() - t0)
+        timings[name] = round(min(obs), 3)
 
     cdc_sec, cdc_events, compact_sec, cdc_trials = bench_cdc(spark, n_cdc)
     timings["cdc_apply"] = round(cdc_sec, 3)
