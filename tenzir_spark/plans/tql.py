@@ -568,6 +568,33 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
             p = Pipeline(_read_fmt(spark, f, read_fmt_pending, rtoks[1:]))
             read_fmt_pending = None
             continue
+        if op == "velociraptor":
+            # VQL request/response source (plugins/velociraptor/src/
+            # plugin.cpp; docs operators/sources/velociraptor.md):
+            # submit -q VQL or -s artifact subscription over the gRPC
+            # API, emit the response stream as events. --endpoint /
+            # --config / --plaintext are deployment knobs (the reference
+            # reads them from /etc/tenzir/plugin/velociraptor.yaml).
+            if spark is None:
+                raise ValueError("'velociraptor' requires a SparkSession")
+            from tenzir_spark.sources.velociraptor import load_velociraptor
+            vtoks = _split_eq_opts(shlex.split(arg))
+            mw = _flag(vtoks, "-w") or _flag(vtoks, "--max-wait")
+            spool = load_velociraptor(
+                query=_flag(vtoks, "-q") or _flag(vtoks, "--query"),
+                subscribe=_flag(vtoks, "-s") or _flag(vtoks, "--subscribe"),
+                request_name=(_flag(vtoks, "-n")
+                              or _flag(vtoks, "--request-name")),
+                org_id=_flag(vtoks, "-o") or _flag(vtoks, "--org-id")
+                or "root",
+                max_rows=int(_flag(vtoks, "-r")
+                             or _flag(vtoks, "--max-rows") or 1000),
+                max_wait=int(_duration_seconds(mw)) if mw else 1,
+                endpoint=_flag(vtoks, "--endpoint"),
+                config_path=_flag(vtoks, "--config"),
+                plaintext="--plaintext" in vtoks)
+            p = Pipeline(_read_fmt(spark, "json", spool, []))
+            continue
         if op == "shell":
             # byte-level child process (shell.cpp:151): as the first
             # segment its stdout is the pipeline's byte stream; after a

@@ -1,0 +1,353 @@
+"""`velociraptor` source operator: submit VQL to a Velociraptor server
+over its gRPC API and emit the response stream as events.
+
+Reference parity: plugins/velociraptor/src/plugin.cpp (operator surface,
+row shape, control-vs-data message handling, subscribe-VQL template) and
+plugins/velociraptor/velociraptor.proto (message/field numbers). The
+reference links grpc++; this speaks gRPC/HTTP/2/HPACK from the public
+specs via tenzir_spark.sources.grpc_client — the same from-spec approach
+as the ZMTP and fluent-bit forward connectors.
+
+Driver-side by nature (a single authenticated API conversation, same
+class as load_zmq/load_forward): responses spool to NDJSON and the
+distributed JSON reader takes over; bulk data belongs on object-store
+paths, not in a VQL response stream.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import uuid
+
+from tenzir_spark.sources.grpc_client import GrpcError, TlsConfig, grpc_call
+
+DEFAULT_ORG_ID = "root"     # plugin.cpp:97 default_org_id
+DEFAULT_MAX_ROWS = 1000     # plugin.cpp:100 default_max_rows
+DEFAULT_MAX_WAIT = 1        # plugin.cpp:103 default_max_wait (seconds)
+
+QUERY_METHOD = "/proto.API/Query"  # service API, rpc Query (proto:56)
+
+
+# ------------------------------------------------------- protobuf (wire)
+# Minimal proto3 wire codec for the two messages the Query RPC uses —
+# field numbers from plugins/velociraptor/velociraptor.proto.
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _len_field(field: int, data: bytes) -> bytes:
+    return _tag(field, 2) + _varint(len(data)) + data
+
+
+def _read_varint(buf: bytes, off: int) -> tuple[int, int]:
+    v = shift = 0
+    while True:
+        b = buf[off]
+        off += 1
+        v |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return v, off
+        shift += 7
+
+
+def _skip(buf: bytes, off: int, wire: int) -> int:
+    if wire == 0:
+        _, off = _read_varint(buf, off)
+    elif wire == 1:
+        off += 8
+    elif wire == 2:
+        n, off = _read_varint(buf, off)
+        off += n
+    elif wire == 5:
+        off += 4
+    else:
+        raise ValueError(f"unsupported protobuf wire type {wire}")
+    return off
+
+
+def encode_vql_request(name: str, vql: str) -> bytes:
+    """message VQLRequest { string VQL = 1; string Name = 2; }"""
+    return _len_field(1, vql.encode()) + _len_field(2, name.encode())
+
+
+def encode_collector_args(requests: list[tuple[str, str]],
+                          env: dict[str, str] | None = None,
+                          max_rows: int = DEFAULT_MAX_ROWS,
+                          max_wait: int = DEFAULT_MAX_WAIT,
+                          ops_per_second: float = 0.0,
+                          org_id: str = DEFAULT_ORG_ID) -> bytes:
+    """message VQLCollectorArgs (velociraptor.proto:21-28): env=3,
+    Query=2, max_row=4, max_wait=6, ops_per_second=24, org_id=35."""
+    out = bytearray()
+    for key, value in (env or {}).items():
+        out += _len_field(
+            3, _len_field(1, key.encode()) + _len_field(2, value.encode()))
+    for name, vql in requests:
+        out += _len_field(2, encode_vql_request(name, vql))
+    if max_rows:
+        out += _tag(4, 0) + _varint(max_rows)
+    if max_wait:
+        out += _tag(6, 0) + _varint(max_wait)
+    if ops_per_second:
+        out += _tag(24, 5) + struct.pack("<f", ops_per_second)
+    if org_id:
+        out += _len_field(35, org_id.encode())
+    return bytes(out)
+
+
+def decode_vql_response(buf: bytes) -> dict:
+    """message VQLResponse (velociraptor.proto:34-44): Response=1,
+    Columns=2, Query=3, timestamp=4, query_id=5, part=6, total_rows=7,
+    types=8, log=9."""
+    out = {"Response": "", "Columns": [], "Query": {"name": "", "vql": ""},
+           "timestamp": 0, "query_id": 0, "part": 0, "total_rows": 0,
+           "types": [], "log": ""}
+    off = 0
+    while off < len(buf):
+        key, off = _read_varint(buf, off)
+        field, wire = key >> 3, key & 7
+        if field == 1 and wire == 2:
+            n, off = _read_varint(buf, off)
+            out["Response"] = buf[off:off + n].decode("utf-8", "replace")
+            off += n
+        elif field == 2 and wire == 2:
+            n, off = _read_varint(buf, off)
+            out["Columns"].append(buf[off:off + n].decode("utf-8", "replace"))
+            off += n
+        elif field == 3 and wire == 2:
+            n, off = _read_varint(buf, off)
+            sub, soff = buf[off:off + n], 0
+            off += n
+            while soff < len(sub):
+                skey, soff = _read_varint(sub, soff)
+                sf, sw = skey >> 3, skey & 7
+                if sf == 1 and sw == 2:
+                    sn, soff = _read_varint(sub, soff)
+                    out["Query"]["vql"] = sub[soff:soff + sn].decode(
+                        "utf-8", "replace")
+                    soff += sn
+                elif sf == 2 and sw == 2:
+                    sn, soff = _read_varint(sub, soff)
+                    out["Query"]["name"] = sub[soff:soff + sn].decode(
+                        "utf-8", "replace")
+                    soff += sn
+                else:
+                    soff = _skip(sub, soff, sw)
+        elif field in (4, 5, 6, 7) and wire == 0:
+            v, off = _read_varint(buf, off)
+            out[{4: "timestamp", 5: "query_id", 6: "part",
+                 7: "total_rows"}[field]] = v
+        elif field == 8 and wire == 2:
+            n, off = _read_varint(buf, off)
+            sub, soff = buf[off:off + n], 0
+            off += n
+            tm = {"column": "", "type": ""}
+            while soff < len(sub):
+                skey, soff = _read_varint(sub, soff)
+                sf, sw = skey >> 3, skey & 7
+                if sf in (1, 2) and sw == 2:
+                    sn, soff = _read_varint(sub, soff)
+                    tm["column" if sf == 1 else "type"] = \
+                        sub[soff:soff + sn].decode("utf-8", "replace")
+                    soff += sn
+                else:
+                    soff = _skip(sub, soff, sw)
+            out["types"].append(tm)
+        elif field == 9 and wire == 2:
+            n, off = _read_varint(buf, off)
+            out["log"] = buf[off:off + n].decode("utf-8", "replace")
+            off += n
+        else:
+            off = _skip(buf, off, wire)
+    return out
+
+
+# --------------------------------------------------- subscribe template
+
+# plugin.cpp:107-147 — Christoph Lobmeyer's artifact-subscription VQL;
+# the {} placeholder takes the artifact name, {{ }} are literal braces.
+SUBSCRIBE_ARTIFACT_VQL = """\
+LET subscribe_artifact = {artifact}
+
+LET completions = SELECT *
+                  FROM watch_monitoring(artifact="System.Flow.Completion")
+                  WHERE Flow.artifacts_with_results =~ subscribe_artifact
+
+SELECT *
+FROM foreach(
+  row=completions,
+  query={{
+     SELECT *
+     FROM foreach(
+       row=Flow.artifacts_with_results,
+       query={{
+         SELECT *
+         FROM if(
+          condition=(_value =~ subscribe_artifact),
+          then={{
+             SELECT
+               {{
+                 SELECT *
+                 FROM source(
+                   client_id=ClientId,
+                   flow_id=Flow.session_id,
+                   artifact=_value)
+               }} AS HuntResult,
+               _value AS Artifact,
+               client_info(client_id=ClientId).os_info.hostname AS Hostname,
+               timestamp(epoch=now()) AS timestamp,
+               ClientId,
+               Flow.session_id AS FlowId
+             FROM source(
+               client_id=ClientId,
+               flow_id=Flow.session_id,
+               artifact=_value)
+             GROUP BY
+               artifact
+          }})
+        }})
+  }})
+"""
+
+
+def make_subscribe_query(artifact: str) -> str:
+    return SUBSCRIBE_ARTIFACT_VQL.format(artifact=artifact)
+
+
+# ------------------------------------------------------------- operator
+
+def load_api_config(path: str) -> dict:
+    """Velociraptor api_client YAML (`velociraptor config api_client`):
+    keys ca_certificate, client_cert, client_private_key,
+    api_connection_string — the exact names plugin.cpp:132-160 reads."""
+    import yaml
+    with open(path) as fh:
+        cfg = yaml.safe_load(fh)
+    for key in ("ca_certificate", "client_private_key", "client_cert",
+                "api_connection_string"):
+        if key not in cfg:
+            raise ValueError(
+                f"no {key!r} found in config file — generate a valid "
+                f"config file with `velociraptor config api_client`")
+    return cfg
+
+
+def query_velociraptor(requests: list[tuple[str, str]],
+                       endpoint: str | None = None,
+                       config: dict | None = None,
+                       max_rows: int = DEFAULT_MAX_ROWS,
+                       max_wait: int = DEFAULT_MAX_WAIT,
+                       org_id: str = DEFAULT_ORG_ID,
+                       timeout: float = 30.0,
+                       plaintext: bool = False):
+    """Run the Query RPC; yield rows in the reference's event shape
+    (plugin.cpp:195-250): data messages fan each JSON response object
+    out to one row {timestamp, query_id, query{name,vql}, part,
+    response{...}}; control messages (empty Response, non-empty log)
+    yield {timestamp, query_id, log}. Empty-Response empty-log
+    heartbeats are dropped, malformed JSON is skipped with a warning —
+    both as in the reference."""
+    tls = None
+    if config is not None:
+        endpoint = endpoint or config["api_connection_string"]
+        if not plaintext:
+            tls = TlsConfig(ca_pem=config["ca_certificate"],
+                            cert_pem=config["client_cert"],
+                            key_pem=config["client_private_key"])
+    if endpoint is None:
+        raise ValueError("velociraptor: no endpoint — pass one or provide "
+                         "api_connection_string in the config file")
+    host, _, port = endpoint.rpartition(":")
+    args = encode_collector_args(requests, max_rows=max_rows,
+                                 max_wait=max_wait, org_id=org_id)
+    for body in grpc_call(host or "127.0.0.1", int(port), QUERY_METHOD,
+                          args, tls=tls, timeout=timeout):
+        resp = decode_vql_response(body)
+        # microseconds -> seconds float (plugin.cpp:196-197)
+        ts = resp["timestamp"] / 1e6 if resp["timestamp"] else None
+        if resp["Response"]:
+            try:
+                objects = json.loads(resp["Response"])
+            except ValueError:
+                import warnings
+                warnings.warn("failed to process Velociraptor RPC response: "
+                              f"{resp['Response'][:100]!r}")
+                continue
+            if not isinstance(objects, list):
+                import warnings
+                warnings.warn("expected list in Velociraptor JSON response")
+                continue
+            for obj in objects:
+                if not isinstance(obj, dict):
+                    import warnings
+                    warnings.warn("expected objects in Velociraptor response")
+                    continue
+                yield {"timestamp": ts,
+                       "query_id": resp["query_id"],
+                       "query": dict(resp["Query"]),
+                       "part": resp["part"],
+                       "response": obj}
+        elif resp["log"]:
+            yield {"timestamp": ts,
+                   "query_id": resp["query_id"],
+                   "log": resp["log"]}
+
+
+def load_velociraptor(query: str | None = None,
+                      subscribe: str | None = None,
+                      request_name: str | None = None,
+                      org_id: str = DEFAULT_ORG_ID,
+                      max_rows: int = DEFAULT_MAX_ROWS,
+                      max_wait: int = DEFAULT_MAX_WAIT,
+                      endpoint: str | None = None,
+                      config_path: str | None = None,
+                      plaintext: bool = False,
+                      timeout: float = 30.0) -> str:
+    """TQL-facing wrapper: build the request list exactly like
+    plugin.cpp:316-336 (-q -> raw VQL, -s -> subscribe template, name
+    defaults to a random UUID), run the RPC, spool NDJSON rows for the
+    distributed JSON reader, return the spool path."""
+    import os
+    import tempfile
+
+    requests: list[tuple[str, str]] = []
+    if query:
+        requests.append((request_name or str(uuid.uuid4()), query))
+    if subscribe:
+        requests.append((request_name or str(uuid.uuid4()),
+                         make_subscribe_query(subscribe)))
+    if not requests:
+        raise ValueError("no artifact subscription or VQL expression "
+                         "provided — use -s <artifact> or -q <vql>")
+    if max_wait < 1:
+        raise ValueError("--max-wait too low: value must be greater "
+                         "than 1s")
+    config = load_api_config(config_path) if config_path else None
+    rows = query_velociraptor(requests, endpoint=endpoint, config=config,
+                              max_rows=max_rows, max_wait=max_wait,
+                              org_id=org_id, timeout=timeout,
+                              plaintext=plaintext)
+    fd, spool = tempfile.mkstemp(prefix="tenzir_vr_", suffix=".json")
+    with os.fdopen(fd, "w") as fh:
+        for row in rows:
+            fh.write(json.dumps(row) + "\n")
+    return spool
+
+
+__all__ = ["GrpcError", "encode_collector_args", "decode_vql_response",
+           "make_subscribe_query", "query_velociraptor",
+           "load_velociraptor", "load_api_config"]
