@@ -4,6 +4,7 @@ and an exactly-once epoch ledger. See format.py for the on-disk layout.
 
 from __future__ import annotations
 
+import os
 import time
 import uuid
 
@@ -36,6 +37,22 @@ _WIDEN_OK = {
     ("float", "double"), ("int", "decimal(20,0)"), ("bigint", "decimal(20,0)"),
     ("string", "string"),
 }
+
+
+def _distribute_by_bucket(df: DataFrame, nb: int) -> DataFrame:
+    """Hash-distribute rows by their __b bucket column ahead of the
+    partitionBy write. TENZIR_SPARK_WRITE_FANOUT picks the strategy:
+    0 (default) leaves the partition count to AQE (advisory-size
+    coalescing — merges tiny buckets into shared tasks, which the
+    round-5 A/B measured FASTEST on this host: 25 s vs 86 s per 16M-event
+    apply against an explicit nb*8 fan-out); N>0 forces nb*N partitions
+    so ~nb tasks carry data — the dial for clusters where per-task
+    parallelism beats coalesced writes (e.g. when a post-dedup Python
+    UDF dominates and must spread over executors)."""
+    fanout = int(os.environ.get("TENZIR_SPARK_WRITE_FANOUT", "0"))
+    if fanout > 0:
+        return df.repartition(nb * fanout, F.col("__b"))
+    return df.repartition(F.col("__b"))
 
 
 class LakeTable:
@@ -384,8 +401,35 @@ class LakeTable:
 
     def _merge_mor(self, changes: DataFrame, ek: str, op_col: str, lsn_col: str,
                    pre_deduplicated: bool = True, post_dedup=None) -> dict:
+        new_files, entry = self._prepare_mor(changes, op_col, lsn_col,
+                                             pre_deduplicated, post_dedup)
+        return self.merge_commit(ek, new_files, entry)
+
+    def merge_commit(self, ek: str, new_files: list[DataFile], entry: dict) -> dict:
+        """Publish a prepared MoR delta: ledger entry + snapshot swap +
+        lineage checkpoint. Split from _prepare_mor so a pipelined tail
+        (CdcEngine.run) can PREPARE several epochs concurrently while
+        committing strictly in epoch order — the per-epoch serial driver
+        work (job scheduling, footer stats) overlaps with the next
+        epoch's scan instead of serializing the whole apply
+        (BASELINE.md's Amdahl term)."""
+        self._commit_files(new_files, replace_buckets=None, epoch=ek,
+                           epoch_stats=entry)
+        self._write_checkpoints(ek, new_files, entry)
+        return entry
+
+    def _prepare_mor(self, changes: DataFrame, op_col: str, lsn_col: str,
+                     pre_deduplicated: bool = True, post_dedup=None,
+                     schema_fields: list | None = None,
+                     schema_epoch: int | None = None) -> tuple[list[DataFile], dict]:
         """Merge-on-read apply: the epoch's heavy shuffle carries only
         per-partition dedup SURVIVORS, never raw duplicates.
+
+        ``schema_fields``/``schema_epoch`` freeze the schema view the
+        delta is shaped against — under a pipelined tail a LATER epoch's
+        ALTER may already be live on the table while this epoch's job
+        runs, and files must be tagged with the schema they actually
+        contain so _align replays exactly the right rename/add suffix.
 
         With ``pre_deduplicated=False`` the max-lsn dedup runs as a plain
         groupBy(__bucket, key): Catalyst plans a map-side partial
@@ -401,9 +445,11 @@ class LakeTable:
 
         No target read, no join; rows_applied and the lsn watermark come
         from the parquet footers of the files just written."""
+        if schema_fields is None:
+            schema_fields = list(self.snapshot.schema.fields)
         key = self.snapshot.key_col
         nb = self.snapshot.num_buckets
-        payload = [f.name for f in self.snapshot.schema.fields]
+        payload = [f.name for f in schema_fields]
         in_cols = [c for c in payload if c != key and c in changes.columns]
         delta = changes.select(
             F.col(key),
@@ -418,15 +464,16 @@ class LakeTable:
             row = F.max_by(F.struct(*[F.col(c) for c in others]), F.col("__lsn"))
             delta = (delta.groupBy("__b", key).agg(row.alias("__r"))
                      .select("__b", key, *[F.col(f"__r.{c}").alias(c) for c in others]))
-            delta = delta.repartition(F.col("__b"))
+            delta = _distribute_by_bucket(delta, nb)
             clustered = True
         if post_dedup is not None:
             delta = post_dedup(delta)
         # typed nulls for schema columns the stream didn't carry
-        for f in self.snapshot.schema.fields:
+        for f in schema_fields:
             if f.name not in delta.columns:
                 delta = delta.withColumn(f.name, F.lit(None).cast(f.dataType))
-        new_files = self._write_bucketed(delta, kind="delta", clustered=clustered)
+        new_files = self._write_bucketed(delta, kind="delta", clustered=clustered,
+                                         schema_epoch=schema_epoch)
         watermark = None
         for f in new_files:
             st = f.stats.get("__lsn")
@@ -435,18 +482,19 @@ class LakeTable:
         entry = {"rows_applied": int(sum(f.rows for f in new_files)),
                  "lsn_watermark": int(watermark) if watermark is not None else None,
                  "committed_at": time.time()}
-        self._commit_files(new_files, replace_buckets=None, epoch=ek, epoch_stats=entry)
-        self._write_checkpoints(ek, new_files, entry)
-        return entry
+        return new_files, entry
 
     # ------------------------------------------------------------- internals
 
     def _write_bucketed(self, df: DataFrame, only_buckets: list[int] | None = None,
-                        kind: str = "base", clustered: bool = False) -> list[DataFile]:
+                        kind: str = "base", clustered: bool = False,
+                        schema_epoch: int | None = None) -> list[DataFile]:
         """Write rows as one parquet file per bucket under a fresh commit
         dir; returns DataFile entries with footer-accurate stats.
         ``clustered=True`` promises df already carries a __b bucket column
-        and is hash-distributed by it — no extra shuffle is added."""
+        and is hash-distributed by it — no extra shuffle is added.
+        ``schema_epoch`` overrides the live snapshot's schema-log length
+        for pipelined writers whose df was shaped against an older view."""
         key = self.snapshot.key_col
         nb = self.snapshot.num_buckets
         stat_cols = [key] + (["__lsn"] if "__lsn" in df.columns else [])
@@ -456,13 +504,11 @@ class LakeTable:
             df = df.withColumn("__b", bucket_expr(key, nb))
             if only_buckets is not None:
                 df = df.filter(F.col("__b").isin([int(b) for b in only_buckets]))
-            # hash-distribute by bucket; AQE sizes the task count (tiny
-            # epochs collapse to few tasks, huge ones fan out), partitionBy
-            # still yields one file per bucket per task
-            df = df.repartition("__b")
+            df = _distribute_by_bucket(df, nb)
         (df.write.mode("overwrite").partitionBy("__b").parquet(out_dir))
         files: list[DataFile] = []
-        schema_epoch = len(self.snapshot.schema_log)
+        if schema_epoch is None:
+            schema_epoch = len(self.snapshot.schema_log)
         targets: list[tuple[int, str, str]] = []
         for bdir in self.io.list(out_dir):
             if not bdir.startswith("__b="):
