@@ -285,6 +285,24 @@ def _split_eq_opts(toks: list[str]) -> list[str]:
     return out
 
 
+def _kafka_x_options(toks: list[str]) -> dict[str, str]:
+    """Collect `-X k=v[,k=v...]` / `--set k=v` librdkafka-style options
+    (connectors/kafka.md); only bootstrap.servers is meaningful to the
+    wire client, the rest are accepted for surface parity."""
+    out: dict[str, str] = {}
+    i = 0
+    while i < len(toks):
+        if toks[i] in ("-X", "--set") and i + 1 < len(toks):
+            for kvp in toks[i + 1].split(","):
+                k, _, v = kvp.partition("=")
+                if k:
+                    out[k.strip()] = v.strip()
+            del toks[i:i + 2]
+        else:
+            i += 1
+    return out
+
+
 def _duration_seconds(v: str) -> float:
     """'2', '2s', '500ms', '3min', '1h' -> seconds (connector
     --duration; the reference's full duration unit grammar). Multi-char
@@ -526,6 +544,34 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
                                            ztoks[ridx + 2:]))
                 else:
                     read_fmt_pending = spool
+                continue
+            if path == "kafka":
+                # consumer loader (plugins/kafka plugin.cpp loader_args:
+                # kafka [-t topic] [-c n] [-e] [-o offset] [-X k=v,..]);
+                # default format json (connectors/kafka.md). Spools
+                # through the from-spec wire client — the sandbox has no
+                # librdkafka/spark-sql-kafka; on a real cluster use the
+                # native source built by sources/kafka.kafka_options.
+                from tenzir_spark.sources.kafka_wire import load_kafka
+                ktoks = _split_eq_opts(toks[1:])
+                xopts = _kafka_x_options(ktoks)
+                cnt = _flag(ktoks, "-c") or _flag(ktoks, "--count")
+                spool = load_kafka(
+                    topic=_flag(ktoks, "-t") or _flag(ktoks, "--topic")
+                    or "tenzir",
+                    brokers=_flag(ktoks, "--brokers")
+                    or xopts.get("bootstrap.servers", "127.0.0.1:9092"),
+                    offset=_flag(ktoks, "-o") or _flag(ktoks, "--offset")
+                    or "stored",
+                    count=int(cnt) if cnt else None,
+                    exit_at_end="-e" in ktoks or "--exit" in ktoks,
+                    raw="--raw" in ktoks)
+                if "read" in ktoks:
+                    ridx = ktoks.index("read")
+                    p = Pipeline(_read_fmt(spark, ktoks[ridx + 1], spool,
+                                           ktoks[ridx + 2:]))
+                else:
+                    p = Pipeline(_read_fmt(spark, "json", spool, []))
                 continue
             f = None
             ropts: list[str] = []
@@ -785,6 +831,21 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
                     ep = rest.pop(0)
                 sink = _Sink("zmq", ep)
                 sink.connect = "-c" in rest or "--connect" in rest
+            elif path == "kafka":
+                # producer saver (plugins/kafka plugin.cpp saver_args:
+                # kafka [-t topic] [-k key] [-T time] [-X k=v,..]);
+                # events go out as NDJSON, one message per event
+                ktoks = _split_eq_opts(toks[1:])
+                xopts = _kafka_x_options(ktoks)
+                sink = _Sink("kafka",
+                             _flag(ktoks, "-t") or _flag(ktoks, "--topic")
+                             or "tenzir")
+                sink.brokers = (_flag(ktoks, "--brokers")
+                                or xopts.get("bootstrap.servers",
+                                             "127.0.0.1:9092"))
+                sink.key = _flag(ktoks, "-k") or _flag(ktoks, "--key")
+                ts = _flag(ktoks, "-T") or _flag(ktoks, "--timestamp")
+                sink.timestamp = ts
             elif path == "-":
                 sink = _Sink("stdout")
             else:
@@ -902,6 +963,23 @@ def run_pipeline(p: Pipeline):
         # memory stays bounded to a partition instead of the full result
         return save_zmq(p.df.toJSON().toLocalIterator(), sink.path,
                         bind=not getattr(sink, "connect", False))
+    if sink.kind == "kafka":
+        from tenzir_spark.sources.kafka_wire import save_kafka
+        ts = getattr(sink, "timestamp", None)
+        ts_ms = None
+        if ts:
+            from datetime import datetime, timezone
+            dt = datetime.fromisoformat(ts)
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            ts_ms = int(dt.timestamp() * 1000)
+        # one pass via toLocalIterator, same bounded-memory policy as
+        # the zmq sink; NDJSON payloads, fixed key/timestamp per
+        # saver_args (plugins/kafka plugin.cpp:228-236)
+        return save_kafka(p.df.toJSON().toLocalIterator(), sink.path,
+                          brokers=getattr(sink, "brokers", "127.0.0.1:9092"),
+                          key=getattr(sink, "key", None),
+                          timestamp_ms=ts_ms)
     if sink.kind == "fluent-bit":
         import json as _json
 
