@@ -57,6 +57,25 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def auto_planes(n_rows: int, target_bucket: int = 128,
+                lo: int = 6, hi: int = 20) -> int:
+    """Corpus-aware plane count: ``n_planes = ceil(log2(n/target_bucket))``.
+
+    Random hyperplanes split the corpus into 2^b buckets, so the EXPECTED
+    bucket size is n/2^b; solving for ~``target_bucket`` keeps the exact
+    re-score cost per probe roughly constant as the corpus grows. A fixed
+    b (the old default 6 = 64 buckets) degrades toward brute force at
+    corpus scale: 10^9 vectors / 64 buckets = 16M candidates per probe.
+    Clamped to [lo, hi]: below 2^lo buckets LSH isn't pruning anything
+    worth the plan complexity, above ``hi`` the multiprobe neighborhood
+    (O(b^2) probes at 2 bits) and per-table recall start to suffer —
+    raise ``n_tables`` instead of going past it."""
+    if n_rows <= 0:
+        return lo
+    need = math.ceil(math.log2(max(n_rows / float(target_bucket), 2.0)))
+    return max(lo, min(hi, int(need)))
+
+
 def _signature_pandas_udf(planes: list[list[float]]):
     """Arrow-batched signature: one numpy matmul per batch against the
     plane matrix (closed over — shipped once per task, not inlined into
@@ -108,10 +127,11 @@ def ann_topk_lsh(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 6,
+    n_planes: int | None = None,
     seed: int = 7,
     multiprobe_bits: int = 2,
     n_tables: int = 4,
+    corpus_size: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: OR-amplified random-hyperplane LSH.
 
@@ -120,7 +140,18 @@ def ann_topk_lsh(
     ``multiprobe_bits`` Hamming distance; the candidate union is exactly
     re-scored. Recall grows as 1-(1-p^b)^L while the scanned fraction
     stays ~L * probes / 2^b — the standard scale/recall dial (Indyk &
-    Motwani '98; multiprobe: Lv et al. '07)."""
+    Motwani '98; multiprobe: Lv et al. '07).
+
+    ``n_planes`` defaults to corpus-aware sizing (``auto_planes``:
+    b = ceil(log2(n/128)), clamped to [6, 20]) so expected bucket size —
+    and hence exact re-score cost per probe — stays ~constant as the
+    corpus grows. Pass ``corpus_size`` (e.g. from table metadata) to skip
+    the count job; for parquet sources the count is footer-metadata-only
+    anyway."""
+    if n_planes is None:
+        if corpus_size is None:
+            corpus_size = df.count()
+        n_planes = auto_planes(corpus_size)
     dim = len(query)
     vec = F.col(vec_col).cast("array<double>")
     pred = None
