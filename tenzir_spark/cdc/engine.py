@@ -115,13 +115,21 @@ class CdcEngine:
         # 4. MERGE under the idempotent ledger
         return self.table.merge(deduped, epoch)
 
-    def _shape(self, batch: DataFrame, schema_fields: list):
+    def _shape(self, batch: DataFrame, schema_fields: list,
+               added_gate: dict[str, int] | None = None):
         """Project a raw change batch onto a FROZEN schema view (list of
         StructFields): key + op + lsn + payload columns, missing payload
         columns as typed nulls. Text extraction is deferred until AFTER
         dedup (returned as ``post``) so the Arrow UDF only ever runs on
         rows that survive the max-lsn race — at high update rates that
-        is a large constant-factor saving."""
+        is a large constant-factor saving.
+
+        ``added_gate`` (column -> epoch it was ADDed in) keeps a
+        coalesced multi-epoch batch faithful to sequential semantics:
+        a value some event carried BEFORE the column's add-epoch would
+        have been dropped by the per-epoch shape (the column wasn't in
+        the table schema yet), so the coalesced shape nulls it out the
+        same way instead of resurrecting it."""
         key = self.table.snapshot.key_col
         types = {f.name: f.dataType for f in schema_fields}
         payload_cols = list(types)
@@ -132,7 +140,11 @@ class CdcEngine:
             if c == key or (c == "text" and derive_text):
                 continue
             if c in data.columns:
-                cols.append(F.col(c))
+                expr = F.col(c)
+                if added_gate and c in added_gate:
+                    expr = F.when(F.col("epoch") >= F.lit(added_gate[c]),
+                                  expr)
+                cols.append(expr.alias(c))
             else:
                 cols.append(F.lit(None).cast(types[c]).alias(c))
         post = (lambda df: df.withColumn("text", extract_text_udf(F.col("html")))) \
@@ -140,7 +152,8 @@ class CdcEngine:
         return data.select(*cols), post
 
     def run(self, change_log: DataFrame, epochs: list[int] | None = None,
-            max_inflight: int | None = None) -> list[dict]:
+            max_inflight: int | None = None,
+            max_coalesce: int | None = None) -> list[dict]:
         """Tail the log in epoch order (resumable: already-applied epochs
         short-circuit via the ledger).
 
@@ -150,27 +163,43 @@ class CdcEngine:
         count, which matters because per-epoch serial cost is the Amdahl
         term of the whole apply path (BASELINE.md).
 
-        MoR mode PIPELINES epochs: up to ``max_inflight`` (default 2)
-        epoch PREPARE jobs (scan -> dedup -> delta write) run
-        concurrently — an epoch's delta never reads the target, so only
-        the ledger COMMIT must stay ordered, and commits are ~2 ms.
-        Concurrent jobs let Spark fill the scheduler during each job's
-        low-parallelism tail stages. Measured honestly (round 5,
-        local[32], 16M events): break-even on this saturated single host
-        (24.8 s vs 25.0 s at 4x4M epochs; 99.7 s vs 102.8 s at 16x1M —
-        the per-epoch wall is the prepare JOB itself, which already
-        uses every core; tools/cdc_profile.py shows commit+checkpoint
-        at ~5 ms/epoch). The overlap pays on a real cluster where the
-        driver's per-epoch serial work and stragglers leave executors
-        idle between jobs; here it simply doesn't hurt.
-        Each epoch is shaped against the schema state AS OF that epoch
-        (alters are applied serially up front; the frozen view + file
-        schema_epoch tag keep _align's rename/add replay exact). On a
-        prepare failure, nothing from that epoch onward commits —
-        already-prepared later files are orphans reclaimed by
-        expire_snapshots' grace window, and a rerun resumes from the
-        ledger. Correct but disabled for CoW, where epoch N+1's merge
-        reads the state epoch N wrote.
+        MoR mode COALESCES a backlog: runs of up to ``max_coalesce``
+        (default 8) consecutive pending epochs with no schema directive
+        between them apply as ONE job — union the epochs, max-lsn dedup
+        across the whole range, one delta write, one atomic commit that
+        ledgers every constituent epoch (merge_commit_batch). This is
+        semantically transparent: lsn is globally monotone, so the
+        per-key max-lsn survivor of the union is exactly the row
+        sequential application would leave visible, and the MoR read
+        path merges deltas by max lsn anyway. What it buys is
+        amortization of the per-epoch fixed cost that profiling
+        (tools/cdc_profile.py) shows dominates small epochs — the Spark
+        job itself (scheduling, python workers, 32 parquet
+        opens/closes), ~5-6 s per 1M-event epoch on this host, against
+        commit+checkpoint at ~5 ms. A batch never spans a schema-change
+        epoch: alters apply in epoch order at batch boundaries, so every
+        batch is shaped against one frozen schema view. A LIVE tail
+        (epoch-by-epoch arrival) degenerates to batches of 1 — coalescing
+        engages exactly when there's a backlog to catch up on, the same
+        adaptive batching a Structured Streaming microbatch trigger does.
+
+        MoR also PIPELINES batches: up to ``max_inflight`` (default 2)
+        batch PREPARE jobs (scan -> dedup -> delta write) run
+        concurrently — a delta never reads the target, so only the
+        ledger COMMIT must stay ordered. Measured honestly (round 5,
+        local[32], 16M events, pre-coalescing): break-even on this
+        saturated single host (24.8 s vs 25.0 s at 4x4M epochs; 99.7 s
+        vs 102.8 s at 16x1M — the prepare job already uses every core).
+        The overlap pays on a real cluster where the driver's per-epoch
+        serial work and stragglers leave executors idle between jobs;
+        here it simply doesn't hurt. Each batch's files carry the
+        schema_epoch tag of the view they were shaped against, so
+        _align's rename/add replay stays exact even when a later
+        batch's ALTER is already live. On a prepare failure nothing
+        from that batch onward commits — already-prepared later files
+        are orphans reclaimed by expire_snapshots' grace window, and a
+        rerun resumes from the ledger. Both disabled for CoW, where
+        epoch N+1's merge reads the state epoch N wrote.
         """
         if epochs is None:
             rows = (change_log.groupBy("epoch").agg(
@@ -186,44 +215,99 @@ class CdcEngine:
                 desc.setdefault(r[0], []).append(r[1])
         if max_inflight is None:
             max_inflight = int(os.environ.get("TENZIR_SPARK_CDC_INFLIGHT", "2"))
-        if self.table.mode != "mor" or max_inflight <= 1 or len(epochs) <= 1:
+        if max_coalesce is None:
+            max_coalesce = int(os.environ.get("TENZIR_SPARK_CDC_COALESCE", "8"))
+        if self.table.mode != "mor":
             return [self.apply_epoch(change_log, e, descriptors=desc.get(e, []))
                     for e in epochs]
-        return self._run_pipelined(change_log, epochs, desc, max_inflight)
+        return self._run_batched(change_log, epochs, desc,
+                                 max(max_inflight, 1), max(max_coalesce, 1))
 
-    def _run_pipelined(self, change_log: DataFrame, epochs: list[int],
-                       desc: dict, max_inflight: int) -> list[dict]:
+    def _batches(self, epochs: list[int], desc: dict,
+                 max_coalesce: int) -> list[list[int]]:
+        """Split pending epochs into coalescible runs, capped at
+        ``max_coalesce``. Only consecutive epochs coalesce — a gap (an
+        already-applied epoch in the middle, from a crashed earlier run)
+        splits the run so each batch stays a contiguous, prunable epoch
+        range. Schema-change epochs coalesce INTO a batch when every
+        alter in them is an ADD or WIDEN (adds are epoch-gated in
+        _shape; widens are lossless by definition, and the log's parquet
+        column type is uniform across the whole file anyway); a RENAME
+        still starts a fresh batch — the log's column identity changes
+        mid-span, so pre-rename epochs must be shaped under the old
+        name."""
+        def must_split(e: int) -> bool:
+            for d in desc.get(e, []) or []:
+                if d and json.loads(d).get("type") == "rename":
+                    return True
+            return False
+
+        out: list[list[int]] = []
+        cur: list[int] = []
+        for e in epochs:
+            if cur and (must_split(e) or len(cur) >= max_coalesce
+                        or e != cur[-1] + 1):
+                out.append(cur)
+                cur = []
+            cur.append(e)
+        if cur:
+            out.append(cur)
+        return out
+
+    def _run_batched(self, change_log: DataFrame, epochs: list[int],
+                     desc: dict, max_inflight: int,
+                     max_coalesce: int) -> list[dict]:
         from concurrent.futures import ThreadPoolExecutor
 
         self.table.refresh()
         results: dict[int, dict] = {}
-        submitted: list[tuple[int, object]] = []
+        pending: list[int] = []
+        for e in epochs:
+            ek = str(e)
+            if ek in self.table.snapshot.ledger:
+                results[e] = {**self.table.snapshot.ledger[ek],
+                              "skipped": True}
+            else:
+                pending.append(e)
+        submitted: list[tuple[list[int], object]] = []
         with ThreadPoolExecutor(max_workers=max_inflight) as ex:
             try:
-                for e in epochs:
-                    ek = str(e)
-                    if ek in self.table.snapshot.ledger:
-                        results[e] = {**self.table.snapshot.ledger[ek],
-                                      "skipped": True}
-                        continue
-                    # alters serially, in epoch order, BEFORE shaping this
-                    # epoch — metadata-only, so running them ahead of
-                    # earlier epochs' data commits is safe (_align replays
-                    # renames/adds from each file's schema_epoch tag)
-                    alters = [descriptor_to_alter(d)
-                              for d in desc.get(e, []) if d]
+                for batch in self._batches(pending, desc, max_coalesce):
+                    # ALL the batch's alters serially, in epoch order,
+                    # BEFORE shaping — metadata-only, so running them
+                    # ahead of earlier data commits is safe (_align
+                    # replays renames/adds from each file's schema_epoch
+                    # tag); adds record their epoch so _shape can gate
+                    # per-row exactly like sequential application would
+                    alters: list[dict] = []
+                    added: dict[str, int] = {}
+                    for e in batch:
+                        for d in desc.get(e, []):
+                            if not d:
+                                continue
+                            a = descriptor_to_alter(d)
+                            alters.append(a)
+                            if a["op"] == "add":
+                                added[a["name"]] = e
                     if alters:
                         self.table.alter(alters)
                     fields = list(self.table.snapshot.schema.fields)
                     sepoch = len(self.table.snapshot.schema_log)
+                    # contiguous range -> BETWEEN prunes the epoch=
+                    # partition dirs of the log at the source
                     shaped, post = self._shape(
-                        change_log.filter(F.col("epoch") == e), fields)
-                    submitted.append((e, ex.submit(
+                        change_log.filter(
+                            F.col("epoch").between(batch[0], batch[-1])),
+                        fields, added_gate=added)
+                    submitted.append((batch, ex.submit(
                         self.table._prepare_mor, shaped, "op", "lsn",
                         False, post, fields, sepoch)))
-                for e, fut in submitted:
+                for batch, fut in submitted:
                     new_files, entry = fut.result()
-                    results[e] = self.table.merge_commit(str(e), new_files, entry)
+                    got = self.table.merge_commit_batch(
+                        [str(e) for e in batch], new_files, entry)
+                    for e in batch:
+                        results[e] = got[str(e)]
             finally:
                 for _, fut in submitted:
                     fut.cancel()

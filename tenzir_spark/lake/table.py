@@ -413,10 +413,35 @@ class LakeTable:
         work (job scheduling, footer stats) overlaps with the next
         epoch's scan instead of serializing the whole apply
         (BASELINE.md's Amdahl term)."""
-        self._commit_files(new_files, replace_buckets=None, epoch=ek,
-                           epoch_stats=entry)
-        self._write_checkpoints(ek, new_files, entry)
-        return entry
+        return self.merge_commit_batch([ek], new_files, entry)[ek]
+
+    def merge_commit_batch(self, eks: list[str], new_files: list[DataFile],
+                           entry: dict) -> dict[str, dict]:
+        """Publish ONE prepared MoR delta that covers a contiguous run of
+        epochs (CdcEngine's backlog coalescing): every epoch key lands in
+        the ledger in the SAME atomic snapshot swap, so exactly-once
+        resume sees all-or-nothing — a replay of any constituent epoch
+        short-circuits. Non-final epochs carry zero rows_applied and a
+        ``coalesced_into`` pointer to the epoch whose entry owns the
+        batch stats (the union's survivors aren't attributable per epoch
+        after cross-epoch max-lsn dedup, and inventing a split would be
+        fake lineage). The shared lsn_watermark is truthful: the batch
+        commits atomically, so table state reflects the full range."""
+        ts = entry.get("committed_at", time.time())
+        entries: dict[str, dict] = {}
+        for ek in eks[:-1]:
+            entries[ek] = {"rows_applied": 0,
+                           "lsn_watermark": entry.get("lsn_watermark"),
+                           "committed_at": ts,
+                           "coalesced_into": eks[-1]}
+        last = dict(entry)
+        if len(eks) > 1:
+            last["coalesced"] = len(eks)
+        entries[eks[-1]] = last
+        self._commit_files(new_files, replace_buckets=None, epoch=None,
+                           epoch_stats=None, ledger_entries=entries)
+        self._write_checkpoints(eks[-1], new_files, last)
+        return entries
 
     def _prepare_mor(self, changes: DataFrame, op_col: str, lsn_col: str,
                      pre_deduplicated: bool = True, post_dedup=None,
@@ -535,7 +560,8 @@ class LakeTable:
     def _commit_files(self, new_files: list[DataFile], replace_buckets: list[int] | None,
                       epoch: str | None, epoch_stats: dict | None,
                       base_files: list[DataFile] | None = None,
-                      max_retries: int = 20) -> None:
+                      max_retries: int = 20,
+                      ledger_entries: dict[str, dict] | None = None) -> None:
         """Commit new files atomically. For bucket-replacing commits
         (merge/compact) ``base_files`` must be the file list the result
         was computed from: if the replaced buckets changed since, the
@@ -552,6 +578,9 @@ class LakeTable:
             if epoch is not None and epoch in snap.ledger:
                 self.snapshot = snap
                 return  # someone else applied this epoch — converged
+            if ledger_entries and all(k in snap.ledger for k in ledger_entries):
+                self.snapshot = snap
+                return  # whole batch already applied — converged
             if rb is not None and base_paths is not None:
                 cur_paths = {f.path for f in snap.files if f.bucket in rb}
                 if cur_paths != base_paths:
@@ -564,6 +593,11 @@ class LakeTable:
             ledger = dict(snap.ledger)
             if epoch is not None:
                 ledger[epoch] = epoch_stats
+            if ledger_entries:
+                for k, v in ledger_entries.items():
+                    # never overwrite another writer's entry (a racing
+                    # tail with different batching applied a prefix)
+                    ledger.setdefault(k, v)
             new_snap = Snapshot(
                 version=snap.version + 1, schema_json=snap.schema_json,
                 schema_log=snap.schema_log, files=files,

@@ -134,6 +134,99 @@ def test_salted_dedup_equals_plain_dedup(spark, change_log):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_batches_split_on_rename_gap_and_cap():
+    """Coalescing rules: add/widen schema epochs coalesce into a batch
+    (adds are epoch-gated in _shape), a RENAME starts a new batch, gaps
+    split, and the size cap bounds a run."""
+    import json as _json
+
+    eng = CdcEngine.__new__(CdcEngine)  # _batches is pure
+    add = _json.dumps({"type": "add", "name": "c", "spark_type": "string"})
+    ren = _json.dumps({"type": "rename", "from": "a", "to": "b"})
+    wid = _json.dumps({"type": "widen", "name": "n", "spark_type": "bigint"})
+    # adds and widens do NOT split
+    assert eng._batches([0, 1, 2, 3, 4, 5], {0: [add], 3: [wid]}, 8) == \
+        [[0, 1, 2, 3, 4, 5]]
+    # renames DO split
+    assert eng._batches([0, 1, 2, 3, 4, 5], {3: [ren]}, 8) == \
+        [[0, 1, 2], [3, 4, 5]]
+    # cap
+    assert eng._batches([0, 1, 2, 3, 4, 5], {}, 2) == \
+        [[0, 1], [2, 3], [4, 5]]
+    # gap (epoch 2 already applied elsewhere) splits the run
+    assert eng._batches([0, 1, 3, 4], {}, 8) == [[0, 1], [3, 4]]
+    assert eng._batches([], {}, 8) == []
+
+
+def test_mor_coalesced_ledger_and_resume(spark, change_log, tmp_path_factory):
+    """A coalesced batch ledgers EVERY constituent epoch atomically
+    (non-final ones marked coalesced_into), replays short-circuit, and a
+    mid-log resume after per-epoch applies still converges to replay."""
+    root = str(tmp_path_factory.mktemp("lake4") / "pages")
+    table = LakeTable.create(spark, root, pages_schema(), "url",
+                             num_buckets=8, write_mode="mor")
+    engine = CdcEngine(spark, table, n_salts=4)
+    # epochs 0,1 applied individually (simulates an earlier serial tail)
+    engine.apply_epoch(change_log, 0)
+    engine.apply_epoch(change_log, 1)
+    results = engine.run(change_log)  # resumes: skips 0,1; coalesces rest
+    assert results[0].get("skipped") and results[1].get("skipped")
+    ledger = table.snapshot.ledger
+    assert all(str(e) in ledger for e in range(6))
+    # the pending run [2..5] coalesces into ONE batch (its schema change
+    # at epoch 3 is an add, which no longer splits) under epoch 5
+    for e in ("2", "3", "4"):
+        assert ledger[e]["coalesced_into"] == "5", e
+    assert ledger["5"]["coalesced"] == 4
+    assert ledger["5"]["rows_applied"] > 0
+    # rerun: everything short-circuits, snapshot untouched
+    v = table.snapshot.version
+    again = engine.run(change_log)
+    assert all(r.get("skipped") for r in again)
+    assert table.snapshot.version == v
+    # final state equals the pure-python replay
+    expected, _ = replay([r.asDict() for r in change_log.collect()])
+    got = {r["url"] for r in table.read().collect()}
+    assert got == set(expected)
+
+
+def test_coalesced_add_gate_matches_sequential(spark, tmp_path_factory):
+    """An event that carries a value for a column BEFORE that column's
+    add-epoch is dropped by sequential application (the column isn't in
+    the table schema yet). The coalesced batch must drop it identically
+    (_shape's added_gate), not resurrect it."""
+    import json as _json
+
+    rows = [
+        # epoch 0: u1 carries tag='early' — before the add, must vanish
+        ("u1", "upsert", 1, 0, "early", None),
+        # epoch 1 opens with the add directive, then writes u2
+        (None, "schema", 2, 1, None,
+         _json.dumps({"type": "add", "name": "tag", "spark_type": "string"})),
+        ("u2", "upsert", 3, 1, "late", None),
+    ]
+    log = spark.createDataFrame(
+        rows, "url string, op string, lsn long, epoch int, tag string, "
+              "schema_descriptor string")
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("lang", T.StringType(), True),
+    ])
+
+    def apply(mode_coalesce):
+        root = str(tmp_path_factory.mktemp("lakeg") / "t")
+        t = LakeTable.create(spark, root, schema, "url", num_buckets=2,
+                             write_mode="mor")
+        CdcEngine(spark, t, n_salts=2).run(log, max_coalesce=mode_coalesce)
+        return {r["url"]: r.asDict() for r in t.read().collect()}
+
+    seq, coal = apply(1), apply(8)
+    assert seq == coal
+    assert coal["u1"]["tag"] is None      # pre-add value dropped
+    assert coal["u2"]["tag"] == "late"    # post-add value kept
+
+
 def test_mor_final_state_matches_replay(spark, change_log, tmp_path_factory):
     """The merge-on-read path must produce the identical final state."""
     root = str(tmp_path_factory.mktemp("lake3") / "pages")
