@@ -1061,6 +1061,19 @@ def run_pipeline(p: Pipeline):
     raise ValueError(f"unsupported sink {sink.kind!r}")
 
 
+SINK_OPS = frozenset({"to", "save", "write", "import", "discard", "serve"})
+
+
+def parse_ends_with_sink(text: str) -> bool:
+    """Lexical check used by /pipeline/launch (web.py): does the
+    definition's final operator already consume events? The launch
+    endpoint appends a `serve` sink only when it doesn't."""
+    ops = [o.strip() for o in _split_top(text, "|") if o.strip()]
+    if not ops:
+        return False
+    return ops[-1].split(None, 1)[0] in SINK_OPS
+
+
 def exec_pipeline(text: str, spark: SparkSession | None = None,
                   source: DataFrame | Pipeline | None = None):
     """Parse + run — ``tenzir exec`` for pipeline strings."""
