@@ -276,7 +276,8 @@ def test_auto_planes_bounds_buckets_across_scales(spark):
         _hyperplanes, auto_planes, lsh_signature)
 
     # formula: monotone, clamped, ~log2(n/128)
-    assert auto_planes(0) == 6 and auto_planes(10_000) == 6
+    assert auto_planes(0) == 6 and auto_planes(8_192) == 6
+    assert auto_planes(10_000) == 7
     assert auto_planes(400_000) == 12
     assert auto_planes(10**9) == 20  # hi clamp: raise n_tables past this
     assert auto_planes(2**40) == 20
@@ -298,7 +299,7 @@ def test_auto_planes_bounds_buckets_across_scales(spark):
         # for unbalanced planes but stay within a small factor of target
         assert sizes["avg"] <= 4 * 128, (n, b, sizes["avg"])
         if n == 200_000:
-            assert b == 12  # grew with the corpus (fixed-6 would avg 3125)
+            assert b == 11  # grew with the corpus (fixed-6 would avg 3125)
 
 
 def test_ann_lsh_high_dim_udf_path(spark):
