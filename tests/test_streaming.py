@@ -122,3 +122,45 @@ def test_stream_deduplicate_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT k FROM dd_out").collect()
     assert sorted(r.k for r in rows) == ["a", "b"]
+
+
+def test_run_stream_epoch_ledger_two_arrivals(spark, tmp_path):
+    """CdcEngine.run_stream: the live tail over an epoch-partitioned log
+    keys the ledger by the LOG's epochs (not batch ids), so arrivals in
+    two waves + a replayed stream converge exactly-once to the same
+    state as a batch run over the full log — including the mid-stream
+    schema add."""
+    from tenzir_spark.cdc import CdcEngine, replay
+
+    log_dir = str(tmp_path / "log")
+    cp_dir = str(tmp_path / "cp")
+    full = gen_change_log(spark, 3000, events_per_epoch=500,
+                          schema_change_every=3, seed=13).cache()
+    full.filter("epoch <= 2").write.partitionBy("epoch") \
+        .mode("overwrite").parquet(log_dir)
+
+    table = LakeTable.create(spark, str(tmp_path / "lake"), pages_schema(),
+                             "url", num_buckets=4, write_mode="mor")
+    eng = CdcEngine(spark, table, n_salts=4)
+    eng.run_stream(log_dir, cp_dir).awaitTermination(120)
+    table.refresh()
+    assert sorted(int(k) for k in table.snapshot.ledger) == [0, 1, 2]
+
+    # second wave arrives (atomic per-epoch publish), same checkpoint
+    full.filter("epoch > 2").write.partitionBy("epoch") \
+        .mode("append").parquet(log_dir)
+    eng.run_stream(log_dir, cp_dir).awaitTermination(120)
+    table.refresh()
+    assert sorted(int(k) for k in table.snapshot.ledger) == list(range(6))
+    assert "crawl_tag_3" in [f.name for f in table.snapshot.schema.fields]
+
+    expected, _ = replay([r.asDict() for r in full.collect()])
+    got = {r["url"] for r in table.read().collect()}
+    assert got == set(expected)
+
+    # replayed stream (fresh checkpoint => redelivery): ledger no-ops
+    v = table.snapshot.version
+    eng.run_stream(log_dir, str(tmp_path / "cp2")).awaitTermination(120)
+    table.refresh()
+    assert table.snapshot.version == v
+    full.unpersist()
