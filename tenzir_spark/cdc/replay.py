@@ -20,7 +20,10 @@ def replay(rows: list[dict]) -> tuple[dict[str, dict], list[str]]:
     Returns (final_state: url -> row dict, final_columns)."""
     columns = ["url", "warc_ts", "html", "text", "lang"]
     state: dict[str, dict[str, Any]] = {}
-    for r in sorted(rows, key=lambda r: r["lsn"]):
+    # engine semantics: an epoch's schema directives apply before its data
+    # rows (generator places them at the epoch's first lsn) — break the
+    # lsn tie deterministically the same way
+    for r in sorted(rows, key=lambda r: (r["lsn"], 0 if r["op"] == "schema" else 1)):
         op = r["op"]
         if op == "schema":
             d = json.loads(r["schema_descriptor"])
