@@ -26,7 +26,9 @@ AUDIT = ["where_select", "summarize", "sort", "join_agg", "tpch_q6",
          "enumerate", "minhash_near_dups", "where_arith", "tql_pipeline",
          # round-3 additions: flat-scan pair stages + packet surface
          "simhash", "ngram_jaccard", "near_dup_composed", "decapsulate",
-         "netflow"]
+         "netflow",
+         # round-5 additions: ANN variants + the syslog reader
+         "ann_lsh", "ivf_topk", "read_syslog"]
 
 
 def plan_of(df) -> str:
