@@ -65,15 +65,30 @@ def bench_cdc(spark, n_events: int, n_salts: int = 16) -> tuple[float, int, floa
                 first_op_insert=False,  # windowless generation (pure map)
             ).write.mode("overwrite").partitionBy("epoch").parquet(log_dir)
         log = spark.read.parquet(log_dir)
-        # warm-up: one tiny apply on a throwaway table to absorb JVM
-        # codegen / python-worker / parquet-writer cold start, so the
-        # timed section reflects steady-state throughput (the regime a
-        # long-running 10^10-event tail actually operates in)
+        # warm-up: a SHAPE-MATCHED apply at 1/32 scale (parquet-backed log,
+        # same epoch/coalesce/schema-change structure, same bucket count)
+        # on a throwaway table. This is not a formality: the hot loops
+        # (parquet decode, hash-agg update, shuffle write) are whole-stage
+        # codegen classes that HotSpot only C2-compiles after ~10k
+        # iterations PER GENERATED CLASS — a 2k-row warmup leaves trial 1
+        # interpreter-tier and 10x slower (measured: 202 s cold vs 16 s
+        # warm for the same 64M-event apply). A long-running 10^10-event
+        # tail operates permanently in the compiled regime, so that is
+        # the regime the bench must measure.
+        n_warm = min(max(n_events // 32, 100_000), 2_000_000)
+        warm_dir = os.path.join(root, "warmlog")
+        gen_change_log(
+            spark, n_warm, n_domains=200, pages_per_domain=500,
+            events_per_epoch=max(n_warm // n_epochs, 1),
+            schema_change_every=3, first_op_insert=False,
+        ).write.mode("overwrite").partitionBy("epoch").parquet(warm_dir)
         wt = LakeTable.create(spark, os.path.join(root, "warmup"),
-                              pages_schema(), "url", num_buckets=4,
+                              pages_schema(), "url",
+                              num_buckets=int(os.environ.get("BENCH_BUCKETS", "32")),
                               write_mode=os.environ.get("BENCH_MODE", "mor"))
-        CdcEngine(spark, wt, n_salts=n_salts).apply_epoch(
-            gen_change_log(spark, 2000, events_per_epoch=2000), 0)
+        CdcEngine(spark, wt, n_salts=n_salts).run(
+            spark.read.parquet(warm_dir))
+        shutil.rmtree(warm_dir, ignore_errors=True)
         # best-of-N trials (fresh table each, shared log): the sandbox is a
         # shared VM with noisy neighbors — identical runs vary 2x+; the
         # best trial reflects the engine, the rest reflects the host

@@ -201,13 +201,22 @@ class CdcEngine:
         rerun resumes from the ledger. Both disabled for CoW, where
         epoch N+1's merge reads the state epoch N wrote.
         """
+        kest: dict[int, int] = {}
         if epochs is None:
+            # the same single discovery pass also estimates each epoch's
+            # distinct-key count (approx_count_distinct rides the scan for
+            # ~free) — _prepare_mor uses the sum per batch to pick the
+            # broadcast two-pass dedup when the survivor key set is small
+            # enough to broadcast, and the at-scale struct fallback when not
+            keyc = self.table.snapshot.key_col
             rows = (change_log.groupBy("epoch").agg(
                 F.collect_list(F.when(F.col("op") == "schema",
-                                      F.col("schema_descriptor"))).alias("ds"))
+                                      F.col("schema_descriptor"))).alias("ds"),
+                F.approx_count_distinct(keyc).alias("ks"))
                 .collect())
             epochs = sorted(r["epoch"] for r in rows)
             desc = {r["epoch"]: [d for d in r["ds"] if d] for r in rows}
+            kest = {r["epoch"]: int(r["ks"]) for r in rows}
         else:
             desc = {}
             for r in (change_log.filter(F.col("op") == "schema")
@@ -221,7 +230,8 @@ class CdcEngine:
             return [self.apply_epoch(change_log, e, descriptors=desc.get(e, []))
                     for e in epochs]
         return self._run_batched(change_log, epochs, desc,
-                                 max(max_inflight, 1), max(max_coalesce, 1))
+                                 max(max_inflight, 1), max(max_coalesce, 1),
+                                 kest=kest)
 
     def _batches(self, epochs: list[int], desc: dict,
                  max_coalesce: int) -> list[list[int]]:
@@ -256,7 +266,8 @@ class CdcEngine:
 
     def _run_batched(self, change_log: DataFrame, epochs: list[int],
                      desc: dict, max_inflight: int,
-                     max_coalesce: int) -> list[dict]:
+                     max_coalesce: int,
+                     kest: dict[int, int] | None = None) -> list[dict]:
         from concurrent.futures import ThreadPoolExecutor
 
         self.table.refresh()
@@ -299,9 +310,17 @@ class CdcEngine:
                         change_log.filter(
                             F.col("epoch").between(batch[0], batch[-1])),
                         fields, added_gate=added)
+                    # batch key estimate: sum of per-epoch approx counts —
+                    # an upper bound on the union (overlap only shrinks
+                    # it), so an overestimate errs toward the safe
+                    # at-scale fallback, never toward an oversized
+                    # broadcast
+                    batch_est = (sum(kest.get(e, 0) for e in batch)
+                                 if kest and all(e in kest for e in batch)
+                                 else None)
                     submitted.append((batch, ex.submit(
                         self.table._prepare_mor, shaped, "op", "lsn",
-                        False, post, fields, sepoch)))
+                        False, post, fields, sepoch, batch_est)))
                 for batch, fut in submitted:
                     new_files, entry = fut.result()
                     got = self.table.merge_commit_batch(

@@ -42,17 +42,24 @@ _WIDEN_OK = {
 def _distribute_by_bucket(df: DataFrame, nb: int) -> DataFrame:
     """Hash-distribute rows by their __b bucket column ahead of the
     partitionBy write. TENZIR_SPARK_WRITE_FANOUT picks the strategy:
-    0 (default) leaves the partition count to AQE (advisory-size
-    coalescing — merges tiny buckets into shared tasks, which the
-    round-5 A/B measured FASTEST on this host: 25 s vs 86 s per 16M-event
-    apply against an explicit nb*8 fan-out); N>0 forces nb*N partitions
-    so ~nb tasks carry data — the dial for clusters where per-task
-    parallelism beats coalesced writes (e.g. when a post-dedup Python
-    UDF dominates and must spread over executors)."""
+    0 (default) forces EXACTLY nb partitions — an explicit count, which
+    AQE respects, so the write (and any post-dedup Python UDF fused into
+    this stage) spreads over ~nb tasks instead of the single task AQE's
+    advisory-size coalescing collapses a small survivor set into (the
+    round-5 stage profile measured that collapse as a flat 2.5 s
+    single-task tail at EVERY width — a pure Amdahl term that alone cost
+    ~0.05 N->4N scaling efficiency). File count stays <=nb (partitionBy
+    splits by __b inside each task). N>0 forces nb*N partitions — more
+    write parallelism per bucket at the cost of N files/bucket (the
+    earlier A/B measured nb*8 per-epoch as strictly worse: 86 s vs 25 s
+    per 16M-event apply — tiny-file explosion); -1 restores pure-AQE
+    coalescing."""
     fanout = int(os.environ.get("TENZIR_SPARK_WRITE_FANOUT", "0"))
     if fanout > 0:
         return df.repartition(nb * fanout, F.col("__b"))
-    return df.repartition(F.col("__b"))
+    if fanout < 0:
+        return df.repartition(F.col("__b"))
+    return df.repartition(nb, F.col("__b"))
 
 
 class LakeTable:
@@ -446,7 +453,8 @@ class LakeTable:
     def _prepare_mor(self, changes: DataFrame, op_col: str, lsn_col: str,
                      pre_deduplicated: bool = True, post_dedup=None,
                      schema_fields: list | None = None,
-                     schema_epoch: int | None = None) -> tuple[list[DataFile], dict]:
+                     schema_epoch: int | None = None,
+                     key_est: int | None = None) -> tuple[list[DataFile], dict]:
         """Merge-on-read apply: the epoch's heavy shuffle carries only
         per-partition dedup SURVIVORS, never raw duplicates.
 
@@ -456,20 +464,34 @@ class LakeTable:
         runs, and files must be tagged with the schema they actually
         contain so _align replays exactly the right rename/add suffix.
 
-        With ``pre_deduplicated=False`` the max-lsn dedup runs as a plain
-        groupBy(__bucket, key): Catalyst plans a map-side partial
-        aggregate, so each input partition reduces to at most one row per
-        key BEFORE the exchange — hot keys (Zipf domains) collapse from
-        thousands of payload-carrying rows to one per partition, which is
-        the skew defense the north rule's salting targets, for free. The
-        deduped rows (orders of magnitude fewer at realistic update rates)
-        then take one cheap repartition by __bucket so the write produces
-        one file per bucket. Measured ~30% faster per epoch than
-        repartitioning raw payloads first, and the gap widens with the
-        duplicate ratio at 10^10 scale.
+        With ``pre_deduplicated=False`` the max-lsn dedup picks one of
+        two plans by the batch's (estimated) distinct-key count:
 
-        No target read, no join; rows_applied and the lsn watermark come
-        from the parquet footers of the files just written."""
+        * **broadcast two-pass** (``key_est`` known and small enough that
+          the survivor key set fits a broadcast, default <=1M keys /
+          ~64 MB): pass 1 aggregates max(lsn) per key — a FIXED-WIDTH
+          agg buffer that updates in place, ~4x cheaper per row than
+          copying a payload struct — and pass 2 re-scans the batch with
+          a broadcast left-semi join on (key, lsn), keeping survivors
+          with their payload pipelined straight into the bucket
+          repartition. No payload-carrying shuffle AT ALL: the only
+          exchange is the tiny pass-1 agg. Requires lsn to be unique per
+          key within the batch (a WAL position — the log contract).
+        * **struct max_by fallback** (no estimate, or too many keys to
+          broadcast — the 10^10-scale regime where a batch touches
+          hundreds of millions of urls): groupBy(__bucket, key) with a
+          map-side partial aggregate, so hot keys (Zipf domains)
+          collapse to one row per input partition BEFORE the exchange —
+          the north rule's skew defense for free — and only survivors
+          shuffle.
+
+        Both paths end with an EXPLICIT nb-partition repartition (see
+        _distribute_by_bucket) so the post-dedup text UDF and the
+        parquet write spread over ~nb tasks.
+
+        No target read, no join against the table; rows_applied and the
+        lsn watermark come from the parquet footers of the files just
+        written."""
         if schema_fields is None:
             schema_fields = list(self.snapshot.schema.fields)
         key = self.snapshot.key_col
@@ -484,11 +506,26 @@ class LakeTable:
         )
         clustered = False
         if not pre_deduplicated:
-            delta = delta.withColumn("__b", bucket_expr(key, nb))
-            others = [c for c in delta.columns if c not in (key, "__b")]
-            row = F.max_by(F.struct(*[F.col(c) for c in others]), F.col("__lsn"))
-            delta = (delta.groupBy("__b", key).agg(row.alias("__r"))
-                     .select("__b", key, *[F.col(f"__r.{c}").alias(c) for c in others]))
+            max_bcast = int(os.environ.get("TENZIR_SPARK_DEDUP_BCAST_KEYS",
+                                           "1000000"))
+            if key_est is not None and 0 < key_est <= max_bcast:
+                mx = (delta.groupBy(key)
+                      .agg(F.max("__lsn").alias("__mx"))
+                      .select(F.col(key).alias("__mxk"), "__mx"))
+                delta = delta.join(
+                    F.broadcast(mx),
+                    (F.col(key) == F.col("__mxk"))
+                    & (F.col("__lsn") == F.col("__mx")),
+                    "leftsemi")
+                delta = delta.withColumn("__b", bucket_expr(key, nb))
+            else:
+                delta = delta.withColumn("__b", bucket_expr(key, nb))
+                others = [c for c in delta.columns if c not in (key, "__b")]
+                row = F.max_by(F.struct(*[F.col(c) for c in others]),
+                               F.col("__lsn"))
+                delta = (delta.groupBy("__b", key).agg(row.alias("__r"))
+                         .select("__b", key,
+                                 *[F.col(f"__r.{c}").alias(c) for c in others]))
             delta = _distribute_by_bucket(delta, nb)
             clustered = True
         if post_dedup is not None:

@@ -248,3 +248,26 @@ def test_mor_final_state_matches_replay(spark, change_log, tmp_path_factory):
     # and stays identical after compaction
     table.compact()
     assert {r["url"] for r in table.read().collect()} == set(expected)
+
+
+def test_dedup_bcast_and_fallback_paths_identical(spark, change_log,
+                                                  tmp_path_factory,
+                                                  monkeypatch):
+    """_prepare_mor's two dedup plans (broadcast two-pass vs struct
+    max_by fallback) must leave byte-identical final state. The run()
+    discovery estimates distinct keys and picks broadcast here; forcing
+    the threshold to 0 exercises the at-scale fallback on the same log."""
+    states = []
+    for thresh in ("1000000", "0"):
+        monkeypatch.setenv("TENZIR_SPARK_DEDUP_BCAST_KEYS", thresh)
+        root = str(tmp_path_factory.mktemp(f"lake_b{thresh}") / "pages")
+        table = LakeTable.create(spark, root, pages_schema(), "url",
+                                 num_buckets=8, write_mode="mor")
+        CdcEngine(spark, table, n_salts=4).run(change_log)
+        rows = {}
+        for r in table.read().collect():
+            d = r.asDict()
+            rows[d["url"]] = {k: (bytes(v) if isinstance(v, bytearray) else v)
+                              for k, v in d.items()}
+        states.append(rows)
+    assert states[0] == states[1]
