@@ -588,37 +588,78 @@ def ngram_jaccard_pairs(
     cap = max_gram_docs
 
     def gram_pairs(batches):
-        out_a, out_b, out_na, out_nb = [], [], [], []
+        # fully vectorized posting-list scan: the partition arrives
+        # sorted by __g, so group boundaries fall out of one array
+        # compare, and all same-size groups emit their pair triangles
+        # through ONE fancy-index gather per distinct size (group sizes
+        # cluster tightly — 2, 3, 4... — so the Python loop runs a
+        # handful of times per batch, never once per posting row; the
+        # previous per-row scan was the partition's only O(rows) Python
+        # and dominated the stage)
+        c_ids = c_ns = None  # rows of the gram spanning a batch boundary
+        c_g = None
 
-        def flush(ids, ns):
-            m = len(ids)
-            if m < 2 or (cap is not None and m > cap):
-                return
-            ids_arr = np.asarray(ids, dtype=object)
-            ns_arr = np.asarray(ns)
-            iu, ju = np.triu_indices(m, 1)
-            ai, bj = ids_arr[iu], ids_arr[ju]
-            na, nb = ns_arr[iu], ns_arr[ju]
-            swap = bj < ai
-            out_a.extend(np.where(swap, bj, ai).tolist())
-            out_b.extend(np.where(swap, ai, bj).tolist())
-            out_na.extend(np.where(swap, nb, na).tolist())
-            out_nb.extend(np.where(swap, na, nb).tolist())
+        def triangles(idv, nv, starts, sizes):
+            cols_a, cols_b, cols_na, cols_nb = [], [], [], []
+            for m in np.unique(sizes):
+                st = starts[sizes == m]
+                iu, ju = np.triu_indices(int(m), 1)
+                ia = (st[:, None] + iu[None, :]).ravel()
+                ib = (st[:, None] + ju[None, :]).ravel()
+                ai, bj = idv[ia], idv[ib]
+                na, nb = nv[ia], nv[ib]
+                swap = bj < ai
+                cols_a.append(np.where(swap, bj, ai))
+                cols_b.append(np.where(swap, ai, bj))
+                cols_na.append(np.where(swap, nb, na))
+                cols_nb.append(np.where(swap, na, nb))
+            if not cols_a:
+                return None
+            return (np.concatenate(cols_a), np.concatenate(cols_b),
+                    np.concatenate(cols_na), np.concatenate(cols_nb))
 
-        key, ids, ns = None, [], []
+        def frame(tri):
+            return pd.DataFrame({"id_a": tri[0], "id_b": tri[1],
+                                 "n_a": tri[2], "n_b": tri[3]})
+
         for pdf in batches:
+            if not len(pdf):
+                continue
             gv = pdf["__g"].to_numpy()
             idv = pdf["__id"].to_numpy()
             nv = pdf["__n"].to_numpy()
-            for r in range(len(pdf)):
-                if gv[r] != key:
-                    flush(ids, ns)
-                    key, ids, ns = gv[r], [], []
-                ids.append(idv[r])
-                ns.append(nv[r])
-        flush(ids, ns)
-        yield pd.DataFrame({"id_a": out_a, "id_b": out_b,
-                            "n_a": out_na, "n_b": out_nb})
+            if c_g is not None:
+                if gv[0] == c_g:  # carry gram continues into this batch
+                    idv = np.concatenate([c_ids, idv])
+                    nv = np.concatenate([c_ns, nv])
+                    gv = np.concatenate(
+                        [np.full(len(c_ids), c_g, dtype=gv.dtype), gv])
+                else:
+                    tri = triangles(c_ids, c_ns, np.array([0]),
+                                    np.array([len(c_ids)])) \
+                        if 2 <= len(c_ids) <= (cap or len(c_ids)) else None
+                    if tri is not None:
+                        yield frame(tri)
+            bnd = np.flatnonzero(gv[1:] != gv[:-1]) + 1
+            starts = np.concatenate([[0], bnd]).astype(np.int64)
+            ends = np.concatenate([bnd, [len(gv)]]).astype(np.int64)
+            # last group may continue into the next Arrow batch -> carry
+            c_g, c_ids, c_ns = gv[-1], idv[starts[-1]:], nv[starts[-1]:]
+            starts, ends = starts[:-1], ends[:-1]
+            sizes = ends - starts
+            keep = sizes >= 2
+            if cap is not None:
+                keep &= sizes <= cap
+            if keep.any():
+                tri = triangles(idv, nv, starts[keep], sizes[keep])
+                if tri is not None:
+                    yield frame(tri)
+        if c_g is not None and len(c_ids) >= 2 and \
+                (cap is None or len(c_ids) <= cap):
+            tri = triangles(c_ids, c_ns, np.array([0]),
+                            np.array([len(c_ids)]))
+            if tri is not None:
+                yield frame(tri)
 
     inter = (flat.mapInPandas(
                 gram_pairs,
