@@ -879,7 +879,11 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
             # results endpoint (serve.cpp:733); the buffer id is the
             # operator argument, the endpoint is the process-wide
             # default manager's /serve port
-            sink = _Sink("serve", shlex.split(arg)[0])
+            stoks = shlex.split(arg)
+            sink = _Sink("serve", stoks[0])
+            bufsz = _flag(stoks, "--buffer-size")
+            if bufsz:
+                sink.buffer_size = int(bufsz)
         else:
             # user-defined alias (reference: tql/parser.cpp:100-115)
             from tenzir_spark.plans.registry import aliases
@@ -946,9 +950,12 @@ def run_pipeline(p: Pipeline):
         return p.df
     if sink.kind == "serve":
         # handles batch AND streaming frames (foreachBatch inside)
-        from tenzir_spark.serve import default_manager, serve as _serve
+        from tenzir_spark.serve import (DEFAULT_BUFFER_SIZE,
+                                        default_manager, serve as _serve)
         mgr = default_manager()
-        _serve(p.df, sink.path, mgr)
+        _serve(p.df, sink.path, mgr,
+               buffer_size=getattr(sink, "buffer_size",
+                                   DEFAULT_BUFFER_SIZE))
         return mgr
     if p.df.isStreaming:
         # streaming pipelines sink through writeStream; availableNow

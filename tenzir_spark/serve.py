@@ -149,11 +149,34 @@ class ServeManager:
                 self._buffers[serve_id] = ServeBuffer(serve_id, buffer_size)
             return self._buffers[serve_id]
 
+    def has_buffer(self, serve_id: str) -> bool:
+        with self._lock:
+            return serve_id in self._buffers
+
     def stop_buffer(self, serve_id: str) -> None:
         with self._lock:
             buf = self._buffers.pop(serve_id, None)
         if buf:
             buf.finish()
+
+    def serve_request(self, req: dict) -> tuple[int, dict]:
+        """One /serve request -> (http_code, response body). Shared by
+        this manager's own endpoint and the node REST API (web.py),
+        which mounts /serve next to /pipeline/* like the reference."""
+        try:
+            serve_id = req["serve_id"]
+        except (KeyError, TypeError) as exc:
+            return 400, {"error": f"bad request: {exc}"}
+        with self._lock:
+            buf = self._buffers.get(serve_id)
+        if buf is None:
+            return 404, {"error": f"unknown serve id {serve_id!r}"}
+        try:
+            timeout = _parse_timeout(req.get("timeout", "100ms"))
+            return 200, buf.get(req.get("continuation_token"),
+                                req.get("max_events"), timeout)
+        except (KeyError, ValueError) as exc:
+            return 400, {"error": str(exc)}
 
     # ------------------------------------------------------------- http
 
@@ -181,21 +204,9 @@ class ServeManager:
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
                     req = json.loads(self.rfile.read(n) or b"{}")
-                    serve_id = req["serve_id"]
-                except (KeyError, json.JSONDecodeError) as exc:
+                except json.JSONDecodeError as exc:
                     return self._reply(400, {"error": f"bad request: {exc}"})
-                with manager._lock:
-                    buf = manager._buffers.get(serve_id)
-                if buf is None:
-                    return self._reply(
-                        404, {"error": f"unknown serve id {serve_id!r}"})
-                try:
-                    timeout = _parse_timeout(req.get("timeout", "100ms"))
-                    resp = buf.get(req.get("continuation_token"),
-                                   req.get("max_events"), timeout)
-                except (KeyError, ValueError) as exc:
-                    return self._reply(400, {"error": str(exc)})
-                return self._reply(200, resp)
+                return self._reply(*manager.serve_request(req))
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self._thread = threading.Thread(

@@ -30,7 +30,6 @@ hunt result is control-plane sized.
 """
 from __future__ import annotations
 
-import io
 import json
 import os
 import socket
