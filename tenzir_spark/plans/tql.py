@@ -19,7 +19,6 @@ I/O is out of scope here, file sinks are supported).
 
 from __future__ import annotations
 
-import os
 import re
 import shlex
 from dataclasses import dataclass
@@ -617,22 +616,18 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
             continue
         if op == "velociraptor":
             # VQL request/response source (plugins/velociraptor/src/
-            # plugin.cpp:300-343; docs operators/sources/
-            # velociraptor.md): -n/--request-name, -o/--org-id,
-            # -q/--query, -r/--max-rows, -s/--subscribe, -w/--max-wait.
-            # The gRPC channel is spoken from spec
-            # (sources/velociraptor.py) — grpcio is absent here, like
-            # libzmq/libfluent-bit. Connection config:
-            # --config <velociraptor.yaml> (the api_client file the
-            # reference reads from /etc/tenzir/plugin/velociraptor.yaml)
-            # for mutual TLS, or --endpoint host:port for cleartext h2c
-            # (loopback/tests and local proxies).
+            # plugin.cpp; docs operators/sources/velociraptor.md):
+            # submit -q VQL or -s artifact subscription over the gRPC
+            # API, emit the response stream as events. --endpoint /
+            # --config / --plaintext are deployment knobs (the reference
+            # reads them from /etc/tenzir/plugin/velociraptor.yaml).
             if spark is None:
                 raise ValueError("'velociraptor' requires a SparkSession")
             from tenzir_spark.sources.velociraptor import load_velociraptor
             vtoks = _split_eq_opts(shlex.split(arg))
             mw = _flag(vtoks, "-w") or _flag(vtoks, "--max-wait")
             if mw is not None and _duration_seconds(mw) < 1:
+                # plugin.cpp:320-321 rejects sub-second waits
                 raise ValueError("--max-wait too low — value must be "
                                  "greater than 1s")
             spool = load_velociraptor(
@@ -646,8 +641,8 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
                              or _flag(vtoks, "--max-rows") or 1000),
                 max_wait=int(_duration_seconds(mw)) if mw else 1,
                 endpoint=_flag(vtoks, "--endpoint"),
-                config=_flag(vtoks, "--config") or os.environ.get(
-                    "TENZIR_SPARK_VELOCIRAPTOR_CONFIG"))
+                config_path=_flag(vtoks, "--config"),
+                plaintext="--plaintext" in vtoks)
             p = Pipeline(_read_fmt(spark, "json", spool, []))
             continue
         if op == "shell":
@@ -878,7 +873,8 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
         elif op == "serve":
             # results endpoint (serve.cpp:733); the buffer id is the
             # operator argument, the endpoint is the process-wide
-            # default manager's /serve port
+            # default manager's /serve port. --buffer-size mirrors
+            # serve.cpp:225's per-buffer cap (default 64Ki events).
             stoks = shlex.split(arg)
             sink = _Sink("serve", stoks[0])
             bufsz = _flag(stoks, "--buffer-size")

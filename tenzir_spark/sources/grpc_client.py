@@ -153,10 +153,12 @@ def huffman_decode(data: bytes) -> bytes:
     out = bytearray()
     node = _HUFF_TREE
     pad_ones = 0
+    depth = 0  # bits consumed since the last completed symbol
     for byte in data:
         for i in range(7, -1, -1):
             bit = (byte >> i) & 1
             pad_ones = pad_ones + 1 if bit else 0
+            depth += 1
             node = node[bit]
             if node is None:
                 raise ValueError("invalid Huffman code")
@@ -166,8 +168,14 @@ def huffman_decode(data: bytes) -> bytes:
                 out.append(node)
                 node = _HUFF_TREE
                 pad_ones = 0
-    if node is not _HUFF_TREE and pad_ones > 7:
-        raise ValueError("Huffman padding longer than 7 bits")
+                depth = 0
+    # §5.2: a trailing incomplete code is ONLY legal as padding — at
+    # most 7 bits, every bit a 1 (the EOS prefix). Zero-bit or >7-bit
+    # tails must be rejected, or a corrupted header block decodes to
+    # silently wrong bytes (RFC 7541 Appendix C vectors pin this).
+    if depth and (depth != pad_ones or depth > 7):
+        raise ValueError("invalid Huffman padding (must be <=7 EOS-prefix "
+                         "bits)")
     return bytes(out)
 
 

@@ -1,40 +1,309 @@
-"""From-spec Kafka wire-protocol client (and codec) for the `kafka`
-connector's loader/saver surface.
+"""Kafka wire protocol (minimal, from the public spec) — client side.
 
-The reference connector is a librdkafka CLIENT
-(/root/reference/plugins/kafka/src/plugin.cpp; consumer at
-src/consumer.cpp, producer at src/producer.cpp): load bytes from a
-topic, save bytes to a topic, with the `-o` offset grammar translated
-by sources/kafka.parse_offset_spec. Neither librdkafka nor the
-spark-sql-kafka jars ship in this sandbox (and there is no network to
-resolve `spark.jars.packages`), so — the same way sources/zmq.py speaks
-ZMTP and sources/velociraptor.py speaks gRPC — this module implements
-the handful of public Kafka protocol APIs the loader/saver need, from
-the spec at kafka.apache.org/protocol:
+The reference's kafka connector (plugins/kafka/src/plugin.cpp,
+consumer.cpp, producer.cpp) wraps librdkafka; this sandbox has neither
+librdkafka nor the spark-sql-kafka jars, so — same approach as the zmq
+(ZMTP 3.0) and fluent-bit (forward) connectors — the byte protocol is
+implemented directly from the published specification
+(https://kafka.apache.org/protocol): framed requests over TCP, big-endian
+primitives, and the v2 RecordBatch format with CRC32C integrity.
 
-- ApiVersions v0, Metadata v1, ListOffsets v1, Fetch v4, Produce v3
-- RecordBatch v2 (magic 2): CRC32C (Castagnoli), zigzag varints, the
-  modern on-disk format every broker since 0.11 serves
+Scope: the non-flexible (pre-KIP-482) API versions a plain consumer and
+producer need, chosen so no tagged-field/compact encodings are required:
 
-The driver-side loader spools messages for the distributed readers
-(bounded control-plane volume, like the zmq/fluent-bit listeners);
-unbounded cluster-scale streams belong to the native Spark source built
-by sources/kafka.read_kafka_stream when the connector jars are present.
-Compressed record batches (attribute bits 0-2) are refused loudly —
-the producer side never writes them and `compression.type=none` is the
-loader's documented contract here.
+- ApiVersions v0   (18) — handshake sanity
+- Metadata    v1    (3) — topic -> partitions/leaders
+- ListOffsets v1    (2) — earliest/latest offset resolution (and tail -N)
+- Fetch       v4    (1) — consume RecordBatch v2 sets
+- Produce     v3    (0) — publish RecordBatch v2 sets
+
+This is the single-broker path (bootstrap == leader), which covers the
+sandbox loopback e2e; against a real multi-broker cluster the Metadata
+response carries per-partition leaders and a production deployment uses
+Spark's native kafka source (sources/kafka.py builds those options) —
+this module is the fallback/batch path and the protocol oracle for tests.
 """
+
 from __future__ import annotations
 
 import io
-import os
 import socket
 import struct
-import tempfile
 import time
-from typing import NamedTuple
 
-from tenzir_spark.sources.kafka import parse_offset_spec
+
+# --------------------------------------------------------------- CRC32C
+# Castagnoli CRC (poly 0x1EDC6F41, reflected 0x82F63B78) — the checksum
+# RecordBatch v2 mandates (it is NOT zlib's crc32). Table-driven; the
+# standard check value crc32c(b"123456789") == 0xE3069283 is pinned in
+# tests so the implementation can't drift.
+
+def _crc32c_table() -> list[int]:
+    tbl = []
+    for n in range(256):
+        c = n
+        for _ in range(8):
+            c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+        tbl.append(c)
+    return tbl
+
+
+_CRC_TBL = _crc32c_table()
+
+
+def crc32c(data: bytes, crc: int = 0) -> int:
+    crc ^= 0xFFFFFFFF
+    for b in data:
+        crc = _CRC_TBL[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+# --------------------------------------------------------------- varints
+
+def zigzag_encode(n: int) -> int:
+    return (n << 1) ^ (n >> 63) if n < 0 else n << 1
+
+
+def zigzag_decode(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def write_varint(buf: io.BytesIO, n: int) -> None:
+    """Signed varint: zigzag then base-128 little-endian groups."""
+    v = zigzag_encode(n)
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            buf.write(bytes([b | 0x80]))
+        else:
+            buf.write(bytes([b]))
+            return
+
+
+def read_varint(buf: memoryview, pos: int) -> tuple[int, int]:
+    shift = 0
+    out = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return zigzag_decode(out), pos
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint too long")
+
+
+# ------------------------------------------------------ primitive codec
+
+def w_i8(b, v): b.write(struct.pack(">b", v))
+def w_i16(b, v): b.write(struct.pack(">h", v))
+def w_i32(b, v): b.write(struct.pack(">i", v))
+def w_i64(b, v): b.write(struct.pack(">q", v))
+
+
+def w_string(b, s: str | None) -> None:
+    if s is None:
+        w_i16(b, -1)
+    else:
+        raw = s.encode("utf-8")
+        w_i16(b, len(raw))
+        b.write(raw)
+
+
+def w_bytes(b, v: bytes | None) -> None:
+    if v is None:
+        w_i32(b, -1)
+    else:
+        w_i32(b, len(v))
+        b.write(v)
+
+
+class Reader:
+    """Cursor over a response body."""
+
+    def __init__(self, data: bytes):
+        self.v = memoryview(data)
+        self.pos = 0
+
+    def _unpack(self, fmt: str, size: int):
+        out = struct.unpack_from(fmt, self.v, self.pos)[0]
+        self.pos += size
+        return out
+
+    def i8(self): return self._unpack(">b", 1)
+    def i16(self): return self._unpack(">h", 2)
+    def i32(self): return self._unpack(">i", 4)
+    def i64(self): return self._unpack(">q", 8)
+    def boolean(self): return bool(self._unpack(">b", 1))
+
+    def string(self) -> str | None:
+        n = self.i16()
+        if n < 0:
+            return None
+        out = bytes(self.v[self.pos:self.pos + n]).decode("utf-8")
+        self.pos += n
+        return out
+
+    def raw_bytes(self) -> bytes | None:
+        n = self.i32()
+        if n < 0:
+            return None
+        out = bytes(self.v[self.pos:self.pos + n])
+        self.pos += n
+        return out
+
+    def array(self, fn) -> list | None:
+        n = self.i32()
+        if n < 0:
+            return None
+        return [fn() for _ in range(n)]
+
+
+# ------------------------------------------------------- RecordBatch v2
+
+class Record:
+    __slots__ = ("offset", "timestamp", "key", "value", "headers")
+
+    def __init__(self, offset: int, timestamp: int, key: bytes | None,
+                 value: bytes | None, headers: list[tuple[str, bytes]]):
+        self.offset = offset
+        self.timestamp = timestamp
+        self.key = key
+        self.value = value
+        self.headers = headers
+
+
+def encode_record_batch(base_offset: int,
+                        records: list[tuple[bytes | None, bytes | None]],
+                        base_timestamp: int,
+                        headers: list[tuple[str, bytes]] | None = None) -> bytes:
+    """Build one uncompressed RecordBatch (magic 2). ``records`` is a
+    list of (key, value); all records share ``base_timestamp`` (delta 0),
+    which is what a single produce call from one process observes."""
+    body = io.BytesIO()
+    recs = io.BytesIO()
+    for i, (key, value) in enumerate(records):
+        r = io.BytesIO()
+        w_i8(r, 0)                       # record attributes
+        write_varint(r, 0)               # timestampDelta
+        write_varint(r, i)               # offsetDelta
+        if key is None:
+            write_varint(r, -1)
+        else:
+            write_varint(r, len(key))
+            r.write(key)
+        if value is None:
+            write_varint(r, -1)
+        else:
+            write_varint(r, len(value))
+            r.write(value)
+        hs = headers or []
+        write_varint(r, len(hs))
+        for hk, hv in hs:
+            hkr = hk.encode("utf-8")
+            write_varint(r, len(hkr))
+            r.write(hkr)
+            write_varint(r, len(hv))
+            r.write(hv)
+        raw = r.getvalue()
+        write_varint(recs, len(raw))
+        recs.write(raw)
+
+    # everything the CRC covers: attributes .. records
+    crc_part = io.BytesIO()
+    w_i16(crc_part, 0)                   # batch attributes: no compression
+    w_i32(crc_part, len(records) - 1)    # lastOffsetDelta
+    w_i64(crc_part, base_timestamp)      # firstTimestamp
+    w_i64(crc_part, base_timestamp)      # maxTimestamp
+    w_i64(crc_part, -1)                  # producerId
+    w_i16(crc_part, -1)                  # producerEpoch
+    w_i32(crc_part, -1)                  # baseSequence
+    w_i32(crc_part, len(records))
+    crc_part.write(recs.getvalue())
+    crc_bytes = crc_part.getvalue()
+
+    w_i64(body, base_offset)
+    # batchLength counts bytes after itself: partitionLeaderEpoch(4) +
+    # magic(1) + crc(4) + crc-covered section
+    w_i32(body, 4 + 1 + 4 + len(crc_bytes))
+    w_i32(body, -1)                      # partitionLeaderEpoch
+    w_i8(body, 2)                        # magic
+    body.write(struct.pack(">I", crc32c(crc_bytes)))
+    body.write(crc_bytes)
+    return body.getvalue()
+
+
+def decode_record_batches(data: bytes, verify_crc: bool = True) -> list[Record]:
+    """Parse a Fetch record_set: zero or more concatenated RecordBatches.
+    A trailing partial batch (the broker may truncate at max_bytes) is
+    dropped, per spec."""
+    out: list[Record] = []
+    v = memoryview(data)
+    pos = 0
+    while pos + 12 <= len(v):
+        base_offset = struct.unpack_from(">q", v, pos)[0]
+        batch_len = struct.unpack_from(">i", v, pos + 8)[0]
+        end = pos + 12 + batch_len
+        if batch_len <= 0 or end > len(v):
+            break  # partial trailing batch
+        magic = v[pos + 16]
+        if magic != 2:
+            raise ValueError(f"unsupported record batch magic {magic} "
+                             "(only v2 is implemented)")
+        crc_stored = struct.unpack_from(">I", v, pos + 17)[0]
+        crc_section = bytes(v[pos + 21:end])
+        if verify_crc and crc32c(crc_section) != crc_stored:
+            raise ValueError("record batch CRC32C mismatch")
+        attributes = struct.unpack_from(">h", v, pos + 21)[0]
+        if attributes & 0x07:
+            raise NotImplementedError(
+                "compressed record batches not supported (set "
+                "compression.type=none on the producer)")
+        first_ts = struct.unpack_from(">q", v, pos + 27)[0]
+        # layout after crc (pos+21): attributes(2) lastOffsetDelta(4)
+        # firstTimestamp(8) maxTimestamp(8) producerId(8)
+        # producerEpoch(2) baseSequence(4) -> records count at pos+57
+        n_records = struct.unpack_from(">i", v, pos + 57)[0]
+        rpos = pos + 61
+        for _ in range(n_records):
+            rlen, rpos = read_varint(v, rpos)
+            rend = rpos + rlen
+            rpos += 1  # record attributes (unused)
+            ts_delta, rpos = read_varint(v, rpos)
+            off_delta, rpos = read_varint(v, rpos)
+            klen, rpos = read_varint(v, rpos)
+            key = None
+            if klen >= 0:
+                key = bytes(v[rpos:rpos + klen])
+                rpos += klen
+            vlen, rpos = read_varint(v, rpos)
+            val = None
+            if vlen >= 0:
+                val = bytes(v[rpos:rpos + vlen])
+                rpos += vlen
+            nh, rpos = read_varint(v, rpos)
+            hdrs = []
+            for _ in range(nh):
+                hklen, rpos = read_varint(v, rpos)
+                hk = bytes(v[rpos:rpos + hklen]).decode("utf-8")
+                rpos += hklen
+                hvlen, rpos = read_varint(v, rpos)
+                hv = b""
+                if hvlen >= 0:
+                    hv = bytes(v[rpos:rpos + hvlen])
+                    rpos += hvlen
+                hdrs.append((hk, hv))
+            if rpos != rend:
+                raise ValueError("record length mismatch")
+            out.append(Record(base_offset + off_delta, first_ts + ts_delta,
+                              key, val, hdrs))
+        pos = end
+    return out
+
+
+# -------------------------------------------------------------- client
 
 API_PRODUCE = 0
 API_FETCH = 1
@@ -45,297 +314,35 @@ API_VERSIONS = 18
 EARLIEST = -2
 LATEST = -1
 
-_ERROR_NAMES = {
-    1: "OFFSET_OUT_OF_RANGE",
-    2: "CORRUPT_MESSAGE",
-    3: "UNKNOWN_TOPIC_OR_PARTITION",
-    5: "LEADER_NOT_AVAILABLE",
-    6: "NOT_LEADER_FOR_PARTITION",
-    7: "REQUEST_TIMED_OUT",
+_ERRORS = {
+    0: "NONE", 1: "OFFSET_OUT_OF_RANGE", 3: "UNKNOWN_TOPIC_OR_PARTITION",
+    5: "LEADER_NOT_AVAILABLE", 6: "NOT_LEADER_FOR_PARTITION",
+    35: "UNSUPPORTED_VERSION",
 }
 
 
 class KafkaError(RuntimeError):
-    def __init__(self, code: int, context: str = ""):
+    def __init__(self, code: int, where: str):
+        super().__init__(
+            f"kafka error {code} ({_ERRORS.get(code, 'UNKNOWN')}) in {where}")
         self.code = code
-        name = _ERROR_NAMES.get(code, f"ERROR_{code}")
-        super().__init__(f"kafka error {code} {name}"
-                         + (f" ({context})" if context else ""))
-
-
-# ----------------------------------------------------------- primitives
-
-
-def w_i8(b: io.BytesIO, v: int) -> None:
-    b.write(struct.pack(">b", v))
-
-
-def w_i16(b: io.BytesIO, v: int) -> None:
-    b.write(struct.pack(">h", v))
-
-
-def w_i32(b: io.BytesIO, v: int) -> None:
-    b.write(struct.pack(">i", v))
-
-
-def w_i64(b: io.BytesIO, v: int) -> None:
-    b.write(struct.pack(">q", v))
-
-
-def w_string(b: io.BytesIO, s: str | None) -> None:
-    if s is None:
-        w_i16(b, -1)
-    else:
-        raw = s.encode("utf-8")
-        w_i16(b, len(raw))
-        b.write(raw)
-
-
-def w_bytes(b: io.BytesIO, v: bytes | None) -> None:
-    if v is None:
-        w_i32(b, -1)
-    else:
-        w_i32(b, len(v))
-        b.write(v)
-
-
-class Reader:
-    """Big-endian cursor over one response/request body."""
-
-    def __init__(self, buf: bytes):
-        self.buf = memoryview(buf)
-        self.pos = 0
-
-    def take(self, n: int) -> bytes:
-        v = bytes(self.buf[self.pos:self.pos + n])
-        if len(v) < n:
-            raise ValueError("kafka frame truncated")
-        self.pos += n
-        return v
-
-    def i8(self) -> int:
-        return struct.unpack(">b", self.take(1))[0]
-
-    def i16(self) -> int:
-        return struct.unpack(">h", self.take(2))[0]
-
-    def i32(self) -> int:
-        return struct.unpack(">i", self.take(4))[0]
-
-    def i64(self) -> int:
-        return struct.unpack(">q", self.take(8))[0]
-
-    def string(self) -> str | None:
-        n = self.i16()
-        return None if n < 0 else self.take(n).decode("utf-8")
-
-    def raw_bytes(self) -> bytes | None:
-        n = self.i32()
-        return None if n < 0 else self.take(n)
-
-    def array(self, fn):
-        n = self.i32()
-        return None if n < 0 else [fn() for _ in range(n)]
-
-
-# -------------------------------------------------------------- varints
-
-
-def zigzag_encode(n: int) -> int:
-    return (n << 1) ^ (n >> 63) if n < 0 else n << 1
-
-
-def zigzag_decode(z: int) -> int:
-    return (z >> 1) ^ -(z & 1)
-
-
-def write_varint(b: io.BytesIO, n: int) -> None:
-    """Signed (zigzag) varint — the encoding RecordBatch v2 records use
-    for every integer field."""
-    z = zigzag_encode(n)
-    while True:
-        byte = z & 0x7F
-        z >>= 7
-        if z:
-            b.write(bytes([byte | 0x80]))
-        else:
-            b.write(bytes([byte]))
-            return
-
-
-def read_varint(buf: memoryview, pos: int) -> tuple[int, int]:
-    shift = z = 0
-    while True:
-        byte = buf[pos]
-        pos += 1
-        z |= (byte & 0x7F) << shift
-        if not byte & 0x80:
-            return zigzag_decode(z), pos
-        shift += 7
-        if shift > 63:
-            raise ValueError("kafka varint too long")
-
-
-# ---------------------------------------------------------------- crc32c
-
-_CRC32C_POLY = 0x82F63B78  # Castagnoli, reflected
-
-
-def _crc32c_table() -> list[int]:
-    table = []
-    for i in range(256):
-        crc = i
-        for _ in range(8):
-            crc = (crc >> 1) ^ _CRC32C_POLY if crc & 1 else crc >> 1
-        table.append(crc)
-    return table
-
-
-_CRC32C = _crc32c_table()
-
-
-def crc32c(data: bytes) -> int:
-    crc = 0xFFFFFFFF
-    for b in data:
-        crc = (crc >> 8) ^ _CRC32C[(crc ^ b) & 0xFF]
-    return crc ^ 0xFFFFFFFF
-
-
-# --------------------------------------------------------- record batch
-
-
-class Record(NamedTuple):
-    offset: int
-    timestamp: int
-    key: bytes | None
-    value: bytes | None
-
-
-def encode_record_batch(base_offset: int,
-                        records: list[tuple[bytes | None, bytes | None]],
-                        first_timestamp: int) -> bytes:
-    """RecordBatch v2 (magic 2), uncompressed, all records stamped
-    ``first_timestamp`` (the producer path sets one wall-clock per
-    Produce call, like the reference's fixed `-T` saver timestamp)."""
-    recs = io.BytesIO()
-    for i, (key, value) in enumerate(records):
-        body = io.BytesIO()
-        body.write(b"\x00")  # record attributes (unused)
-        write_varint(body, 0)  # timestampDelta
-        write_varint(body, i)  # offsetDelta
-        if key is None:
-            write_varint(body, -1)
-        else:
-            write_varint(body, len(key))
-            body.write(key)
-        if value is None:
-            write_varint(body, -1)
-        else:
-            write_varint(body, len(value))
-            body.write(value)
-        write_varint(body, 0)  # headers
-        payload = body.getvalue()
-        write_varint(recs, len(payload))
-        recs.write(payload)
-    section = io.BytesIO()
-    w_i16(section, 0)  # attributes: no compression, create-time stamps
-    w_i32(section, len(records) - 1)  # lastOffsetDelta
-    w_i64(section, first_timestamp)
-    w_i64(section, first_timestamp)  # maxTimestamp (deltas are all 0)
-    w_i64(section, -1)  # producerId (idempotence not used)
-    w_i16(section, -1)  # producerEpoch
-    w_i32(section, -1)  # baseSequence
-    w_i32(section, len(records))
-    section.write(recs.getvalue())
-    sec = section.getvalue()
-    out = io.BytesIO()
-    w_i64(out, base_offset)
-    w_i32(out, 4 + 1 + 4 + len(sec))  # partitionLeaderEpoch+magic+crc+sec
-    w_i32(out, -1)  # partitionLeaderEpoch
-    w_i8(out, 2)  # magic
-    out.write(struct.pack(">I", crc32c(sec)))
-    out.write(sec)
-    return out.getvalue()
-
-
-def decode_record_batches(buf: bytes) -> list[Record]:
-    """Decode a Fetch record set: any number of concatenated v2 batches;
-    a partial trailing batch (broker truncation at max_bytes) is
-    dropped, matching consumer semantics."""
-    out: list[Record] = []
-    mv = memoryview(buf)
-    pos = 0
-    while len(buf) - pos >= 12:
-        base_offset = struct.unpack_from(">q", mv, pos)[0]
-        batch_len = struct.unpack_from(">i", mv, pos + 8)[0]
-        if len(buf) - pos - 12 < batch_len - 4 - 1 - 4 + 9:
-            break  # partial trailing batch
-        end = pos + 12 + batch_len
-        if end > len(buf):
-            break
-        magic = struct.unpack_from(">b", mv, pos + 16)[0]
-        if magic != 2:
-            raise ValueError(f"unsupported record batch magic {magic} "
-                             f"(only v2 is spoken here)")
-        crc = struct.unpack_from(">I", mv, pos + 17)[0]
-        sec = bytes(mv[pos + 21:end])
-        if crc32c(sec) != crc:
-            raise ValueError(
-                f"record batch CRC32C mismatch at offset {base_offset}")
-        r = Reader(sec)
-        attributes = r.i16()
-        if attributes & 0x07:
-            raise ValueError(
-                "compressed record batches not supported — produce with "
-                "compression.type=none for this loader")
-        r.i32()  # lastOffsetDelta
-        first_ts = r.i64()
-        r.i64()  # maxTimestamp
-        r.i64()  # producerId
-        r.i16()  # producerEpoch
-        r.i32()  # baseSequence
-        count = r.i32()
-        rpos = r.pos
-        for _ in range(count):
-            _length, rpos = read_varint(r.buf, rpos)
-            rpos += 1  # record attributes
-            ts_delta, rpos = read_varint(r.buf, rpos)
-            off_delta, rpos = read_varint(r.buf, rpos)
-            klen, rpos = read_varint(r.buf, rpos)
-            key = None
-            if klen >= 0:
-                key = bytes(r.buf[rpos:rpos + klen])
-                rpos += klen
-            vlen, rpos = read_varint(r.buf, rpos)
-            value = None
-            if vlen >= 0:
-                value = bytes(r.buf[rpos:rpos + vlen])
-                rpos += vlen
-            n_headers, rpos = read_varint(r.buf, rpos)
-            for _ in range(n_headers):
-                hk, rpos = read_varint(r.buf, rpos)
-                rpos += max(hk, 0)
-                hv, rpos = read_varint(r.buf, rpos)
-                rpos += max(hv, 0)
-            out.append(Record(base_offset + off_delta,
-                              first_ts + ts_delta, key, value))
-        pos = end
-    return out
-
-
-# ------------------------------------------------------------- client
 
 
 class KafkaWireClient:
-    """One broker connection (loopback/test deployments have exactly
-    one; multi-broker leader routing is the native Spark source's job)."""
+    """One TCP connection to one broker, correlation-id matched."""
 
-    def __init__(self, host: str, port: int, client_id: str = "tenzir",
-                 timeout: float = 10.0):
-        self.sock = socket.create_connection((host, port), timeout=timeout)
-        self.sock.settimeout(timeout)
+    def __init__(self, host: str = "127.0.0.1", port: int = 9092,
+                 client_id: str = "tenzir", timeout: float = 10.0):
         self.client_id = client_id
         self._corr = 0
+        self.sock = socket.create_connection((host, port), timeout=timeout)
+        self.sock.settimeout(timeout)
+
+    def close(self) -> None:
+        try:
+            self.sock.close()
+        except OSError:
+            pass
 
     def __enter__(self):
         return self
@@ -343,80 +350,81 @@ class KafkaWireClient:
     def __exit__(self, *exc):
         self.close()
 
-    def close(self):
-        try:
-            self.sock.close()
-        except OSError:
-            pass
-
-    def _recv_exact(self, n: int) -> bytes:
-        buf = bytearray()
-        while len(buf) < n:
-            chunk = self.sock.recv(n - len(buf))
-            if not chunk:
-                raise ConnectionError("kafka broker closed mid-frame")
-            buf += chunk
-        return bytes(buf)
-
-    def _rpc(self, api_key: int, version: int, body: bytes) -> Reader:
+    # framing ----------------------------------------------------------
+    def _send(self, api_key: int, api_version: int, body: bytes) -> int:
         self._corr += 1
         hdr = io.BytesIO()
         w_i16(hdr, api_key)
-        w_i16(hdr, version)
+        w_i16(hdr, api_version)
         w_i32(hdr, self._corr)
         w_string(hdr, self.client_id)
-        req = hdr.getvalue() + body
-        self.sock.sendall(struct.pack(">i", len(req)) + req)
-        (size,) = struct.unpack(">i", self._recv_exact(4))
-        r = Reader(self._recv_exact(size))
-        corr = r.i32()
-        if corr != self._corr:
-            raise ValueError(
-                f"kafka correlation mismatch: {corr} != {self._corr}")
-        return r
+        payload = hdr.getvalue() + body
+        self.sock.sendall(struct.pack(">i", len(payload)) + payload)
+        return self._corr
 
+    def _recv_exact(self, n: int) -> bytes:
+        chunks = []
+        while n:
+            c = self.sock.recv(n)
+            if not c:
+                raise ConnectionError("kafka broker closed connection")
+            chunks.append(c)
+            n -= len(c)
+        return b"".join(chunks)
+
+    def _roundtrip(self, api_key: int, api_version: int, body: bytes) -> Reader:
+        corr = self._send(api_key, api_version, body)
+        (size,) = struct.unpack(">i", self._recv_exact(4))
+        resp = Reader(self._recv_exact(size))
+        got = resp.i32()
+        if got != corr:
+            raise ValueError(f"correlation id mismatch: {got} != {corr}")
+        return resp
+
+    # APIs -------------------------------------------------------------
     def api_versions(self) -> dict[int, tuple[int, int]]:
-        r = self._rpc(API_VERSIONS, 0, b"")
+        r = self._roundtrip(API_VERSIONS, 0, b"")
         err = r.i16()
         if err:
             raise KafkaError(err, "ApiVersions")
-        return {k: (lo, hi) for k, lo, hi in
-                [(r.i16(), r.i16(), r.i16()) for _ in range(r.i32())]}
+        out = {}
+        for _ in range(r.i32()):
+            k, lo, hi = r.i16(), r.i16(), r.i16()
+            out[k] = (lo, hi)
+        return out
 
     def metadata(self, topics: list[str] | None = None) -> dict:
         body = io.BytesIO()
         if topics is None:
-            w_i32(body, -1)  # all topics
+            w_i32(body, -1)  # null array: all topics
         else:
             w_i32(body, len(topics))
             for t in topics:
                 w_string(body, t)
-        r = self._rpc(API_METADATA, 1, body.getvalue())
-        brokers = []
-        for _ in range(r.i32()):
-            brokers.append({"node_id": r.i32(), "host": r.string(),
-                            "port": r.i32(), "rack": r.string()})
-        r.i32()  # controller id
-        out_topics: dict[str, dict] = {}
+        r = self._roundtrip(API_METADATA, 1, body.getvalue())
+        brokers = r.array(lambda: {
+            "node_id": r.i32(), "host": r.string(), "port": r.i32(),
+            "rack": r.string()})
+        controller = r.i32()
+        topics_out = {}
         for _ in range(r.i32()):
             err = r.i16()
             name = r.string()
-            r.i8()  # is_internal
-            parts = []
+            r.boolean()  # is_internal
+            parts = {}
             for _ in range(r.i32()):
-                perr, pid = r.i16(), r.i32()
-                r.i32()  # leader
-                for _ in range(r.i32()):
-                    r.i32()
-                for _ in range(r.i32()):
-                    r.i32()
-                if not perr:
-                    parts.append(pid)
-            out_topics[name] = {"error": err, "partitions": sorted(parts)}
-        return {"brokers": brokers, "topics": out_topics}
+                perr = r.i16()
+                pid = r.i32()
+                leader = r.i32()
+                r.array(r.i32)  # replicas
+                r.array(r.i32)  # isr
+                parts[pid] = {"error": perr, "leader": leader}
+            topics_out[name] = {"error": err, "partitions": parts}
+        return {"brokers": brokers, "controller": controller,
+                "topics": topics_out}
 
-    def list_offsets(self, topic: str, partition: int,
-                     timestamp: int) -> int:
+    def list_offsets(self, topic: str, partition: int = 0,
+                     timestamp: int = LATEST) -> int:
         body = io.BytesIO()
         w_i32(body, -1)  # replica_id
         w_i32(body, 1)
@@ -424,185 +432,176 @@ class KafkaWireClient:
         w_i32(body, 1)
         w_i32(body, partition)
         w_i64(body, timestamp)
-        r = self._rpc(API_LIST_OFFSETS, 1, body.getvalue())
+        r = self._roundtrip(API_LIST_OFFSETS, 1, body.getvalue())
         for _ in range(r.i32()):
             r.string()
             for _ in range(r.i32()):
-                pid, err = r.i32(), r.i16()
+                r.i32()  # partition
+                err = r.i16()
                 r.i64()  # timestamp
                 off = r.i64()
-                if pid == partition:
-                    if err:
-                        raise KafkaError(err, f"ListOffsets {topic}/{pid}")
-                    return off
-        raise KafkaError(3, f"ListOffsets {topic}/{partition} missing")
-
-    def produce(self, topic: str, partition: int,
-                records: list[tuple[bytes | None, bytes | None]],
-                timestamp_ms: int | None = None, acks: int = 1,
-                timeout_ms: int = 10000) -> int:
-        batch = encode_record_batch(
-            0, records,
-            timestamp_ms if timestamp_ms is not None
-            else int(time.time() * 1000))
-        body = io.BytesIO()
-        w_string(body, None)  # transactional_id
-        w_i16(body, acks)
-        w_i32(body, timeout_ms)
-        w_i32(body, 1)
-        w_string(body, topic)
-        w_i32(body, 1)
-        w_i32(body, partition)
-        w_bytes(body, batch)
-        r = self._rpc(API_PRODUCE, 3, body.getvalue())
-        base = -1
-        for _ in range(r.i32()):
-            r.string()
-            for _ in range(r.i32()):
-                pid, err = r.i32(), r.i16()
-                boff = r.i64()
-                r.i64()  # log_append_time
                 if err:
-                    raise KafkaError(err, f"Produce {topic}/{pid}")
-                if pid == partition:
-                    base = boff
-        return base
+                    raise KafkaError(err, "ListOffsets")
+                return off
+        raise ValueError("empty ListOffsets response")
 
     def fetch(self, topic: str, partition: int, offset: int,
-              max_wait_ms: int = 100, min_bytes: int = 1,
-              max_bytes: int = 1 << 20) -> tuple[list[Record], int]:
+              max_wait_ms: int = 500, min_bytes: int = 1,
+              max_bytes: int = 8 * 1024 * 1024) -> tuple[list[Record], int]:
+        """One Fetch round trip; returns (records, high_watermark)."""
         body = io.BytesIO()
-        w_i32(body, -1)  # replica_id
+        w_i32(body, -1)            # replica_id
         w_i32(body, max_wait_ms)
         w_i32(body, min_bytes)
         w_i32(body, max_bytes)
-        w_i8(body, 0)  # isolation_level: read_uncommitted
+        w_i8(body, 0)              # isolation_level: read_uncommitted
         w_i32(body, 1)
         w_string(body, topic)
         w_i32(body, 1)
         w_i32(body, partition)
         w_i64(body, offset)
-        w_i32(body, max_bytes)
-        r = self._rpc(API_FETCH, 4, body.getvalue())
-        r.i32()  # throttle
+        w_i32(body, max_bytes)     # partition_max_bytes
+        r = self._roundtrip(API_FETCH, 4, body.getvalue())
+        r.i32()  # throttle_time_ms
         records: list[Record] = []
-        hwm = -1
+        hwm = 0
         for _ in range(r.i32()):
             r.string()
             for _ in range(r.i32()):
-                pid, err = r.i32(), r.i16()
-                phwm = r.i64()
+                r.i32()  # partition
+                err = r.i16()
+                hwm = r.i64()
                 r.i64()  # last_stable_offset
-                for _ in range(r.i32()):  # aborted transactions
-                    r.i64(), r.i64()
-                rs = r.raw_bytes() or b""
+                r.array(lambda: (r.i64(), r.i64()))  # aborted txns
+                record_set = r.raw_bytes() or b""
                 if err:
-                    raise KafkaError(err, f"Fetch {topic}/{pid}@{offset}")
-                if pid == partition:
-                    hwm = phwm
-                    # brokers may return batches starting below the
-                    # requested offset (batch granularity) — trim
-                    records.extend(rec for rec in decode_record_batches(rs)
-                                   if rec.offset >= offset)
-        return records, hwm
+                    raise KafkaError(err, "Fetch")
+                records.extend(decode_record_batches(record_set))
+        # fetch may return batches starting before the requested offset
+        # (compaction / batch alignment); trim client-side, per spec
+        return [x for x in records if x.offset >= offset], hwm
+
+    def produce(self, topic: str, partition: int,
+                records: list[tuple[bytes | None, bytes | None]],
+                timestamp_ms: int | None = None, acks: int = -1,
+                headers: list[tuple[str, bytes]] | None = None) -> int:
+        """Publish one batch; returns the assigned base offset."""
+        ts = int(time.time() * 1000) if timestamp_ms is None else timestamp_ms
+        batch = encode_record_batch(0, records, ts, headers=headers)
+        body = io.BytesIO()
+        w_string(body, None)       # transactional_id
+        w_i16(body, acks)
+        w_i32(body, 30_000)        # timeout
+        w_i32(body, 1)
+        w_string(body, topic)
+        w_i32(body, 1)
+        w_i32(body, partition)
+        w_bytes(body, batch)
+        r = self._roundtrip(API_PRODUCE, 3, body.getvalue())
+        base = -1
+        for _ in range(r.i32()):
+            r.string()
+            for _ in range(r.i32()):
+                r.i32()  # partition
+                err = r.i16()
+                base = r.i64()
+                r.i64()  # log_append_time
+                if err:
+                    raise KafkaError(err, "Produce")
+        r.i32()  # throttle
+        return base
 
 
-# ------------------------------------------------------- loader / saver
+# ------------------------------------------------- loader/saver surface
+
+def _parse_brokers(brokers: str) -> tuple[str, int]:
+    first = brokers.split(",")[0].strip()
+    if ":" in first:
+        host, port = first.rsplit(":", 1)
+        return host, int(port)
+    return first, 9092
 
 
 def load_kafka(topic: str = "tenzir", brokers: str = "127.0.0.1:9092",
-               count: int | None = None, exit_at_end: bool = False,
-               offset: str | int = "stored", timeout: float = 10.0,
-               raw: bool = False) -> str:
-    """Consumer loader (kafka.md: ``kafka [-t] [-c] [-e] [-o] [-X]``):
-    fetch from every partition starting at the reference offset spec,
-    spool values newline-framed (the connector's default downstream
-    format is json/NDJSON) for the distributed reader. Stops after
-    ``count`` messages, at the log end with ``exit_at_end``, else polls
-    until ``timeout``. 'stored' starts at the end like a fresh consumer
-    group — group-coordination offsets are the native Spark source's
-    checkpoint job (sources/kafka.parse_offset_spec docstring)."""
-    host, _, port = brokers.partition(":")
-    deadline = time.monotonic() + timeout
-    values: list[bytes] = []
-    with KafkaWireClient(host, int(port or 9092), timeout=timeout) as cli:
+               offset: str | int = "beginning", count: int | None = None,
+               exit_at_end: bool = False, timeout: float = 10.0,
+               partition: int = 0, raw: bool = False) -> str:
+    """Batch loader mirroring the reference `kafka` loader semantics
+    (plugin.cpp loader_args): consume from ``offset``, stop after
+    ``count`` messages and/or at the end of the log with ``exit_at_end``,
+    else until ``timeout``. Spools values newline-framed to a temp file
+    for the distributed format readers — identical contract to load_zmq.
+    """
+    from .kafka import parse_offset_spec
+
+    import os
+    import tempfile
+
+    host, port = _parse_brokers(brokers)
+    spec = parse_offset_spec(offset)
+    out: list[bytes] = []
+    with KafkaWireClient(host, port, timeout=timeout) as cli:
         md = cli.metadata([topic])
-        info = md["topics"].get(topic, {})
-        if info.get("error"):
-            raise KafkaError(info["error"], f"Metadata {topic}")
-        parts = info.get("partitions") or []
-        if not parts:
-            raise KafkaError(3, f"topic {topic!r} has no partitions")
-        spec = parse_offset_spec(offset)
-        pos: dict[int, int] = {}
-        for p in parts:
-            if spec["kind"] == "absolute":
-                pos[p] = spec["offset"]
-            elif spec["kind"] == "tail":
-                pos[p] = max(cli.list_offsets(topic, p, LATEST)
-                             - spec["offset"], 0)
-            elif spec.get("startingOffsets") == "earliest":
-                pos[p] = cli.list_offsets(topic, p, EARLIEST)
-            else:  # end, or stored without group coordination
-                pos[p] = cli.list_offsets(topic, p, LATEST)
+        tmd = md["topics"].get(topic)
+        if tmd is None or tmd["error"] not in (0,):
+            raise KafkaError(tmd["error"] if tmd else 3, f"metadata({topic})")
+        if spec["kind"] == "named" and spec["startingOffsets"] == "earliest":
+            pos = cli.list_offsets(topic, partition, EARLIEST)
+        elif spec["kind"] in ("named", "stored"):
+            # stored: no group management in the wire client — start at
+            # the log end, the same visible behavior as a fresh group id
+            pos = cli.list_offsets(topic, partition, LATEST)
+        elif spec["kind"] == "absolute":
+            pos = spec["offset"]
+        else:  # tail -N: resolve against the live end offset
+            end = cli.list_offsets(topic, partition, LATEST)
+            pos = max(0, end - spec["offset"])
+        deadline = time.monotonic() + timeout
         while time.monotonic() < deadline:
-            if count is not None and len(values) >= count:
+            if count is not None and len(out) >= count:
                 break
-            at_end = True
-            for p in parts:
-                if count is not None and len(values) >= count:
+            recs, hwm = cli.fetch(topic, partition, pos)
+            for rec in recs:
+                if count is not None and len(out) >= count:
                     break
-                recs, hwm = cli.fetch(topic, p, pos[p])
-                for rec in recs:
-                    pos[p] = rec.offset + 1
-                    if rec.value is not None:
-                        values.append(rec.value)
-                        if count is not None and len(values) >= count:
-                            break
-                if pos[p] < hwm:
-                    at_end = False
-            if at_end:
-                if exit_at_end:
+                val = rec.value if rec.value is not None else b""
+                if not raw and b"\n" in val:
+                    raise ValueError(
+                        "kafka message contains a newline and would corrupt "
+                        "the line-framed spool; pass raw=True for "
+                        "self-framing payloads")
+                out.append(val)
+                pos = rec.offset + 1
+            if not recs:
+                if exit_at_end and pos >= hwm:
                     break
-                time.sleep(0.05)
-    if count is not None:
-        values = values[:count]
+                if count is None and exit_at_end:
+                    break
     fd, spool = tempfile.mkstemp(prefix="tenzir_kafka_")
     with os.fdopen(fd, "wb") as fh:
-        for v in values:
-            if not raw and b"\n" in v.rstrip(b"\n"):
-                raise ValueError(
-                    "kafka message contains embedded newlines — pass "
-                    "raw=True (TQL: --raw) for byte-concatenated spools")
-            fh.write(v if raw else v.rstrip(b"\n") + b"\n")
+        if raw:
+            fh.write(b"".join(out))
+        else:
+            fh.write(b"\n".join(out) + (b"\n" if out else b""))
     return spool
 
 
-def save_kafka(messages, topic: str = "tenzir",
-               brokers: str = "127.0.0.1:9092", key: str | None = None,
-               timestamp_ms: int | None = None, timeout: float = 10.0,
-               batch_size: int = 1000) -> int:
-    """Producer saver (kafka.md: ``kafka [-t] [-k] [-T] [-X]``): one
-    message per event, fixed key/timestamp per the reference saver_args;
-    single pass over ``messages`` (an iterator is fine — driver memory
-    stays bounded to ``batch_size``)."""
-    host, _, port = brokers.partition(":")
-    kb = key.encode("utf-8") if isinstance(key, str) else key
-    sent = 0
-    with KafkaWireClient(host, int(port or 9092), timeout=timeout) as cli:
-        batch: list[tuple[bytes | None, bytes]] = []
-
-        def flush():
-            nonlocal sent
-            if batch:
-                cli.produce(topic, 0, batch, timestamp_ms=timestamp_ms)
-                sent += len(batch)
-                batch.clear()
-
-        for m in messages:
-            batch.append((kb, m.encode("utf-8") if isinstance(m, str)
-                          else bytes(m)))
-            if len(batch) >= batch_size:
-                flush()
-        flush()
-    return sent
+def save_kafka(chunks, topic: str = "tenzir", brokers: str = "127.0.0.1:9092",
+               key: str | None = None, timestamp_ms: int | None = None,
+               partition: int = 0, timeout: float = 10.0) -> int:
+    """Saver mirroring the reference `kafka` saver (saver_args: fixed
+    --key/--timestamp applied to every message). ``chunks`` is an
+    iterable of bytes/str payloads; one record each, one batch per call.
+    Returns the number of records published."""
+    kb = key.encode("utf-8") if key is not None else None
+    records: list[tuple[bytes | None, bytes | None]] = []
+    for c in chunks:
+        if isinstance(c, str):
+            c = c.encode("utf-8")
+        records.append((kb, c))
+    if not records:
+        return 0
+    host, port = _parse_brokers(brokers)
+    with KafkaWireClient(host, port, timeout=timeout) as cli:
+        cli.produce(topic, partition, records, timestamp_ms=timestamp_ms)
+    return len(records)

@@ -1,51 +1,50 @@
-"""Pipeline-management REST API — the reference `web` plugin's
-`/api/v0` surface re-expressed over Spark.
+"""Pipeline-management REST API — the reference's `web` plugin surface.
 
-Contract: /root/reference/web/openapi/openapi.yaml (paths /ping,
-/pipeline/{create,delete,list,reset-ttl,update,launch}, /serve;
-TenzirToken apiKey auth via the X-Tenzir-Token header) and the plugin's
-rest handlers (plugins/web/src/restinio_server.cpp). Pipelines are TQL
-strings managed by id: create parses (and optionally starts), update
-drives the start/pause/stop state machine, list reports PipelineInfo
-rows with per-operator entries, reset-ttl extends hidden pipelines'
-lifetimes, launch appends a `serve` sink to open pipelines so clients
-can page results over /serve.
+Reference: ``web/openapi/openapi.yaml:270-560`` (paths /ping,
+/pipeline/create, /pipeline/list, /pipeline/update, /pipeline/delete,
+/pipeline/reset-ttl, /pipeline/launch, /serve) and
+``plugins/web/src/restinio_server.cpp`` (token auth via the
+``X-Tenzir-Token`` header). This module serves the same contract from
+stdlib ``ThreadingHTTPServer`` — managed TQL pipelines with the
+OpenAPI state machine (created / running / paused / failed / stopped),
+TTL expiry, labels, per-operator listing, and ingress/egress metrics —
+with /serve delegated to the existing ServeManager buffers.
 
-Spark mapping (the honest divergences, each marked in place):
-
-- **stop is real cancellation**: every pipeline runs in its own thread
-  under a Spark job group named by the pipeline id (PySpark pins Python
-  threads to JVM threads, so groups don't leak across pipelines);
-  `action: stop` cancels the group, interrupting running stages.
-- **pause is bookkeeping only**: Spark has no task-level suspend for
-  batch jobs. `pause` transitions the state (and `start` resumes =
-  restarts a finished/paused run), but an in-flight job runs on —
-  documented divergence from the reference's suspendable pipelines.
-- **metrics are egress-side**: an `Observation` on the frame feeding
-  the sink counts delivered events (plus wall seconds); the reference's
-  per-operator ingress/egress instrumentation has no per-operator
-  boundary inside one fused Catalyst plan — by design, fusing is where
-  the speed comes from.
+Spark notes on the state machine:
+- ``start`` runs the TQL definition on a background thread inside a
+  Spark job group named by the pipeline id, so ``stop`` is a real
+  ``cancelJobGroup`` — not a cooperative flag.
+- ``pause`` is supported for STREAMING pipelines (the query stops;
+  restart resumes from the checkpoint). A batch pipeline cannot pause
+  mid-job (Spark has no job-suspend), so pause returns 400 for batch —
+  a documented divergence, the honest mapping of the reference's
+  actor-runtime pause onto Spark's execution model.
+- A batch pipeline that runs to completion transitions to ``stopped``
+  (the OpenAPI enum has no terminal success state; the reference's
+  pipelines are long-running by default).
 """
+
 from __future__ import annotations
 
+import itertools
 import json
-import shlex
 import threading
 import time
-import uuid
 
-from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
+from tenzir_spark.serve import ServeManager, default_manager
 
-from tenzir_spark import __version__ as _pkg_version
-from tenzir_spark.plans.tql import SINK_OPS
+_STATES = ("created", "running", "paused", "failed", "stopped")
 
 
-def _split_segments(text: str) -> list[str]:
-    """Quote-aware top-level split on '|'."""
-    out, cur, quote = [], [], None
-    for ch in text:
+def _split_operators(definition: str) -> list[dict]:
+    """Operator listing for PipelineInfo (openapi.yaml:246-258): the
+    reference enumerates the pipeline's operators with per-operator ids.
+    Split on top-level '|' (quote-aware — a pipe inside a string literal
+    is payload, not an operator boundary)."""
+    ops: list[str] = []
+    cur: list[str] = []
+    quote = None
+    for ch in definition:
         if quote:
             cur.append(ch)
             if ch == quote:
@@ -54,257 +53,261 @@ def _split_segments(text: str) -> list[str]:
             quote = ch
             cur.append(ch)
         elif ch == "|":
-            out.append("".join(cur).strip())
+            ops.append("".join(cur).strip())
             cur = []
         else:
             cur.append(ch)
-    out.append("".join(cur).strip())
-    return [s for s in out if s]
+    ops.append("".join(cur).strip())
+    return [
+        {"id": str(i), "definition": op, "instrumented": True}
+        for i, op in enumerate(o for o in ops if o)
+    ]
 
 
-def _parse_ttl(ttl) -> float | None:
-    """'5.0m' / '30s' / '1h' / numeric seconds -> seconds."""
-    if ttl is None:
+def _parse_ttl(v) -> float | None:
+    if v is None:
         return None
-    if isinstance(ttl, (int, float)):
-        return float(ttl)
-    s = str(ttl).strip()
-    for suffix, mult in (("ms", 1e-3), ("s", 1.0), ("m", 60.0),
-                         ("h", 3600.0), ("d", 86400.0)):
-        if s.endswith(suffix) and s[:-len(suffix)].replace(
-                ".", "", 1).lstrip("-").isdigit():
-            return float(s[:-len(suffix)]) * mult
+    s = str(v).strip()
+    for suffix, mult in (("ms", 1e-3), ("min", 60.0), ("h", 3600.0),
+                        ("m", 60.0), ("s", 1.0)):
+        if s.endswith(suffix):
+            return float(s[: -len(suffix)]) * mult
     return float(s)
 
 
 class ManagedPipeline:
+    """One managed pipeline: definition + state machine + run thread."""
+
     def __init__(self, pid: str, definition: str, name: str,
                  hidden: bool = False, ttl: float | None = None,
                  restart_with_node: bool = False):
         self.id = pid
-        self.definition = definition
         self.name = name or pid
+        self.definition = definition
         self.hidden = hidden
         self.ttl = ttl
-        self.deadline = time.monotonic() + ttl if ttl else None
         self.restart_with_node = restart_with_node
-        self.labels: list = []
+        self.labels: list[dict] = []
         self.state = "created"
-        self.error = ""
+        self.error: str | None = None
         self.metrics: dict = {}
-        self.thread: threading.Thread | None = None
+        self._thread: threading.Thread | None = None
+        self._stream_query = None
+        self._ttl_timer: threading.Timer | None = None
 
     def info(self) -> dict:
-        segments = _split_segments(self.definition)
-        return {
+        out = {
             "id": self.id,
             "name": self.name,
             "definition": self.definition,
             "state": self.state,
-            "error": self.error,
             "restart_with_node": self.restart_with_node,
-            "operators": [
-                {"id": f"{self.id}-{i}", "definition": seg,
-                 # per-operator instrumentation has no boundary inside a
-                 # fused Catalyst plan (module docstring)
-                 "instrumented": False}
-                for i, seg in enumerate(segments)
-            ],
-            "diagnostics": [],
-            "metrics": self.metrics,
+            "operators": _split_operators(self.definition),
             "labels": self.labels,
         }
+        if self.error is not None:
+            out["error"] = self.error
+        if self.metrics:
+            out["metrics"] = self.metrics
+        return out
 
 
-class PipelineApi:
-    """The node REST API: pipeline CRUD + /serve, one HTTP server."""
+class PipelineManager:
+    """The /pipeline CRUD + lifecycle endpoint group."""
 
-    def __init__(self, spark: SparkSession, serve_manager=None,
-                 token: str | None = None, version: str | None = None):
+    def __init__(self, spark, serve_manager: ServeManager | None = None,
+                 token: str | None = None):
         self.spark = spark
-        self.serve_manager = serve_manager
+        self.serve_manager = serve_manager or default_manager()
         self.token = token
-        self.version = version or f"tenzir-spark/{_pkg_version}"
-        self.pipelines: dict[str, ManagedPipeline] = {}
+        self._pipelines: dict[str, ManagedPipeline] = {}
         self._lock = threading.Lock()
+        self._ids = itertools.count(1)
         self._httpd = None
-        self._reaper: threading.Thread | None = None
-        self._stop = threading.Event()
+        self._thread = None
 
     # ------------------------------------------------------------- core
 
-    def create(self, params: dict) -> dict:
-        definition = params.get("definition")
-        if not definition or not isinstance(definition, str):
-            raise ValueError("missing pipeline definition")
-        hidden = bool(params.get("hidden", False))
-        start = bool(params.get("start_when_created", False))
-        ttl = _parse_ttl(params.get("ttl"))
-        if hidden and not start:
-            raise ValueError("hidden pipelines must set start_when_created")
-        if hidden and ttl is None:
+    def create(self, definition: str, name: str = "",
+               start_when_created: bool = False, hidden: bool = False,
+               ttl=None, restart_with_node: bool = False) -> ManagedPipeline:
+        if not definition or not definition.strip():
+            raise ValueError("definition must be a non-empty pipeline")
+        ttl_s = _parse_ttl(ttl)
+        if hidden and not start_when_created:
+            raise ValueError(
+                "hidden pipelines must set start_when_created")
+        if hidden and ttl_s is None:
             raise ValueError("hidden pipelines must set a ttl")
-        if hidden and params.get("restart_with_node"):
-            raise ValueError("hidden pipelines cannot restart with the node")
-        # parse now so /create surfaces diagnostics, not the first run
-        from tenzir_spark.plans.tql import parse_pipeline
-        try:
-            parse_pipeline(definition, spark=self.spark)
-        except Exception as exc:
-            raise ValueError(f"invalid pipeline: {exc}") from exc
-        pid = uuid.uuid4().hex[:12]
-        mp = ManagedPipeline(
-            pid, definition, params.get("name", ""), hidden=hidden,
-            ttl=ttl, restart_with_node=bool(params.get(
-                "restart_with_node", False)))
         with self._lock:
-            self.pipelines[pid] = mp
-        if start:
-            self._start(mp)
+            pid = str(next(self._ids))
+            p = ManagedPipeline(pid, definition, name, hidden, ttl_s,
+                                restart_with_node)
+            self._pipelines[pid] = p
+        if ttl_s is not None:
+            self._arm_ttl(p)
+        if start_when_created:
+            self.start(pid)
+            # surface an immediate failure the way the reference does:
+            # the create response carries the diagnostics and the
+            # pipeline is discarded
+            p._thread.join(timeout=30)
+            if p.state == "failed":
+                with self._lock:
+                    self._pipelines.pop(pid, None)
+                raise ValueError(p.error or "pipeline failed to start")
+        return p
+
+    def get(self, pid: str) -> ManagedPipeline:
+        with self._lock:
+            p = self._pipelines.get(str(pid))
+        if p is None:
+            raise KeyError(f"unknown pipeline id {pid!r}")
+        return p
+
+    def list(self) -> list[dict]:
+        with self._lock:
+            ps = [p for p in self._pipelines.values() if not p.hidden]
+        return [p.info() for p in ps]
+
+    def start(self, pid: str) -> ManagedPipeline:
+        p = self.get(pid)
+        if p.state == "running":
+            return p
+        p.state = "running"
+        p.error = None
+
+        def run():
+            from tenzir_spark.plans.tql import exec_pipeline
+            sc = self.spark.sparkContext
+            sc.setJobGroup(f"pipeline-{p.id}",
+                           f"managed pipeline {p.name}", True)
+            t0 = time.time()
+            try:
+                result = exec_pipeline(p.definition, spark=self.spark)
+                if result is not None and hasattr(result, "isStreaming") \
+                        and result.isStreaming:
+                    # definition produced an unsunk stream: hold it —
+                    # stop/pause manage the query
+                    q = (result.writeStream.format("noop")
+                         .queryName(f"pipeline-{p.id}").start())
+                    p._stream_query = q
+                    q.awaitTermination()
+                    n = None
+                elif result is not None and hasattr(result, "count"):
+                    # unsunk batch DataFrame: materialize for effect and
+                    # report egress (the reference rejects sinkless
+                    # definitions at /create; accepting them with an
+                    # implicit count-sink keeps the API usable from
+                    # tests and notebooks)
+                    n = result.count()
+                else:
+                    n = result if isinstance(result, int) else None
+                if p.state == "running":
+                    p.state = "stopped"  # ran to completion
+                if n is not None:
+                    p.metrics = {"total": {"egress": {
+                        "unit": "events", "num_elements": int(n),
+                        "total_seconds": time.time() - t0}}}
+            except Exception as exc:  # surfaced via PipelineInfo.error
+                if p.state != "stopped":
+                    p.state = "failed"
+                    p.error = str(exc)
+            finally:
+                sc.setJobGroup("", "")
+
+        p._thread = threading.Thread(target=run, daemon=True)
+        p._thread.start()
+        return p
+
+    def stop(self, pid: str) -> ManagedPipeline:
+        p = self.get(pid)
+        if p.state == "running":
+            p.state = "stopped"
+            if p._stream_query is not None:
+                p._stream_query.stop()
+                p._stream_query = None
+            else:
+                self.spark.sparkContext.cancelJobGroup(f"pipeline-{p.id}")
+        elif p.state == "paused":
+            p.state = "stopped"
+        return p
+
+    def pause(self, pid: str) -> ManagedPipeline:
+        p = self.get(pid)
+        if p.state != "running":
+            raise ValueError(f"cannot pause a pipeline in state {p.state!r}")
+        if p._stream_query is None:
+            raise ValueError(
+                "cannot pause a batch pipeline mid-job (Spark has no "
+                "job suspend); streaming pipelines pause by stopping "
+                "the query and resume from the checkpoint")
+        p._stream_query.stop()
+        p._stream_query = None
+        p.state = "paused"
+        return p
+
+    def delete(self, pid: str) -> None:
+        p = self.get(pid)
+        self.stop(pid) if p.state in ("running", "paused") else None
+        with self._lock:
+            self._pipelines.pop(str(pid), None)
+        if p._ttl_timer:
+            p._ttl_timer.cancel()
+
+    def reset_ttl(self, ids: list[str]) -> list[str]:
+        done = []
+        for pid in ids:
+            try:
+                p = self.get(pid)
+            except KeyError:
+                continue
+            if p.ttl is not None:
+                self._arm_ttl(p)
+                done.append(str(pid))
+        return done
+
+    def launch(self, definition: str, **kw) -> dict:
+        """/pipeline/launch (openapi.yaml:512-522): a definition WITHOUT
+        a sink gets a `serve <id>` sink appended and is created+started;
+        one that already ends in a sink is reported deployable."""
+        from tenzir_spark.plans.tql import parse_ends_with_sink
+        if parse_ends_with_sink(definition):
+            return {"deployable": True}
+        with self._lock:
+            pid = str(next(self._ids))
+        served = f"{definition} | serve {pid}"
+        p = ManagedPipeline(pid, served, kw.get("name", ""),
+                            kw.get("hidden", False),
+                            _parse_ttl(kw.get("ttl")),
+                            kw.get("restart_with_node", False))
+        with self._lock:
+            self._pipelines[pid] = p
+        if p.ttl is not None:
+            self._arm_ttl(p)
+        self.start(pid)
         return {"id": pid}
 
-    def launch(self, params: dict) -> dict:
-        serve_id = params.get("serve_id")
-        if not serve_id:
-            raise ValueError("missing serve_id")
-        definition = params.get("definition") or ""
-        segments = _split_segments(definition)
-        if segments and shlex.split(segments[-1])[0] in SINK_OPS:
-            # ends with a predefined sink: deployable as-is
-            return {"deployable": True}
-        buf = params.get("serve_buffer_size")
-        tail = f"serve {serve_id}" + (f" --buffer-size {buf}" if buf else "")
-        created = self.create({**params,
-                               "definition": f"{definition} | {tail}",
-                               "start_when_created": True})
-        # /create contract: "the response is only sent after the
-        # pipeline was successfully started" — for launch that means the
-        # serve buffer is registered, else the client's first /serve
-        # poll races the pipeline thread and 404s
-        if self.serve_manager is not None:
-            deadline = time.monotonic() + 30
-            while not self.serve_manager.has_buffer(serve_id):
-                mp = self.pipelines.get(created["id"])
-                if mp is not None and mp.state == "failed":
-                    raise ValueError(f"pipeline failed to start: {mp.error}")
-                if time.monotonic() > deadline:
-                    raise ValueError("pipeline did not register its serve "
-                                     "buffer within 30s")
-                time.sleep(0.05)
-        return {"id": created["id"]}
+    def _arm_ttl(self, p: ManagedPipeline) -> None:
+        if p._ttl_timer:
+            p._ttl_timer.cancel()
+        t = threading.Timer(p.ttl, lambda: self._expire(p.id))
+        t.daemon = True
+        t.start()
+        p._ttl_timer = t
 
-    def delete(self, pid: str) -> dict:
-        with self._lock:
-            mp = self.pipelines.pop(pid, None)
-        if mp is None:
-            raise KeyError(f"unknown pipeline {pid!r}")
-        self._cancel(mp)
-        return {}
-
-    def list(self) -> dict:
-        with self._lock:
-            rows = [mp.info() for mp in self.pipelines.values()
-                    if not mp.hidden]
-        return {"pipelines": rows}
-
-    def reset_ttl(self, ids: list[str]) -> dict:
-        done = []
-        with self._lock:
-            for pid in ids:
-                mp = self.pipelines.get(pid)
-                if mp is not None and mp.ttl:
-                    mp.deadline = time.monotonic() + mp.ttl
-                    done.append(pid)
-        return {"ids": done}
-
-    def update(self, params: dict) -> dict:
-        pid = params.get("id")
-        with self._lock:
-            mp = self.pipelines.get(pid)
-        if mp is None:
-            raise KeyError(f"unknown pipeline {pid!r}")
-        if "name" in params:
-            mp.name = params["name"]
-        if "restart_with_node" in params:
-            mp.restart_with_node = bool(params["restart_with_node"])
-        if "labels" in params:
-            mp.labels = params["labels"]
-        action = params.get("action")
-        if action == "start":
-            if not (mp.thread and mp.thread.is_alive()):
-                self._start(mp)
-            else:
-                mp.state = "running"
-        elif action == "pause":
-            # bookkeeping only — no task-level suspend in Spark batch
-            # (module docstring divergence note)
-            mp.state = "paused"
-        elif action == "stop":
-            self._cancel(mp)
-            mp.state = "stopped"
-        elif action is not None:
-            raise ValueError(f"unknown action {action!r}")
-        return {"pipeline": mp.info()}
-
-    # -------------------------------------------------------- execution
-
-    def _start(self, mp: ManagedPipeline) -> None:
-        mp.state = "running"
-        mp.error = ""
-        mp.thread = threading.Thread(target=self._run, args=(mp,),
-                                     daemon=True)
-        mp.thread.start()
-
-    def _cancel(self, mp: ManagedPipeline) -> None:
-        if mp.thread and mp.thread.is_alive():
-            mp.state = "stopped"
-            try:
-                self.spark.sparkContext.cancelJobGroup(mp.id)
-            except Exception:
-                pass
-
-    def _run(self, mp: ManagedPipeline) -> None:
-        from pyspark.sql import Observation
-
-        from tenzir_spark.plans.tql import parse_pipeline
-        sc = self.spark.sparkContext
-        t0 = time.time()
-        obs = None
+    def _expire(self, pid: str) -> None:
         try:
-            # job group names this thread's jobs so stop() can cancel
-            # exactly this pipeline's stages
-            sc.setJobGroup(mp.id, mp.definition, interruptOnCancel=True)
-            p = parse_pipeline(mp.definition, spark=self.spark)
-            if getattr(p, "_pending_sink", None) is None:
-                raise ValueError("pipeline is not closed (missing sink)")
-            if not p.df.isStreaming:
-                obs = Observation(f"egress_{mp.id}_{int(t0)}")
-                p._df = p._df.observe(obs, F.count(F.lit(1)).alias("rows"))
-            p.run()
-            if mp.state == "stopped":  # cancelled mid-run
-                return
-            if obs is not None:
-                rows = int(obs.get.get("rows", 0))
-                mp.metrics = {"total": {"egress": {
-                    "unit": "events", "num_elements": rows,
-                    "total_seconds": round(time.time() - t0, 3)}}}
-            mp.state = "stopped"  # batch pipeline ran to completion
-        except Exception as exc:
-            if mp.state != "stopped":
-                mp.state = "failed"
-                mp.error = str(exc)
-        finally:
-            try:
-                sc.setJobGroup(None, None)
-            except Exception:
-                pass
+            self.delete(pid)
+        except KeyError:
+            pass
 
     # ------------------------------------------------------------- http
 
-    def start(self, host: str = "127.0.0.1", port: int = 0) -> int:
+    def start_server(self, host: str = "127.0.0.1", port: int = 0) -> int:
         from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-        api = self
+        mgr = self
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):
@@ -319,75 +322,111 @@ class PipelineApi:
                 self.wfile.write(body)
 
             def _authed(self) -> bool:
-                if api.token is None:
+                if mgr.token is None:
                     return True
-                return self.headers.get("X-Tenzir-Token") == api.token
-
-            def _route(self) -> str:
-                path = self.path.split("?", 1)[0].rstrip("/")
-                if path.startswith("/api/v0"):
-                    path = path[len("/api/v0"):] or "/"
-                return path
+                return self.headers.get("X-Tenzir-Token") == mgr.token
 
             def do_GET(self):
                 if not self._authed():
-                    return self._reply(401, {"error": "Not authenticated."})
-                if self._route() == "/ping":
-                    return self._reply(200, {"version": api.version})
+                    return self._reply(401, {"error": "not authenticated"})
+                path = self.path.rstrip("/")
+                if path.endswith("/ping"):
+                    from tenzir_spark import __version__
+                    return self._reply(200, {"version": __version__})
                 return self._reply(404, {"error": "unknown endpoint"})
 
             def do_POST(self):
                 if not self._authed():
-                    return self._reply(401, {"error": "Not authenticated."})
-                route = self._route()
+                    return self._reply(401, {"error": "not authenticated"})
+                path = self.path.rstrip("/")
+                if path.startswith("/api/v0"):
+                    path = path[len("/api/v0"):]
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
                     req = json.loads(self.rfile.read(n) or b"{}")
                 except json.JSONDecodeError as exc:
-                    return self._reply(400, {"error": f"bad JSON: {exc}"})
+                    return self._reply(400, {"error": f"bad json: {exc}"})
                 try:
-                    if route == "/ping":
-                        return self._reply(200, {"version": api.version})
-                    if route == "/pipeline/create":
-                        return self._reply(200, api.create(req))
-                    if route == "/pipeline/launch":
-                        return self._reply(200, api.launch(req))
-                    if route == "/pipeline/delete":
-                        return self._reply(200, api.delete(req["id"]))
-                    if route == "/pipeline/list":
-                        return self._reply(200, api.list())
-                    if route == "/pipeline/reset-ttl":
-                        return self._reply(200, api.reset_ttl(req["ids"]))
-                    if route == "/pipeline/update":
-                        return self._reply(200, api.update(req))
-                    if route == "/serve" and api.serve_manager is not None:
-                        code, obj = api.serve_manager.serve_request(req)
-                        return self._reply(code, obj)
-                except (KeyError, ValueError) as exc:
+                    if path == "/pipeline/create":
+                        p = mgr.create(
+                            req.get("definition", ""),
+                            name=req.get("name", ""),
+                            start_when_created=req.get(
+                                "start_when_created", False),
+                            hidden=req.get("hidden", False),
+                            ttl=req.get("ttl"),
+                            restart_with_node=req.get(
+                                "restart_with_node", False))
+                        return self._reply(200, {"id": p.id})
+                    if path == "/pipeline/list":
+                        return self._reply(200, {"pipelines": mgr.list()})
+                    if path == "/pipeline/delete":
+                        mgr.delete(req["id"])
+                        return self._reply(200, {})
+                    if path == "/pipeline/reset-ttl":
+                        return self._reply(
+                            200, {"ids": mgr.reset_ttl(req["ids"])})
+                    if path == "/pipeline/launch":
+                        return self._reply(200, mgr.launch(
+                            req.get("definition", ""), **{
+                                k: v for k, v in req.items()
+                                if k != "definition"}))
+                    if path == "/pipeline/update":
+                        p = mgr.get(req["id"])
+                        action = req.get("action")
+                        if action == "start":
+                            p = mgr.start(p.id)
+                        elif action == "stop":
+                            p = mgr.stop(p.id)
+                        elif action == "pause":
+                            p = mgr.pause(p.id)
+                        elif action is not None:
+                            raise ValueError(f"unknown action {action!r}")
+                        if "name" in req:
+                            p.name = req["name"]
+                        if "restart_with_node" in req:
+                            p.restart_with_node = bool(
+                                req["restart_with_node"])
+                        if "labels" in req:
+                            p.labels = req["labels"]
+                        return self._reply(200, {"pipeline": p.info()})
+                    if path == "/serve":
+                        # delegate to the serve buffers (serve.py owns
+                        # the contract; reuse its handler logic)
+                        serve_id = req["serve_id"]
+                        with mgr.serve_manager._lock:
+                            buf = mgr.serve_manager._buffers.get(serve_id)
+                        if buf is None:
+                            with mgr._lock:
+                                managed = serve_id in mgr._pipelines
+                            if managed:
+                                # launch()'s pipeline may not have
+                                # attached its sink yet: get-or-create
+                                # converges on the same buffer object
+                                buf = mgr.serve_manager.buffer(serve_id)
+                            else:
+                                return self._reply(404, {
+                                    "error":
+                                    f"unknown serve id {serve_id!r}"})
+                        from tenzir_spark.serve import _parse_timeout
+                        resp = buf.get(req.get("continuation_token"),
+                                       req.get("max_events"),
+                                       _parse_timeout(
+                                           req.get("timeout", "100ms")))
+                        return self._reply(200, resp)
+                    return self._reply(404, {"error": "unknown endpoint"})
+                except KeyError as exc:
+                    return self._reply(400, {"error": f"missing/unknown: {exc}"})
+                except ValueError as exc:
                     return self._reply(400, {"error": str(exc)})
-                return self._reply(404, {"error": "unknown endpoint"})
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
-        threading.Thread(target=self._httpd.serve_forever,
-                         daemon=True).start()
-        self._reaper = threading.Thread(target=self._reap, daemon=True)
-        self._reaper.start()
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
         return self._httpd.server_address[1]
 
-    def _reap(self) -> None:
-        """TTL enforcement: expired pipelines are cancelled + removed
-        (the /create `ttl` contract; /pipeline/reset-ttl extends)."""
-        while not self._stop.wait(0.25):
-            now = time.monotonic()
-            with self._lock:
-                dead = [pid for pid, mp in self.pipelines.items()
-                        if mp.deadline is not None and now > mp.deadline]
-                expired = [self.pipelines.pop(pid) for pid in dead]
-            for mp in expired:
-                self._cancel(mp)
-
     def shutdown(self) -> None:
-        self._stop.set()
         if self._httpd:
             self._httpd.shutdown()
             self._httpd = None

@@ -1,7 +1,8 @@
-"""Pipeline-management REST API (reference `web` plugin:
-web/openapi/openapi.yaml /ping + /pipeline/* + /serve;
-plugins/web/src/restinio_server.cpp). Driven over real HTTP against
-the node API server, Spark underneath."""
+"""Pipeline-management REST API tests (reference web plugin:
+web/openapi/openapi.yaml paths /ping /pipeline/* /serve; token auth via
+X-Tenzir-Token as in plugins/web/src/restinio_server.cpp)."""
+
+from __future__ import annotations
 
 import json
 import time
@@ -9,7 +10,8 @@ import urllib.request
 
 import pytest
 
-from tenzir_spark.web import PipelineApi, _parse_ttl, _split_segments
+from tenzir_spark.plans.tql import parse_ends_with_sink
+from tenzir_spark.web import PipelineManager, _split_operators
 
 
 def _post(port, path, body=None, token=None):
@@ -20,8 +22,8 @@ def _post(port, path, body=None, token=None):
                  **({"X-Tenzir-Token": token} if token else {})},
         method="POST")
     try:
-        with urllib.request.urlopen(req, timeout=30) as resp:
-            return resp.status, json.loads(resp.read())
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status, json.loads(r.read())
     except urllib.error.HTTPError as e:
         return e.code, json.loads(e.read())
 
@@ -29,188 +31,171 @@ def _post(port, path, body=None, token=None):
 def _get(port, path, token=None):
     req = urllib.request.Request(
         f"http://127.0.0.1:{port}{path}",
-        headers={"X-Tenzir-Token": token} if token else {})
+        headers={**({"X-Tenzir-Token": token} if token else {})})
     try:
-        with urllib.request.urlopen(req, timeout=30) as resp:
-            return resp.status, json.loads(resp.read())
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status, json.loads(r.read())
     except urllib.error.HTTPError as e:
         return e.code, json.loads(e.read())
 
 
-def _wait_state(api, pid, want, timeout=60):
-    dl = time.monotonic() + timeout
-    while time.monotonic() < dl:
-        mp = api.pipelines.get(pid)
-        if mp is not None and mp.state == want:
-            return mp
-        time.sleep(0.1)
-    raise AssertionError(
-        f"pipeline {pid} never reached {want!r}: "
-        f"{api.pipelines.get(pid) and api.pipelines[pid].info()}")
-
-
 @pytest.fixture()
-def api(spark):
-    from tenzir_spark.serve import default_manager
-    a = PipelineApi(spark, serve_manager=default_manager())
-    port = a.start()
-    a.port = port
+def mgr(spark):
+    m = PipelineManager(spark)
+    m.port = m.start_server()
     try:
-        yield a
+        yield m
     finally:
-        a.shutdown()
+        m.shutdown()
 
 
-def test_split_and_ttl_helpers():
-    assert _split_segments('from x | where a == "p|q" | to y') == \
-        ['from x', 'where a == "p|q"', 'to y']
-    assert _parse_ttl("5.0m") == 300.0
-    assert _parse_ttl("30s") == 30.0
-    assert _parse_ttl(None) is None
-    assert _parse_ttl(12) == 12.0
+def test_split_operators_quote_aware():
+    ops = _split_operators('from x | where a == "p|q" | select b')
+    assert [o["definition"] for o in ops] == \
+        ["from x", 'where a == "p|q"', "select b"]
+    assert [o["id"] for o in ops] == ["0", "1", "2"]
 
 
-def test_ping_and_auth(api, spark):
-    code, body = _get(api.port, "/ping")
-    assert code == 200 and "version" in body
-    # /api/v0 prefix serves the same routes (openapi servers: /api/v0)
-    code, body = _get(api.port, "/api/v0/ping")
+def test_parse_ends_with_sink():
+    assert parse_ends_with_sink("from x | to y.json")
+    assert parse_ends_with_sink("from x | discard")
+    assert parse_ends_with_sink("from x | serve abc")
+    assert not parse_ends_with_sink("from x | where a > 1")
+    assert not parse_ends_with_sink("from x | top serve_col")
+
+
+def test_ping_and_auth(spark):
+    m = PipelineManager(spark, token="sekrit")
+    port = m.start_server()
+    try:
+        assert _get(port, "/api/v0/ping")[0] == 401
+        code, body = _get(port, "/api/v0/ping", token="sekrit")
+        assert code == 200 and "version" in body
+        assert _post(port, "/api/v0/pipeline/list")[0] == 401
+    finally:
+        m.shutdown()
+
+
+def test_create_list_update_delete(mgr, sf_dir):
+    port = mgr.port
+    code, body = _post(port, "/api/v0/pipeline/create", {
+        "definition": f"from {sf_dir}/nation.parquet | head 5 | discard",
+        "name": "nation-head"})
     assert code == 200
-    # with a token configured, requests without X-Tenzir-Token get 401
-    guarded = PipelineApi(spark, token="s3cret")
-    gport = guarded.start()
-    try:
-        assert _get(gport, "/ping")[0] == 401
-        assert _get(gport, "/ping", token="s3cret")[0] == 200
-        assert _post(gport, "/pipeline/list")[0] == 401
-    finally:
-        guarded.shutdown()
+    pid = body["id"]
+    code, body = _post(port, "/api/v0/pipeline/list")
+    assert code == 200
+    infos = {p["id"]: p for p in body["pipelines"]}
+    assert infos[pid]["state"] == "created"
+    assert infos[pid]["name"] == "nation-head"
+    assert len(infos[pid]["operators"]) == 3
+    # start it, wait for batch completion -> stopped
+    code, body = _post(port, "/api/v0/pipeline/update",
+                       {"id": pid, "action": "start"})
+    assert code == 200
+    deadline = time.time() + 60
+    state = body["pipeline"]["state"]
+    while state == "running" and time.time() < deadline:
+        time.sleep(0.3)
+        state = mgr.get(pid).state
+    assert state == "stopped"
+    assert mgr.get(pid).error is None
+    # rename + labels via update
+    code, body = _post(port, "/api/v0/pipeline/update", {
+        "id": pid, "name": "renamed",
+        "labels": [{"text": "prod", "color": "#ff0000"}]})
+    assert body["pipeline"]["name"] == "renamed"
+    assert body["pipeline"]["labels"][0]["text"] == "prod"
+    # delete
+    assert _post(port, "/api/v0/pipeline/delete", {"id": pid})[0] == 200
+    assert _post(port, "/api/v0/pipeline/delete", {"id": pid})[0] == 400
+    assert mgr.list() == []
 
 
-def test_create_validates_definition(api):
-    code, body = _post(api.port, "/pipeline/create",
-                       {"definition": "garbage_operator xyz"})
+def test_create_invalid_definition_rejected(mgr):
+    code, body = _post(mgr.port, "/api/v0/pipeline/create", {
+        "definition": "from /nonexistent.unknownformat | discard",
+        "start_when_created": True})
     assert code == 400 and "error" in body
-    code, body = _post(api.port, "/pipeline/create", {})
-    assert code == 400
 
 
-def test_create_run_list_delete(api, sf_dir):
-    code, body = _post(api.port, "/pipeline/create", {
-        "definition": f"from {sf_dir}/nation.parquet | head 3 | discard",
-        "name": "nation-drain",
-        "start_when_created": True,
-    })
-    assert code == 200
-    pid = body["id"]
-    mp = _wait_state(api, pid, "stopped")
-    # egress metrics observed on the frame feeding the sink
-    assert mp.metrics["total"]["egress"]["num_elements"] == 3
-    assert mp.metrics["total"]["egress"]["unit"] == "events"
-    code, body = _post(api.port, "/pipeline/list")
-    assert code == 200
-    row = next(p for p in body["pipelines"] if p["id"] == pid)
-    assert row["name"] == "nation-drain"
-    assert row["state"] == "stopped" and row["error"] == ""
-    # operators reported in execution order, one per segment
-    defs = [op["definition"] for op in row["operators"]]
-    assert defs == [f"from {sf_dir}/nation.parquet", "head 3", "discard"]
-    code, _ = _post(api.port, "/pipeline/delete", {"id": pid})
-    assert code == 200
-    assert pid not in api.pipelines
-    code, body = _post(api.port, "/pipeline/delete", {"id": pid})
-    assert code == 400
-
-
-def test_open_pipeline_fails_at_start(api, sf_dir):
-    code, body = _post(api.port, "/pipeline/create", {
-        "definition": f"from {sf_dir}/nation.parquet | head 2",
-        "start_when_created": True,
-    })
-    assert code == 200
-    mp = _wait_state(api, body["id"], "failed")
-    assert "not closed" in mp.error
-
-
-def test_update_state_machine_and_labels(api, sf_dir):
-    code, body = _post(api.port, "/pipeline/create", {
-        "definition": f"from {sf_dir}/region.parquet | discard"})
-    assert code == 200
-    pid = body["id"]
-    assert api.pipelines[pid].state == "created"
-    code, body = _post(api.port, "/pipeline/update", {
-        "id": pid, "name": "renamed", "action": "start",
-        "labels": [{"text": "prod", "color": "#ff0000"}],
-        "restart_with_node": True})
-    assert code == 200
-    _wait_state(api, pid, "stopped")
-    code, body = _post(api.port, "/pipeline/update", {"id": pid})
-    info = body["pipeline"]
-    assert info["name"] == "renamed"
-    assert info["restart_with_node"] is True
-    assert info["labels"] == [{"text": "prod", "color": "#ff0000"}]
-    # pause is bookkeeping (documented divergence), stop is terminal
-    code, body = _post(api.port, "/pipeline/update",
-                       {"id": pid, "action": "pause"})
-    assert body["pipeline"]["state"] == "paused"
-    code, body = _post(api.port, "/pipeline/update",
-                       {"id": pid, "action": "stop"})
-    assert body["pipeline"]["state"] == "stopped"
-    code, body = _post(api.port, "/pipeline/update",
-                       {"id": "nope", "action": "stop"})
-    assert code == 400
-
-
-def test_launch_serves_results(api, sf_dir):
-    # open pipeline -> serve sink appended, events pageable over /serve
-    code, body = _post(api.port, "/pipeline/launch", {
+def test_launch_appends_serve_and_streams_results(mgr, sf_dir):
+    """/pipeline/launch on a sinkless definition: a serve sink is
+    appended and the results are retrievable via /serve (the reference's
+    launch contract, openapi.yaml:512-522)."""
+    port = mgr.port
+    code, body = _post(port, "/api/v0/pipeline/launch", {
         "definition": f"from {sf_dir}/region.parquet | select r_name"
-                      " | sort r_name",
-        "serve_id": "launch-t1",
-        "serve_buffer_size": 64,
-    })
+                      " | sort r_name"})
     assert code == 200 and "id" in body
-    rows, token, deadline = [], None, time.monotonic() + 60
-    while time.monotonic() < deadline:
-        code, page = _post(api.port, "/api/v0/serve", {
-            "serve_id": "launch-t1", "timeout": "500ms",
-            "max_events": 10, "continuation_token": token})
-        assert code == 200, page
-        rows += [d["data"] for d in page["data"]]
-        token = page.get("next_continuation_token")
+    pid = body["id"]
+    rows = []
+    token = None
+    for _ in range(100):
+        code, resp = _post(port, "/api/v0/serve", {
+            "serve_id": pid, "timeout": "1s", "max_events": 100,
+            **({"continuation_token": token} if token else {})})
+        assert code == 200
+        for chunk in resp.get("data", []):
+            rows.append(chunk["data"])  # one event per data entry
+        token = resp.get("next_continuation_token")
         if token is None:
             break
-    assert [r["r_name"] for r in rows] == \
-        ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
-    # sink-terminated definition -> deployable, nothing created
-    code, body = _post(api.port, "/pipeline/launch", {
-        "definition": f"from {sf_dir}/region.parquet | discard",
-        "serve_id": "launch-t2"})
+    names = [r["r_name"] for r in rows]
+    assert names == sorted(names) and len(names) == 5
+    # a definition that already has a sink is deployable, not created
+    code, body = _post(port, "/api/v0/pipeline/launch", {
+        "definition": f"from {sf_dir}/region.parquet | discard"})
     assert code == 200 and body == {"deployable": True}
 
 
-def test_hidden_ttl_and_reset(api, sf_dir):
-    # hidden requires start_when_created + ttl (openapi CreateParameters)
-    code, body = _post(api.port, "/pipeline/create", {
+def test_ttl_expiry_and_reset(mgr, sf_dir):
+    port = mgr.port
+    code, body = _post(port, "/api/v0/pipeline/create", {
         "definition": f"from {sf_dir}/region.parquet | discard",
-        "hidden": True})
+        "ttl": "1.2s"})
+    pid = body["id"]
+    # reset keeps it alive past the original deadline
+    time.sleep(0.8)
+    code, body = _post(port, "/api/v0/pipeline/reset-ttl", {"ids": [pid]})
+    assert body["ids"] == [pid]
+    time.sleep(0.8)
+    assert mgr.get(pid) is not None  # original ttl passed, reset held
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        try:
+            mgr.get(pid)
+            time.sleep(0.2)
+        except KeyError:
+            break
+    with pytest.raises(KeyError):
+        mgr.get(pid)
+
+
+def test_pause_batch_rejected_stop_works(mgr, sf_dir):
+    port = mgr.port
+    code, body = _post(port, "/api/v0/pipeline/create", {
+        "definition": f"from {sf_dir}/lineitem.parquet | summarize "
+                      "n=count(.) by l_orderkey | discard"})
+    pid = body["id"]
+    _post(port, "/api/v0/pipeline/update", {"id": pid, "action": "start"})
+    code, body = _post(port, "/api/v0/pipeline/update",
+                       {"id": pid, "action": "pause"})
+    # batch pipelines cannot pause (no Spark job suspend) — 400 while
+    # running, or the job already finished (stopped) which is also 400
     assert code == 400
-    code, body = _post(api.port, "/pipeline/create", {
+    code, body = _post(port, "/api/v0/pipeline/update",
+                       {"id": pid, "action": "stop"})
+    assert code == 200 and body["pipeline"]["state"] == "stopped"
+
+
+def test_hidden_pipeline_not_listed(mgr, sf_dir):
+    code, body = _post(mgr.port, "/api/v0/pipeline/create", {
         "definition": f"from {sf_dir}/region.parquet | discard",
         "hidden": True, "start_when_created": True, "ttl": "60s"})
     assert code == 200
-    pid = body["id"]
-    # hidden pipelines never appear in /pipeline/list
-    code, listing = _post(api.port, "/pipeline/list")
-    assert pid not in {p["id"] for p in listing["pipelines"]}
-    code, body = _post(api.port, "/pipeline/reset-ttl", {"ids": [pid, "x"]})
-    assert body["ids"] == [pid]
-    # short-ttl pipeline is reaped
-    code, body = _post(api.port, "/pipeline/create", {
-        "definition": f"from {sf_dir}/region.parquet | discard",
-        "hidden": True, "start_when_created": True, "ttl": "0.5s"})
-    pid2 = body["id"]
-    deadline = time.monotonic() + 10
-    while pid2 in api.pipelines and time.monotonic() < deadline:
-        time.sleep(0.2)
-    assert pid2 not in api.pipelines
+    assert all(p["id"] != body["id"] for p in mgr.list())
+    # hidden requires start_when_created + ttl
+    code, _ = _post(mgr.port, "/api/v0/pipeline/create", {
+        "definition": "x | discard", "hidden": True})
+    assert code == 400
