@@ -176,12 +176,16 @@ def main():
         if name not in qs:
             continue
         obs: list[float] = []
-        # outlier guard: if the trials disagree >3x (a host-noise burst —
-        # the shared VM swings 2-4x), run up to 2 extra trials so one bad
+        # outlier guard: if the trials disagree >2x (a host-noise burst —
+        # the shared VM swings 2-4x), run up to 3 extra trials so one bad
         # scheduling window can't pollute the official artifact (the r4
-        # driver run recorded a 13.75s simhash whose warm cost is ~1.6s)
-        for t in range(trials + 2):
-            if t >= trials and max(obs) <= 3 * min(obs):
+        # driver run recorded a 13.75s simhash whose warm cost is ~1.6s;
+        # the first r5 local run recorded a 17.7s near_dup_composed whose
+        # warm cost is ~2.2s — that one passed the old 3x gate because
+        # EVERY trial in the burst was slow, so give the retry loop more
+        # headroom: sub-second queries make extra trials nearly free)
+        for t in range(trials + 3):
+            if t >= trials and max(obs) <= 2 * min(obs):
                 break
             df = qs[name](spark, sf_dir)
             t0 = time.perf_counter()
