@@ -324,6 +324,18 @@ def q_ann_lsh(spark, sf):
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def q_embed_near_dups(spark, sf):
+    """Embedding-cosine near-dup pairs (similarity.embedding_near_dups,
+    exact mode): broadcast nested-loop self-join on id_a < id_b, JVM-side
+    dot-product fold — EXACT by construction, so the DuckDB brute-force
+    oracle must match bit-for-bit. The LSH mode (the >exact_cap corpus
+    path) is pytest-covered for recall at true near-dup thresholds."""
+    emb = _t(spark, sf, "embeddings")
+    out = similarity.embedding_near_dups(emb, threshold=0.4, mode="exact")
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine")) \
+        .orderBy("id_a", "id_b")
+
+
 def q_ivf_topk(spark, sf):
     """IVF ANN: probe the nprobe nearest coarse cells, exact-rescore
     their members (similarity.ivf_topk; Jégou et al. IVF recipe). The
@@ -743,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot": q_pivot,
         "cube": q_cube,
         "flatten_json": q_flatten_json,
+        "embed_near_dups": q_embed_near_dups,
     }
 
 
@@ -981,6 +994,18 @@ def oracle_sql() -> dict[str, str]:
         "flatten_json": """
             SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
             FROM events
+        """,
+        # exact-mode embedding near-dup: brute-force ground truth — the
+        # Spark side is exact by construction (broadcast NLJ self-join),
+        # so this is a true independent oracle, not a mechanism recompute
+        "embed_near_dups": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4
+            ORDER BY id_a, id_b
         """,
         "join_agg": """
             SELECT n_name,

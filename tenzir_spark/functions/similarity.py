@@ -270,19 +270,68 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     n_planes: int = 14,
     seed: int = 7,
+    mode: str = "auto",
+    corpus_size: int | None = None,
+    exact_cap: int = 200_000,
+    n_tables: int = 4,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold, candidates bucketed by LSH
-    signature (vectors this similar collide on all planes w.h.p.)."""
-    dim_row = df.select(F.size(vec_col)).first()
-    planes = _hyperplanes(dim_row[0], n_planes, seed)
+    """All pairs with cosine >= threshold — embedding-space near-dup
+    detection (the cosine member of the exact/minhash/simhash/ngram
+    dedup family in functions/dedup.py).
+
+    Two physical plans behind one semantic contract:
+
+    - ``exact``: broadcast nested-loop self-join on ``id_a < id_b`` with
+      the dot product as a JVM ``zip_with``/``aggregate`` fold over
+      pre-computed norms — no Python, no shuffle of the corpus (the
+      build side ships once per executor), and EXACT output, which makes
+      it the oracle baseline. O(n^2) pairs, so it is gated by
+      ``exact_cap`` rows: right for a dedup batch / entity block, not a
+      full corpus.
+    - ``lsh``: candidates bucketed by random-hyperplane signature across
+      ``n_tables`` independent tables (OR-amplified, like ann_topk_lsh),
+      then exact re-score + cross-table pair dedup. One shuffle per
+      table (signature equi-join). Per-table recall for a pair at angle
+      theta is (1 - theta/pi)^n_planes; OR across L tables lifts it to
+      1 - (1 - p)^L — e.g. ~2deg pairs at 14 planes: 84% one table, 99.9%
+      at four. Near 1 only for genuinely-near pairs (cosine >= ~0.9).
+      This is the 100 TB path: at true near-dup thresholds the misses
+      are the pairs that barely qualify; for low thresholds (broad
+      similarity mining) LSH is the wrong tool — use the IVF cells or
+      the exact mode per block.
+
+    ``auto`` picks exact under ``exact_cap`` rows (pass ``corpus_size``
+    to skip the count job; parquet counts are footer-only) and lsh
+    above."""
+    if mode == "auto":
+        if corpus_size is None:
+            corpus_size = df.count()
+        mode = "exact" if corpus_size <= exact_cap else "lsh"
     vec = F.col(vec_col).cast("array<double>")
-    base = df.select(F.col(id_col).alias("__id"), vec.alias("__v"),
-                     lsh_signature(vec, planes).alias("__sig"))
-    a = base.select("__sig", F.col("__id").alias("id_a"), F.col("__v").alias("v_a"))
-    b = base.select("__sig", F.col("__id").alias("id_b"), F.col("__v").alias("v_b"))
-    pairs = a.join(b, "__sig").filter(F.col("id_a") < F.col("id_b"))
-    return (
-        pairs.select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    if mode == "exact":
+        base = df.select(F.col(id_col).alias("__id"), vec.alias("__v"),
+                         norm(vec).alias("__n"))
+        a = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("v_a"),
+                        F.col("__n").alias("n_a"))
+        b = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("v_b"),
+                        F.col("__n").alias("n_b"))
+        pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        cos = dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+        return (pairs.select("id_a", "id_b", cos.alias("cosine"))
+                .filter(F.col("cosine") >= threshold))
+    dim_row = df.select(F.size(vec_col)).first()
+    out = None
+    for t in range(max(1, n_tables)):
+        planes = _hyperplanes(dim_row[0], n_planes, seed + 1000 * t)
+        base = df.select(F.col(id_col).alias("__id"), vec.alias("__v"),
+                         lsh_signature(vec, planes).alias("__sig"))
+        a = base.select("__sig", F.col("__id").alias("id_a"),
+                        F.col("__v").alias("v_a"))
+        b = base.select("__sig", F.col("__id").alias("id_b"),
+                        F.col("__v").alias("v_b"))
+        pairs = a.join(b, "__sig").filter(F.col("id_a") < F.col("id_b"))
+        scored = (pairs.select("id_a", "id_b",
+                               cosine(F.col("v_a"), F.col("v_b")).alias("cosine"))
+                  .filter(F.col("cosine") >= threshold))
+        out = scored if out is None else out.unionByName(scored)
+    return out.dropDuplicates(["id_a", "id_b"])

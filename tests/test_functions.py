@@ -198,6 +198,66 @@ def test_embedding_near_dups_self(spark):
     assert (0, 1) in got and (0, 2) not in got
 
 
+def test_embedding_near_dups_exact_matches_numpy(spark, sf_dir):
+    """Exact mode == numpy brute-force ground truth on the real fixture."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    m = np.array([r.embedding for r in rows], dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    s = m @ m.T
+    want = {(int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+            for i in range(len(ids)) for j in range(i + 1, len(ids))
+            if s[i, j] >= 0.4}
+    got = {(r.id_a, r.id_b) for r in
+           similarity.embedding_near_dups(emb, threshold=0.4,
+                                          mode="exact").collect()}
+    assert got == want and len(got) > 0
+
+
+def test_embedding_near_dups_lsh_recall_at_near_dup_threshold(spark):
+    """LSH mode finds every genuinely-near pair (cos >= 0.95): these
+    synthetic near-dups are ~2deg apart (per-table survival ~84% at 14
+    planes) and the default 4-table OR-amplification lifts recall to
+    ~99.9% per pair; with fixed data/plane seeds the run is fully
+    deterministic, and for these seeds recall is exactly 1."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(40, 16)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i * 2, [float(x) for x in v]))
+        w = v + rng.randn(16) * 0.01          # ~1 degree perturbation
+        rows.append((i * 2 + 1, [float(x) for x in w / np.linalg.norm(w)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.id_a, r.id_b) for r in
+           similarity.embedding_near_dups(df, threshold=0.95,
+                                          mode="lsh").collect()}
+    planted = {(i * 2, i * 2 + 1) for i in range(40)}
+    assert planted <= got
+
+
+def test_embedding_near_dups_auto_dispatch(spark):
+    """auto picks exact under the cap (and honors corpus_size to skip
+    the count job); both modes agree on the planted pair."""
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0]),
+        Row(vec_id=1, embedding=[1.0, 0.001]),
+        Row(vec_id=2, embedding=[0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    small = similarity.embedding_near_dups(df, threshold=0.99, mode="auto",
+                                           corpus_size=3)
+    forced = similarity.embedding_near_dups(df, threshold=0.99, mode="auto",
+                                            corpus_size=10**9)
+    assert {(r.id_a, r.id_b) for r in small.collect()} == {(0, 1)}
+    assert {(r.id_a, r.id_b) for r in forced.collect()} == {(0, 1)}
+
+
 def test_multimodal_plumbing(spark):
     media = multimodal.gen_fake_media(spark, 30)
     feats = multimodal.extract_image_features(media, deterministic_fake=True)
