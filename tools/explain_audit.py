@@ -27,8 +27,41 @@ AUDIT = ["where_select", "summarize", "sort", "join_agg", "tpch_q6",
          # round-3 additions: flat-scan pair stages + packet surface
          "simhash", "ngram_jaccard", "near_dup_composed", "decapsulate",
          "netflow",
-         # round-5 additions: ANN variants + the syslog reader
-         "ann_lsh", "ivf_topk", "read_syslog"]
+         # round-5 additions: ANN variants + the syslog reader + the
+         # exact embedding near-dup (broadcast NLJ, corpus never shuffles)
+         "ann_lsh", "ivf_topk", "read_syslog", "embed_near_dups"]
+
+# Engine-path plan audited by hand (not a board query); kept here so
+# regenerating the file doesn't lose it.
+CDC_FOOTER = """
+## cdc broadcast two-pass dedup (engine path, `lake/table.py _prepare_mor`)
+
+Not a board query — the plan `_prepare_mor` builds when the batch's
+estimated key count fits a broadcast (r5; the at-scale struct-`max_by`
+fallback is audited above as `dedup_max_lsn`). Verified shape at
+local[4], 50k-event batch:
+
+```
+BroadcastHashJoin LeftSemi BuildRight
++- scan (payload columns)                 <- pass 2: full rows, NO shuffle
++- BroadcastExchange
+   +- HashAggregate(final max(__lsn))
+      +- Exchange (key)                    <- only exchange of the agg
+         +- HashAggregate(partial max)     <- map-side combine, (key,lsn) only
+... Exchange hashpartitioning(__b, nb)     <- survivors only, bucket write
+```
+
+- 2 exchanges total: the narrow (key,lsn) aggregate and the final
+  nb-partition bucket distribution of SURVIVORS. Payload rows reach the
+  writer without ever hash-shuffling — the max_by fallback's
+  survivors-only exchange is already gone here.
+- `BroadcastHashJoin LeftSemi BuildRight`: the (key, max_lsn) set
+  builds once per executor; semantics pinned byte-identical to the
+  fallback by `test_dedup_bcast_and_fallback_paths_identical`.
+- The partial `HashAggregate` before the agg exchange is the Zipf
+  hot-key defense: each input partition reduces a hot domain's rows to
+  one (key, max) pair pre-shuffle.
+"""
 
 
 def plan_of(df) -> str:
@@ -50,12 +83,19 @@ def main():
         pushed = [p for p in pushed if p.strip()]
         read = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
         n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
-        bcast = "BroadcastHashJoin" in plan
+        if "BroadcastNestedLoopJoin" in plan:
+            bcast = "yes (nested-loop: non-equi pair join, build side broadcast)"
+        elif "BroadcastHashJoin" in plan:
+            bcast = "yes"
+        elif "Join" in plan:
+            bcast = "NO"
+        else:
+            bcast = "n/a"
         codegen = "WholeStageCodegen" in plan or "codegen" in plan.lower()
         out.append(f"## {name}")
         out.append("")
         out.append(f"- exchanges: {n_ex}")
-        out.append(f"- broadcast join: {'yes' if bcast else 'n/a' if 'Join' not in plan else 'NO'}")
+        out.append(f"- broadcast join: {bcast}")
         if pushed:
             out.append(f"- pushed filters: `{'; '.join(pushed)[:300]}`")
         if read:
@@ -69,7 +109,7 @@ def main():
             out.append(f"**{f}**")
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                            "EXPLAIN.md"), "w") as fh:
-        fh.write("\n".join(out) + "\n")
+        fh.write("\n".join(out) + "\n" + CDC_FOOTER)
     print("\n".join(out))
 
 
