@@ -138,3 +138,117 @@ def test_syslog_line_parser_total(line):
         assert row["syslog_message"] == line
     else:
         assert 0 <= row["facility"] <= 23 and 0 <= row["severity"] <= 7
+
+
+# ------------------------------------------------- predicate fuzz vs model
+#
+# Random boolean TQL expressions over a schema with NULLs, checked
+# against an independent Kleene-logic model of the documented semantics:
+# comparisons propagate null, `!` and `!=` are explicitly two-valued
+# (~coalesce(x, false), expr.py:841-843), a bare field means "exists and
+# is not null", and a WHERE keeps only rows that evaluate to TRUE.
+
+_PRED_ROWS = [
+    (0, None, None, None),
+    (1, 0, 0.0, "a"),
+    (2, 1, 1.5, "b"),
+    (3, 2, 2.5, "cat"),
+    (4, 3, 2.5, "dog"),
+    (5, 5, 4.0, "a"),
+    (6, None, 1.5, "cat"),
+    (7, 3, None, "b"),
+    (8, 1, 4.0, None),
+    (9, 2, 0.0, "dog"),
+]
+_INT_LITS = [0, 1, 2, 3, 5]
+_DBL_LITS = [0.0, 1.5, 2.5, 4.0]
+_STR_LITS = ["a", "b", "cat", "dog"]
+_CMP_OPS = ["==", "!=", "<", "<=", ">", ">="]
+
+
+@st.composite
+def predicate_ast(draw, depth=0):
+    if depth >= 3 or draw(st.booleans()):
+        kind = draw(st.sampled_from(
+            ["cmp_i", "cmp_d", "cmp_s", "in_i", "in_s", "bare_i", "bare_s"]))
+        if kind.startswith("cmp"):
+            fld, lits = {"cmp_i": ("i", _INT_LITS), "cmp_d": ("d", _DBL_LITS),
+                         "cmp_s": ("s", _STR_LITS)}[kind]
+            return ("cmp", fld, draw(st.sampled_from(_CMP_OPS)),
+                    draw(st.sampled_from(lits)))
+        if kind.startswith("in"):
+            fld, lits = {"in_i": ("i", _INT_LITS), "in_s": ("s", _STR_LITS)}[kind]
+            return ("in", fld, draw(st.lists(st.sampled_from(lits),
+                                             min_size=1, max_size=3,
+                                             unique=True)))
+        return ("bare", kind.split("_")[1])
+    form = draw(st.sampled_from(["and", "or", "not"]))
+    if form == "not":
+        return ("not", draw(predicate_ast(depth=depth + 1)))
+    return (form, draw(predicate_ast(depth=depth + 1)),
+            draw(predicate_ast(depth=depth + 1)))
+
+
+def _pred_text(node):
+    tag = node[0]
+    if tag == "cmp":
+        _, fld, op, lit = node
+        lit_s = f'"{lit}"' if isinstance(lit, str) else repr(lit)
+        return f"({fld} {op} {lit_s})"
+    if tag == "in":
+        _, fld, lits = node
+        body = ", ".join(f'"{x}"' if isinstance(x, str) else repr(x)
+                         for x in lits)
+        return f"({fld} in [{body}])"
+    if tag == "bare":
+        return node[1]
+    if tag == "not":
+        return f"! {_pred_text(node[1])}"
+    joiner = " && " if tag == "and" else " || "
+    return f"({_pred_text(node[1])}{joiner}{_pred_text(node[2])})"
+
+
+def _pred_eval(node, row):
+    """Kleene three-valued model; returns True/False/None."""
+    i, d, s = row[1], row[2], row[3]
+    env = {"i": i, "d": d, "s": s}
+    tag = node[0]
+    if tag == "cmp":
+        _, fld, op, lit = node
+        v = env[fld]
+        if op == "!=":
+            eq = None if v is None else v == lit
+            return not (eq if eq is not None else False)
+        if v is None:
+            return None
+        return {"==": v == lit, "<": v < lit, "<=": v <= lit,
+                ">": v > lit, ">=": v >= lit}[op]
+    if tag == "in":
+        _, fld, lits = node
+        v = env[fld]
+        return None if v is None else v in lits
+    if tag == "bare":
+        return env[node[1]] is not None
+    if tag == "not":
+        x = _pred_eval(node[1], row)
+        return not (x if x is not None else False)
+    a, b = _pred_eval(node[1], row), _pred_eval(node[2], row)
+    if tag == "and":
+        if a is False or b is False:
+            return False
+        return None if (a is None or b is None) else True
+    if a is True or b is True:
+        return True
+    return None if (a is None or b is None) else False
+
+
+@_settings
+@given(predicate_ast())
+def test_random_predicates_match_kleene_model(spark, ast):
+    from tenzir_spark.expr import compile_expression
+
+    text = _pred_text(ast)
+    df = spark.createDataFrame(_PRED_ROWS, "id long, i long, d double, s string")
+    kept = {r.id for r in df.filter(compile_expression(text, df)).collect()}
+    want = {row[0] for row in _PRED_ROWS if _pred_eval(ast, row) is True}
+    assert kept == want, f"{text}: spark={sorted(kept)} model={sorted(want)}"
