@@ -252,3 +252,33 @@ def test_random_predicates_match_kleene_model(spark, ast):
     kept = {r.id for r in df.filter(compile_expression(text, df)).collect()}
     want = {row[0] for row in _PRED_ROWS if _pred_eval(ast, row) is True}
     assert kept == want, f"{text}: spark={sorted(kept)} model={sorted(want)}"
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=300, deadline=None)
+def test_expression_parser_total_on_garbage(text):
+    """parse_expression is total: any input either yields an AST or
+    raises a clean ValueError — no hangs, no interpreter errors."""
+    from tenzir_spark.expr import parse_expression
+
+    try:
+        parse_expression(text)
+    except ValueError:
+        pass
+
+
+@given(predicate_ast(), st.integers(0, 200), st.sampled_from(
+    ["", "(", ")", "!", "&&", "||", '"', "[", "]", " in ", "== ="]))
+@settings(max_examples=150, deadline=None)
+def test_expression_parser_total_on_mutations(ast, pos, junk):
+    """Near-valid inputs (valid expression with junk spliced in) also
+    parse or raise ValueError — exercises deeper parser states than
+    uniform random text reaches."""
+    from tenzir_spark.expr import parse_expression
+
+    text = _pred_text(ast)
+    mutated = text[: pos % (len(text) + 1)] + junk + text[pos % (len(text) + 1):]
+    try:
+        parse_expression(mutated)
+    except ValueError:
+        pass
