@@ -272,7 +272,7 @@ def embedding_near_dups(
     seed: int = 7,
     mode: str = "auto",
     corpus_size: int | None = None,
-    exact_cap: int = 200_000,
+    exact_cap: int = 20_000,
     n_tables: int = 4,
 ) -> DataFrame:
     """All pairs with cosine >= threshold — embedding-space near-dup
@@ -285,9 +285,13 @@ def embedding_near_dups(
       the dot product as a JVM ``zip_with``/``aggregate`` fold over
       pre-computed norms — no Python, no shuffle of the corpus (the
       build side ships once per executor), and EXACT output, which makes
-      it the oracle baseline. O(n^2) pairs, so it is gated by
-      ``exact_cap`` rows: right for a dedup batch / entity block, not a
-      full corpus.
+      it the oracle baseline. O(n^2) pairs — the wall is arithmetic,
+      not memory: n rows cost n^2/2 dot-folds of length dim (20k rows =
+      2x10^8 folds, seconds across a cluster; 200k = 2x10^10, hours),
+      while the broadcast build side is only n*(dim+2)*8 bytes (~10 MB
+      at the default cap for dim 64). Hence the row gate ``exact_cap``:
+      right for a dedup batch / entity block / IVF cell, not a full
+      corpus.
     - ``lsh``: candidates bucketed by random-hyperplane signature across
       ``n_tables`` independent tables (OR-amplified, like ann_topk_lsh),
       then exact re-score + cross-table pair dedup. One shuffle per
