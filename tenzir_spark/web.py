@@ -148,10 +148,14 @@ class PipelineManager:
             self._arm_ttl(p)
         if start_when_created:
             self.start(pid)
-            # surface an immediate failure the way the reference does:
-            # the create response carries the diagnostics and the
-            # pipeline is discarded
-            p._thread.join(timeout=30)
+            # surface an immediate failure the way the reference does
+            # (the create response carries the diagnostics and the
+            # pipeline is discarded) — but return promptly once the run
+            # survives a startup grace window, so creating a streaming
+            # pipeline doesn't block the response until the thread ends
+            grace = time.time() + 2.0
+            while time.time() < grace and p._thread.is_alive():
+                time.sleep(0.05)
             if p.state == "failed":
                 with self._lock:
                     self._pipelines.pop(pid, None)

@@ -282,3 +282,69 @@ def test_expression_parser_total_on_mutations(ast, pos, junk):
         parse_expression(mutated)
     except ValueError:
         pass
+
+
+# ------------------------------------------------- kafka RecordBatch v2
+
+_kv = st.one_of(st.none(), st.binary(max_size=64))
+_hdrs = st.lists(
+    st.tuples(st.text(min_size=1, max_size=12), st.binary(max_size=16)),
+    max_size=3)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(_kv, _kv), min_size=1, max_size=12),
+       st.integers(0, 2**40), st.integers(0, 2**31 - 1), _hdrs)
+def test_kafka_record_batch_round_trip(records, base_ts, base_off, headers):
+    """encode_record_batch -> decode_record_batches is the identity on
+    (key, value) payloads, offsets and timestamps — the CRC32C seal and
+    all varint/zigzag field codecs exercised with arbitrary byte
+    payloads (incl. None keys/values and record headers)."""
+    from tenzir_spark.sources.kafka_wire import (decode_record_batches,
+                                                 encode_record_batch)
+    batch = encode_record_batch(base_off, records, base_ts, headers=headers)
+    out = decode_record_batches(batch)
+    assert [(r.key, r.value) for r in out] == records
+    assert [r.offset for r in out] == [base_off + i
+                                       for i in range(len(records))]
+    assert all(r.timestamp == base_ts for r in out)
+    # headers survive too (null header values decode as b"")
+    assert all(r.headers == [(k, v) for k, v in headers] for r in out)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(_kv, _kv), min_size=1, max_size=6),
+       st.integers(0, 10_000), st.data())
+def test_kafka_crc_rejects_payload_corruption(records, base_ts, data):
+    """Any single-byte corruption inside the CRC-covered section
+    (attributes..records, i.e. everything after byte 21) must raise —
+    the integrity contract a consumer relies on at fetch time."""
+    from tenzir_spark.sources.kafka_wire import (decode_record_batches,
+                                                 encode_record_batch)
+    batch = bytearray(encode_record_batch(0, records, base_ts))
+    pos = data.draw(st.integers(21, len(batch) - 1))
+    delta = data.draw(st.integers(1, 255))
+    batch[pos] = (batch[pos] + delta) % 256
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_record_batches(bytes(batch))
+
+
+# ---------------------------------------------------------------- HPACK
+
+_hname = st.text(alphabet="abcdefghijklmnopqrstuvwxyz-", min_size=1,
+                 max_size=16)
+_hval = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+    max_size=24)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(_hname, _hval), min_size=1, max_size=10))
+def test_hpack_encode_decode_round_trip(headers):
+    """HpackEncoder -> HpackDecoder is the identity on arbitrary header
+    lists — static-table hits (indexed and name-indexed forms) and
+    literal emission both land on the same decoded pairs, with fresh
+    codec state per message (the encoder is stateless by design)."""
+    from tenzir_spark.sources.grpc_client import HpackDecoder, HpackEncoder
+    wire = HpackEncoder().encode(headers)
+    assert HpackDecoder().decode(wire) == headers

@@ -199,3 +199,24 @@ def test_hidden_pipeline_not_listed(mgr, sf_dir):
     code, _ = _post(mgr.port, "/api/v0/pipeline/create", {
         "definition": "x | discard", "hidden": True})
     assert code == 400
+
+
+def test_create_returns_promptly_for_long_running_pipeline(mgr):
+    """create(start_when_created) must not block until the run thread
+    ends: it waits only a short startup-grace window (to surface an
+    immediate failure, as the reference does) and then returns with the
+    pipeline still running. Regression: the old implementation joined
+    the thread for up to 30 s, so creating a streaming/long pipeline
+    stalled the create response."""
+    t0 = time.time()
+    code, body = _post(mgr.port, "/api/v0/pipeline/create", {
+        "definition": 'shell "sleep 8; echo done" | read lines | discard',
+        "start_when_created": True})
+    elapsed = time.time() - t0
+    assert code == 200
+    p = mgr.get(body["id"])
+    assert p.state == "running"
+    assert elapsed < 6.0, f"create blocked {elapsed:.1f}s on a running pipeline"
+    _post(mgr.port, "/api/v0/pipeline/update",
+          {"id": body["id"], "action": "stop"})
+    _post(mgr.port, "/api/v0/pipeline/delete", {"id": body["id"]})
