@@ -115,9 +115,14 @@ def show(spark: SparkSession, aspect: str) -> DataFrame:
     if aspect == "plugins":
         import tenzir_spark
         import pkgutil
-        mods = [m.name for m in pkgutil.walk_packages(
+        mods = [(m.name, "builtin") for m in pkgutil.walk_packages(
             tenzir_spark.__path__, prefix="tenzir_spark.")]
-        return spark.createDataFrame([(m,) for m in sorted(mods)], "plugin string")
+        # UDx registrations (tenzir_spark.plugin ≅ plugin.hpp kinds)
+        from tenzir_spark.plugin import plugins as _udx
+        mods += [(name, kind) for kind, names in _udx().items()
+                 for name in names]
+        return spark.createDataFrame(sorted(mods),
+                                     "plugin string, kind string")
     if aspect == "types":
         # the reference's type table (type.hpp:52-56) with our Spark mapping
         rows = [("null", "void"), ("bool", "boolean"), ("int64", "bigint"),

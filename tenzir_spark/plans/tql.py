@@ -325,6 +325,12 @@ def _duration_seconds(v: str) -> float:
 
 def _read_fmt(spark: SparkSession, f: str, path: str, opts: list[str] | None = None):
     if f not in _READERS:
+        # parser_plugin surface: registered parsers own their option
+        # grammar, so the raw tokens pass through (tenzir_spark.plugin)
+        from tenzir_spark import plugin
+        pf = plugin.get_parser(f)
+        if pf is not None:
+            return pf(spark, path, list(opts or []))
         raise ValueError(f"unknown read format {f!r}")
     kw = _reader_kwargs(f, opts or [])
     hints = kw.pop("__hints", None)
@@ -713,6 +719,16 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
             continue
 
         if p is None:
+            # UDx source plugins run in first position (tenzir_spark.plugin
+            # ≅ source-position operator_plugin / loader_plugin)
+            from tenzir_spark import plugin
+            src_fn = plugin.get_source(op)
+            if src_fn is not None:
+                if spark is None:
+                    raise ValueError(
+                        f"source plugin {op!r} requires a SparkSession")
+                p = Pipeline(src_fn(spark, *shlex.split(arg)))
+                continue
             raise ValueError(f"pipeline has no source before {op!r}")
         df = p.df
 
@@ -881,9 +897,14 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
             if bufsz:
                 sink.buffer_size = int(bufsz)
         else:
-            # user-defined alias (reference: tql/parser.cpp:100-115)
+            # UDx surface (tenzir_spark.plugin ≅ plugin.hpp kinds), then
+            # user-defined aliases (reference: tql/parser.cpp:100-115)
+            from tenzir_spark import plugin
             from tenzir_spark.plans.registry import aliases
-            if op in aliases():
+            op_fn = plugin.get_operator(op)
+            if op_fn is not None:
+                p = p.apply(lambda df: op_fn(df, *shlex.split(arg)))
+            elif op in aliases():
                 p = p.alias(op, *shlex.split(arg))
             else:
                 raise ValueError(f"unknown operator {op!r}")
@@ -1069,6 +1090,12 @@ def run_pipeline(p: Pipeline):
     if sink.kind == "pcap":
         from tenzir_spark.sources.pcap import write_pcap
         write_pcap(p.df, sink.path)
+        return None
+    # printer_plugin surface (tenzir_spark.plugin): fn(df, path, opts)
+    from tenzir_spark import plugin
+    pr = plugin.get_printer(sink.kind)
+    if pr is not None:
+        pr(p.df, sink.path, list(getattr(sink, "opts", []) or []))
         return None
     raise ValueError(f"unsupported sink {sink.kind!r}")
 
