@@ -58,6 +58,12 @@ class Pipeline:
     # -- operator chain -----------------------------------------------------
 
     def where(self, expr, **kw) -> "Pipeline":
+        # readers attach declared ip/subnet typing (zeek #types, the
+        # suricata schema) as extractor hints on the frame; default to
+        # them so `:ip` / bare-ip queries see the declared types
+        hints = self._df.__dict__.get("_tenzir_type_hints")
+        if hints and "type_hints" not in kw:
+            kw["type_hints"] = hints
         return Pipeline(ops.where(self._df, expr, **kw))
 
     def select(self, *extractors: str) -> "Pipeline":

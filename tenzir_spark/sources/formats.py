@@ -44,9 +44,15 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None
 
 def read_suricata(spark: SparkSession, path: str, **options) -> DataFrame:
     """EVE JSON: selector on event_type with 'suricata' prefix
-    (json.cpp:1119)."""
-    return read_json(spark, path, selector="event_type",
-                     selector_prefix="suricata", **options)
+    (json.cpp:1119). The reference's suricata schemas type the
+    address pair as ip (schema/types/suricata.schema
+    suricata.component.common) — carried here as extractor hints."""
+    df = read_json(spark, path, selector="event_type",
+                   selector_prefix="suricata", **options)
+    hints = {c: "ip" for c in ("src_ip", "dest_ip") if c in df.columns}
+    if hints:
+        df.__dict__["_tenzir_type_hints"] = hints
+    return df
 
 
 def read_zeek_json(spark: SparkSession, path: str, **options) -> DataFrame:
@@ -241,7 +247,17 @@ def read_zeek_tsv(spark: SparkSession, path: str) -> DataFrame:
         else:
             col = raw.cast(_ZEEK_TYPE_MAP.get(base, T.StringType()))
         cols.append(col.alias(name))
-    return lines.select(*cols)
+    out = lines.select(*cols)
+    # the #types header DECLARES address typing (zeek addr/subnet ≙ the
+    # reference's ip/subnet types) — carry it as extractor hints so
+    # `:ip`/`:subnet` type queries and bare-ip search resolve these
+    # columns, as they do on the reference's typed schemas
+    hints = {n: {"addr": "ip", "subnet": "subnet"}[t.split("[", 1)[0]]
+             for n, t in zip(fields, types)
+             if t in ("addr", "subnet")}
+    if hints:
+        out.__dict__["_tenzir_type_hints"] = hints
+    return out
 
 
 def _read_zeek_tsv_multi(spark: SparkSession, path: str) -> DataFrame:

@@ -1,0 +1,191 @@
+"""Cross-implementation replay of the reference engine's OWN integration
+goldens (tenzir/integration/tests.yaml + reference/*/step_NN.ref — the
+recorded stdout of the reference binary). Each case runs the same
+pipeline/predicate over the same input data and asserts equality with
+what the reference engine actually produced, on the semantic content the
+test targets (matched-row identity, counts, field values) rather than
+its ascii/pretty-print rendering, which repo goldens cover separately.
+
+Skipped wholesale when the reference tree is absent.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import re
+
+import pytest
+
+from tenzir_spark.plans.tql import parse_pipeline
+
+REF = "/root/reference/tenzir/integration"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference tree not present")
+
+
+def _ref_lines(case: str, step: int) -> list[str]:
+    p = os.path.join(REF, "reference", case, f"step_{step:02d}.ref")
+    with open(p) as f:
+        return [ln for ln in f.read().splitlines() if ln.strip()]
+
+
+def _ascii_uids(case: str, step: int) -> list[str]:
+    """Second field of the reference ascii rendering `<ts, "uid", ...>`."""
+    out = []
+    for ln in _ref_lines(case, step):
+        m = re.match(r'^<[^,]*, "([^"]*)"', ln)
+        assert m, ln
+        out.append(m.group(1))
+    return sorted(out)
+
+
+@pytest.fixture(scope="module")
+def conn_tsv(tmp_path_factory):
+    """data/zeek/conn.log.gz decompressed to a plain zeek-tsv file."""
+    raw = gzip.decompress(
+        open(os.path.join(REF, "data/zeek/conn.log.gz"), "rb").read())
+    p = tmp_path_factory.mktemp("refdata") / "conn.log"
+    p.write_bytes(raw)
+    return str(p)
+
+
+EVE = os.path.join(REF, "data/suricata/eve.json")
+
+
+# ------------------------------------------------------- Expressions
+# tests.yaml:218 — value-only predicates over zeek conn: the matched
+# row set must equal the reference's export, identified by uid.
+
+def test_expressions_bare_ip_or(spark, conn_tsv):
+    df = parse_pipeline(
+        f"from {conn_tsv} read zeek-tsv"
+        " | where fe80::5074:1b53:7e7:ad4d || 169.254.225.22"
+        " | select uid", spark=spark).df
+    assert sorted(r.uid for r in df.collect()) == \
+        _ascii_uids("expressions", 1)
+
+
+def test_expressions_bare_string_or_ip(spark, conn_tsv):
+    df = parse_pipeline(
+        f"from {conn_tsv} read zeek-tsv"
+        ' | where "OrfTtuI5G4e" || fe80::5074:1b53:7e7:ad4d'
+        " | select uid", spark=spark).df
+    assert sorted(r.uid for r in df.collect()) == \
+        _ascii_uids("expressions", 2)
+
+
+# --------------------------------------------------- Multi addr query
+# tests.yaml:291 — `where :ip in [ ...20 literals... ]` from
+# queries/multi_addr.txt; 5358 matched rows in the reference golden.
+
+def test_multi_addr_query(spark, conn_tsv):
+    q = open(os.path.join(REF, "queries/multi_addr.txt")).read().strip()
+    assert q.startswith("where ")
+    df = parse_pipeline(
+        f"from {conn_tsv} read zeek-tsv | {q} | select uid",
+        spark=spark).df
+    ours = sorted(r.uid for r in df.collect())
+    ref = _ascii_uids("multi-addr-query", 1)
+    assert len(ref) == 5358  # pin the golden itself
+    assert ours == ref
+
+
+# ------------------------------------------------ Extractor Predicates
+# tests.yaml:377 — counts for `timestamp && :ip` / a nonexistent field,
+# and bare-field existence on a nested bool (`where flow.alerted`
+# exports the alerted:false row — existence, NOT truthiness).
+
+def _eve(spark):
+    return parse_pipeline(f"from {EVE} read suricata", spark=spark)
+
+
+def test_extractor_count_timestamp_and_ip_type(spark):
+    # DOCUMENTED DIVERGENCE: the reference records 6 — its strict
+    # declared-schema import demotes the quic event (whose `pkt_src`
+    # field is absent from suricata.quic in schema/types/suricata.schema)
+    # to an INFERRED schema where src_ip is a plain string, so `:ip`
+    # misses it. Our schema-on-read reader hints src_ip/dest_ip as ip
+    # uniformly, so the quic event also matches: 7 = the reference's 6
+    # + quic. The stats event (no address pair) is excluded by both.
+    df = _eve(spark).where("timestamp && :ip").df
+    ref = int(_ref_lines("extractor-predicates", 1)[0])
+    assert ref == 6
+    assert df.count() == ref + 1
+
+
+def test_extractor_count_nonexistent_field(spark):
+    df = _eve(spark).where("does_not_exist").df
+    assert df.count() == int(_ref_lines("extractor-predicates", 2)[0])
+
+
+def test_extractor_nested_bare_field_existence(spark):
+    ref = json.loads(_ref_lines("extractor-predicates", 3)[0])
+    rows = _eve(spark).where("flow.alerted").df.collect()
+    assert len(rows) == 1
+    r = rows[0].asDict(recursive=True)
+    assert r["flow_id"] == ref["flow_id"]
+    assert r["event_type"] == ref["event_type"] == "flow"
+    assert r["src_ip"] == ref["src_ip"]
+    assert int(r["dest_port"]) == ref["dest_port"]
+    for k in ("pkts_toserver", "pkts_toclient", "bytes_toserver",
+              "bytes_toclient", "alerted", "state", "reason"):
+        assert r["flow"][k] == ref["flow"][k], k
+
+
+# ------------------------------------------------------------ Patterns
+# tests.yaml:638 — pattern literals with full-match `==` and the /i
+# case-insensitive flag; matched rows identified by (flow_id,
+# event_type).
+
+def _pattern_rows(spark, expr):
+    df = _eve(spark).where(expr).df.select("flow_id", "event_type")
+    return sorted((r.flow_id, r.event_type) for r in df.collect())
+
+
+def _pattern_ref(step):
+    return sorted((j["flow_id"], j["event_type"])
+                  for j in map(json.loads, _ref_lines("patterns", step)))
+
+
+def test_patterns_case_sensitive(spark):
+    assert _pattern_rows(spark, "event_type == /.*flow$/") == \
+        _pattern_ref(1)
+
+
+def test_patterns_case_insensitive(spark):
+    assert _pattern_rows(spark, "event_type == /.*FLOW$/i") == \
+        _pattern_ref(2)
+
+
+# ---------------------------------------------------- Taxonomy queries
+# tests.yaml:299 — concept `net.src.ip` resolved against BOTH a zeek
+# and a suricata import via the reference's SHIPPED concept files;
+# the total count must equal the reference's.
+
+def test_taxonomy_concept_count_across_schemas(spark, tmp_path):
+    from tenzir_spark.expr import compile_expression, load_concepts
+    concepts: dict[str, list[str]] = {}
+    for f in ("zeek.yaml", "suricata.yaml"):
+        for name, fields in load_concepts(
+                f"/root/reference/schema/concepts/{f}").items():
+            concepts.setdefault(name, []).extend(fields)
+
+    conn = tmp_path / "conn.log"
+    conn.write_bytes(gzip.decompress(open(
+        os.path.join(REF, "data/pcap/zeek/conn.log.gz"), "rb").read()))
+    eve = tmp_path / "eve.json"
+    eve.write_bytes(gzip.decompress(open(
+        os.path.join(REF, "data/pcap/suricata/eve.json.gz"), "rb").read()))
+
+    total = 0
+    for p in (parse_pipeline(f"from {conn} read zeek-tsv", spark=spark),
+              parse_pipeline(f"from {eve} read suricata", spark=spark)):
+        pred = compile_expression("net.src.ip == 192.168.168.100", p.df,
+                                  concepts=concepts,
+                                  type_hints=p.df.__dict__.get(
+                                      "_tenzir_type_hints"))
+        total += p.df.filter(pred).count()
+    assert total == int(_ref_lines("taxonomy-queries", 2)[0])
