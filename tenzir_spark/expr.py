@@ -490,6 +490,31 @@ class Binder:
                     hits.append(f"{p}\x00{key}")
             if hits:
                 return hits
+        # single-part name against a map column: the reference's cef
+        # extensions are first-class record fields (`where act == ...`,
+        # tests.yaml CEF), ours live in the extension map — probe the
+        # key (absent keys read null, the reference's absent-field
+        # semantics)
+        if "." not in suffix:
+            for p, dt in self.leaves:
+                if isinstance(dt, T.MapType):
+                    hits.append(f"{p}\x00{suffix}")
+            if hits:
+                return hits
+        # schema-qualified extractor: the reference resolves
+        # `conn.duration` as field duration of schema zeek.conn
+        # (tests.yaml Query Operators `where conn.duration <= 1.0s`).
+        # Frames carry no schema prefix on their columns, so as a LAST
+        # resort strip leading qualifier components until something
+        # resolves — schema gating happens via which frame the query
+        # runs on, same rule as concept resolution above.
+        tail = parts
+        while len(tail) > 1:
+            tail = tail[1:]
+            hits = [p for p, _ in self.leaves
+                    if _suffix_matches(p, ".".join(tail))]
+            if hits:
+                return hits
         return hits
 
     def type_matches(self, type_name: str) -> list[str]:
@@ -803,7 +828,13 @@ def _lit_col(lit: Literal, path: str, binder: Binder) -> Column:
     if tn == "time":
         return F.to_timestamp(F.lit(v.replace("T", " ").rstrip("Z")))
     if tn == "duration":
-        # durations compare against long-nanosecond columns in our model
+        # durations compare against long-nanosecond columns in our model;
+        # a column HINTED as duration but stored as double is declared
+        # seconds (zeek `interval`) — scale the literal to match
+        if binder.type_hints.get(path) == "duration":
+            dt = dict(binder.leaves).get(path)
+            if isinstance(dt, T.DoubleType):
+                return F.lit(v / 1e9)
         return F.lit(v)
     return F.lit(v)
 

@@ -252,9 +252,10 @@ def read_zeek_tsv(spark: SparkSession, path: str) -> DataFrame:
     # reference's ip/subnet types) — carry it as extractor hints so
     # `:ip`/`:subnet` type queries and bare-ip search resolve these
     # columns, as they do on the reference's typed schemas
-    hints = {n: {"addr": "ip", "subnet": "subnet"}[t.split("[", 1)[0]]
+    hints = {n: {"addr": "ip", "subnet": "subnet",
+                 "interval": "duration"}[t.split("[", 1)[0]]
              for n, t in zip(fields, types)
-             if t in ("addr", "subnet")}
+             if t in ("addr", "subnet", "interval")}
     if hints:
         out.__dict__["_tenzir_type_hints"] = hints
     return out

@@ -189,3 +189,112 @@ def test_taxonomy_concept_count_across_schemas(spark, tmp_path):
                                       "_tenzir_type_hints"))
         total += p.df.filter(pred).count()
     assert total == int(_ref_lines("taxonomy-queries", 2)[0])
+
+
+# ------------------------------------------------------ Query Operators
+# tests.yaml:263 — comparison/subnet/duration predicates over zeek conn;
+# matched-uid set equality per step. `conn.duration` exercises
+# schema-qualified extractor resolution; duration literals compare
+# against zeek `interval` (declared-duration, stored double-seconds).
+
+def _qo_uids(spark, conn_tsv, expr):
+    df = parse_pipeline(f"from {conn_tsv} read zeek-tsv | where {expr}"
+                        " | select uid", spark=spark).df
+    return sorted(r.uid for r in df.collect())
+
+
+def _json_uids(case, step):
+    return sorted(json.loads(ln)["uid"] for ln in _ref_lines(case, step))
+
+
+def test_qo_qualified_duration_le(spark, conn_tsv):
+    assert _qo_uids(spark, conn_tsv, "conn.duration <= 1.0s") == \
+        _ascii_uids("query-operators", 1)
+
+
+def test_qo_duration_range(spark, conn_tsv):
+    assert _qo_uids(spark, conn_tsv,
+                    "duration >= 10.0s && duration < 15s") == \
+        _json_uids("query-operators", 2)
+
+
+def test_qo_service_smtp(spark, conn_tsv):
+    assert _qo_uids(spark, conn_tsv, 'service == "smtp"') == \
+        _ascii_uids("query-operators", 4)
+
+
+def test_qo_missed_bytes_ne(spark, conn_tsv):
+    assert _qo_uids(spark, conn_tsv, "missed_bytes != 0") == \
+        _ascii_uids("query-operators", 5)
+
+
+def test_qo_not_in_subnet(spark, conn_tsv):
+    assert _qo_uids(spark, conn_tsv, "id.orig_h !in 192.168.1.0/24") == \
+        _ascii_uids("query-operators", 6)
+
+
+def test_qo_ipv6_subnet_no_match(spark, conn_tsv):
+    # fe80::5074:... addresses are NOT in fe80:5074:1b53:7e7::/64 —
+    # the reference golden is empty
+    assert _qo_uids(spark, conn_tsv,
+                    "id.orig_h in fe80:5074:1b53:7e7::/64") == \
+        _ascii_uids("query-operators", 7) == []
+
+
+# ----------------------------------------------------- Conn log counting
+# tests.yaml — exact counts (the reference's -e estimate step is its
+# sketch machinery; exact counting replays here).
+
+@pytest.mark.parametrize("expr,step", [
+    (":ip == 192.168.1.104", 1),
+    ("resp_p == 80", 3),
+    ("resp_p != 80", 4),
+    ("861237", 5),  # bare uint literal search over count-typed columns
+])
+def test_conn_log_counting(spark, conn_tsv, expr, step):
+    df = parse_pipeline(f"from {conn_tsv} read zeek-tsv | where {expr}",
+                        spark=spark).df
+    assert df.count() == int(_ref_lines("conn-log-counting", step)[0])
+
+
+# ------------------------------------------------------------ Export json
+# tests.yaml — `where resp_h == 192.168.1.104`, 66 rows by uid.
+
+def test_export_json_resp_h(spark, conn_tsv):
+    assert _qo_uids(spark, conn_tsv, "resp_h == 192.168.1.104") == \
+        _json_uids("export-json", 1)
+
+
+# ---------------------------------------------------------- Import syslog
+# tests.yaml:330 — RFC 5424 lines parse structured, the RFC 3164 line
+# falls back to syslog.unknown; all 13 input lines survive.
+
+def test_import_syslog_row_count(spark):
+    df = parse_pipeline(
+        f"from {os.path.join(REF, 'data/syslog/syslog.log')} read syslog",
+        spark=spark).df
+    assert df.count() == len(_ref_lines("import-syslog", 1)) == 13
+
+
+# ------------------------------------------------------------------- CEF
+# tests.yaml — three vendors' logs through the cef parser; predicate
+# match counts vs the reference's exports, including bare-ip search and
+# pattern/ip equality on extension-bag fields (`act`, `dvc`).
+
+@pytest.fixture(scope="module")
+def cef_frames(spark):
+    return [parse_pipeline(
+        f"from {os.path.join(REF, 'data/cef', f)} read cef",
+        spark=spark) for f in ("cynet.log", "checkpoint.log",
+                               "forcepoint.log")]
+
+
+@pytest.mark.parametrize("expr,step", [
+    ('cef_version >= 0 && device_vendor == "Cynet"', 3),
+    ("172.31.5.93", 4),                # bare-ip reaches the extension map
+    ("act == /Accept|Bypass/", 5),     # pattern on an extension field
+    ("dvc == 10.1.1.8", 6),            # ip equality on an extension field
+])
+def test_cef_predicates(cef_frames, expr, step):
+    total = sum(p.where(expr).df.count() for p in cef_frames)
+    assert total == len(_ref_lines("cef", step))
