@@ -37,7 +37,9 @@ _PRIMITIVES = {
     "string": (T.StringType(), None),
     "time": (T.TimestampType(), None),
     "timestamp": (T.TimestampType(), None),
-    "duration": (T.DoubleType(), None),
+    # stored double-seconds; the hint lets duration LITERALS scale to
+    # match (expr._lit_col) and `:duration` queries resolve the column
+    "duration": (T.DoubleType(), "duration"),
     "ip": (T.StringType(), "ip"),
     "subnet": (T.StringType(), "subnet"),
     "port": (T.LongType(), None),

@@ -76,6 +76,21 @@ def read_xsv(spark: SparkSession, path: str, sep: str,
     reader = spark.read
     opts = {"header": True, "sep": sep, "nullValue": null_value, **options}
     if schema is not None:
+        if opts.get("header"):
+            # the reference's xsv parser binds columns BY HEADER NAME
+            # against the declared schema (xsv.cpp header-driven fields)
+            # — a file may carry a subset of the schema's fields in any
+            # order (argus.record declares 143, the M57 capture ships
+            # 13). Spark binds an explicit schema positionally, so
+            # assemble the positional schema from the header: declared
+            # name -> declared type, undeclared -> string.
+            hdr = spark.read.text(path).limit(1).collect()[0][0]
+            names = [n.strip() for n in hdr.split(sep)]
+            declared = {f.name: f for f in schema.fields}
+            if names != [f.name for f in schema.fields[:len(names)]]:
+                schema = T.StructType(
+                    [declared.get(n, T.StructField(n, T.StringType()))
+                     for n in names])
         reader = reader.schema(schema)
     else:
         opts.setdefault("inferSchema", True)

@@ -298,3 +298,106 @@ def cef_frames(spark):
 def test_cef_predicates(cef_frames, expr, step):
     total = sum(p.where(expr).df.count() for p in cef_frames)
     assert total == len(_ref_lines("cef", step))
+
+
+# ------------------------------------------------- Node json zeek conn
+# tests.yaml — zeek conn as JSON imported under a DECLARED schema
+# (misc/schema/zeek-conn.schema): duration literals against the
+# schema's duration field, and `:timestamp`/`:time` type extractors
+# against its time field.
+
+@pytest.fixture(scope="module")
+def zeek_conn_json(tmp_path_factory):
+    from tenzir_spark.schema_lib import load_schema_file
+    load_schema_file(os.path.join(REF, "misc/schema/zeek-conn.schema"))
+    p = tmp_path_factory.mktemp("zcj") / "conn.json"
+    p.write_bytes(gzip.decompress(open(
+        os.path.join(REF, "data/json/conn.log.json.gz"), "rb").read()))
+    return str(p)
+
+
+def _zcj_uids(spark, path, expr):
+    df = parse_pipeline(
+        f"from {path} read json --schema zeek.conn.custom"
+        f" | where {expr} | select uid", spark=spark).df
+    return sorted(r.uid for r in df.collect())
+
+
+def test_zeek_json_schema_duration_gt(spark, zeek_conn_json):
+    assert _zcj_uids(spark, zeek_conn_json, "duration > 6s") == \
+        _ascii_uids("node-json-zeek-conn", 1)
+
+
+def test_zeek_json_timestamp_type_extractor(spark, zeek_conn_json):
+    assert _zcj_uids(spark, zeek_conn_json,
+                     ":timestamp >= 2011-08-15T03:48") == \
+        _ascii_uids("node-json-zeek-conn", 2)
+
+
+def test_zeek_json_time_type_extractor(spark, zeek_conn_json):
+    assert _zcj_uids(spark, zeek_conn_json, ":time >= 2011-08-15T03:48") == \
+        _ascii_uids("node-json-zeek-conn", 3)
+
+
+# ------------------------------------------------------ Node argus csv
+# tests.yaml — argus flow records as csv under the reference's SHIPPED
+# argus.record schema (Dur: duration #unit=s): duration-literal
+# comparisons against the schema time unit, matched rows identified by
+# the address/port/bytes tuple.
+
+def _ascii_fields(case, step, idx):
+    out = []
+    for ln in _ref_lines(case, step):
+        parts = ln.strip("<>").split(", ")
+        out.append(tuple(parts[i].strip('"') for i in idx))
+    return sorted(out)
+
+
+@pytest.fixture(scope="module")
+def argus_csv():
+    from tenzir_spark.schema_lib import load_schema_file
+    load_schema_file("/root/reference/schema/types/argus.schema")
+    return os.path.join(REF, "data/csv/argus-M57-10k-pkts.csv.gz")
+
+
+def _argus_rows(spark, path, expr):
+    df = parse_pipeline(
+        f"from {path} read csv --schema argus.record | where {expr}"
+        " | select SrcAddr Sport DstAddr Dport TotBytes",
+        spark=spark).df
+    return sorted((r.SrcAddr, str(r.Sport), r.DstAddr, str(r.Dport),
+                   str(r.TotBytes)) for r in df.collect())
+
+
+def test_argus_state_and_duration(spark, argus_csv):
+    assert _argus_rows(spark, argus_csv,
+                       'State != "CON" && Dur > 4900ms') == \
+        _ascii_fields("node-argus-csv", 1, (3, 4, 6, 7, 9))
+
+
+def test_argus_cause_and_duration(spark, argus_csv):
+    assert _argus_rows(spark, argus_csv, 'Cause == "Status" && Dur > 1s') == \
+        _ascii_fields("node-argus-csv", 2, (3, 4, 6, 7, 9))
+
+
+# -------------------------------------------------- Node suricata rrdata
+# tests.yaml — dns answers with rdata lists and grouped records survive
+# the suricata reader with full structure.
+
+def test_suricata_rrdata_structure(spark):
+    refs = {j["dns"]["type"]: j for j in map(
+        json.loads, _ref_lines("node-suricata-rrdata", 2))}
+    rows = {r["dns"]["type"]: r for r in (
+        row.asDict(recursive=True) for row in parse_pipeline(
+            f"from {os.path.join(REF, 'data/suricata/rrdata-eve.json')}"
+            " read suricata", spark=spark).df.collect())}
+    assert set(rows) == set(refs) == {"query", "answer"}
+    q, a = rows["query"], rows["answer"]
+    assert q["dns"]["rrname"] == refs["query"]["dns"]["rrname"]
+    assert q["dns"]["id"] == refs["query"]["dns"]["id"]
+    ref_a = refs["answer"]["dns"]
+    assert [x["rdata"] for x in a["dns"]["answers"]] == \
+        [x["rdata"] for x in ref_a["answers"]]
+    assert a["dns"]["grouped"]["MX"] == ref_a["grouped"]["MX"]
+    assert a["dns"]["flags"] == ref_a["flags"]
+    assert a["dns"]["rcode"] == ref_a["rcode"]
