@@ -15,7 +15,20 @@ def measure(df: DataFrame, schema_col: str | None = None) -> DataFrame:
     """Replace events with measurement rows: one per (partition, schema)
     with event count. Byte size is approximated from Spark's column sizes
     when available (exact wire bytes are a format concern)."""
-    group = [F.spark_partition_id().alias("partition_id")]
+    bsize = df.__dict__.get("_tenzir_batch")
+    if bsize:
+        # a preceding `batch N` pins exact batch boundaries (reference
+        # batch.cpp): number rows globally and bucket by N. The global
+        # row_number is a single-partition window — `batch` is a
+        # debug/shaping op, not a bulk path.
+        from pyspark.sql.window import Window
+        w = Window.orderBy(F.monotonically_increasing_id())
+        df = df.withColumn(
+            "__batch", F.floor((F.row_number().over(w) - 1) / bsize))
+        part = F.col("__batch").alias("partition_id")
+    else:
+        part = F.spark_partition_id().alias("partition_id")
+    group = [part]
     if schema_col and schema_col in df.columns:
         group.append(F.col(schema_col).alias("schema"))
     else:

@@ -290,7 +290,12 @@ def pass_(df: DataFrame) -> DataFrame:
 
 def batch(df: DataFrame, limit: int = 65536) -> DataFrame:
     """Re-batching is an Arrow-boundary knob in the reference
-    (batch.cpp:24); in Spark the analog is partition sizing."""
+    (batch.cpp:24); in Spark the analog is partition sizing, so for
+    execution purposes this stays a no-op. The requested size rides on
+    the frame so a following `measure` reports per-BATCH rows exactly
+    like the reference ('Batch Events' integration golden: repeat 10 |
+    batch 3 | measure -> events 3,3,3,1)."""
+    df.__dict__["_tenzir_batch"] = max(int(limit), 1)
     return df
 
 

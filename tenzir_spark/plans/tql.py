@@ -824,7 +824,10 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
         elif op == "pass":
             pass
         elif op == "batch":
-            pass  # execution knob; no-op (see operators.batch)
+            # execution knob; pins exact boundaries for a following
+            # `measure` (see operators.batch)
+            from tenzir_spark.operators.transform import batch as _batch
+            p = Pipeline(_batch(df, int(arg) if arg.strip() else 65536))
         elif op == "repeat":
             from tenzir_spark.operators import repeat as _repeat
             p = Pipeline(_repeat(df, int(arg) if arg else 2))

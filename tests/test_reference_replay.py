@@ -401,3 +401,63 @@ def test_suricata_rrdata_structure(spark):
     assert a["dns"]["grouped"]["MX"] == ref_a["grouped"]["MX"]
     assert a["dns"]["flags"] == ref_a["flags"]
     assert a["dns"]["rcode"] == ref_a["rcode"]
+
+
+# ------------------------------------------- Heterogeneous JSONL import
+# tests.yaml:345 — a literal searched through :string must reach EVERY
+# string leaf across heterogeneous events (sysmon + suricata), and
+# pattern full-match on a sysmon field.
+
+def test_heterogeneous_string_search(spark):
+    sysmon = parse_pipeline(
+        f"from {os.path.join(REF, 'data/json/sysmon.json')} read json",
+        spark=spark)
+    total = (sysmon.where('"®" in :string').df.count()
+             + _eve(spark).where('"®" in :string').df.count())
+    assert total == len(_ref_lines("heterogeneous-jsonl-import", 2)) == 156
+
+
+def test_heterogeneous_processguid_pattern(spark):
+    sysmon = parse_pipeline(
+        f"from {os.path.join(REF, 'data/json/sysmon.json')} read json",
+        spark=spark)
+    n = sysmon.where(
+        r"ProcessGuid == "
+        r"/\{[0-9a-f]{8}-[0-9a-f]{4}-5ec2-7.15-[0-9a-f]{12}\}/").df.count()
+    assert n == len(_ref_lines("heterogeneous-jsonl-import", 4)) == 26
+
+
+# ------------------------------------------- Type mismatch in a column
+# tests.yaml:681 — a column mixing strings and bool must survive the
+# json reader (totality). The reference keeps heterogeneous batches and
+# re-renders "120.0s" as a parsed duration ("2.0m"); Spark unifies the
+# column to string — all four events survive with their source values
+# (documented rendering divergence, same row survival).
+
+def test_type_mismatch_column_totality(spark):
+    df = parse_pipeline(
+        f"from {os.path.join(REF, 'data/json/type-mismatch.json')}"
+        " read json", spark=spark).df
+    vals = sorted(r.a for r in df.collect())
+    assert vals == ["120.0s", "20.0ns", "50.0ns", "true"]
+    # the golden holds the same four events (pretty-printed)
+    ref = "".join(_ref_lines("type-mismatch-in-a-column", 0))
+    assert ref.count('"a":') == 4
+
+
+# ---------------------------------------------------------- Batch Events
+# tests.yaml — `repeat 10 | batch N | measure | select events` reports
+# the exact per-batch event counts. (The reference uses `show version`
+# as its 1-event source; ours emits component rows, so a 1-line shell
+# source stands in.)
+
+@pytest.mark.parametrize("n,step", [(5, 0), (1, 1), (3, 2), (15, 3)])
+def test_batch_events(spark, n, step):
+    df = parse_pipeline(
+        "shell \"printf 'x\\n'\" | read lines"
+        f" | repeat 10 | batch {n} | measure | select events",
+        spark=spark).df
+    ours = sorted(r.events for r in df.collect())
+    ref = sorted(int(m) for m in re.findall(
+        r'"events": (\d+)', "\n".join(_ref_lines("batch-events", step))))
+    assert ours == ref
