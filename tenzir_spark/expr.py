@@ -519,14 +519,20 @@ class Binder:
 
     def type_matches(self, type_name: str) -> list[str]:
         hinted = [p for p, t in self.type_hints.items() if t == type_name]
-        if type_name in ("ip", "subnet", "enumeration"):
+        if type_name in ("ip", "subnet", "enumeration", "port"):
             return hinted
         spark_types = _SPARK_TYPE_OF.get(type_name, ())
         out = list(hinted)
         for p, dt in self.leaves:
-            if p in self.type_hints:
+            # a hint naming a DIFFERENT value domain excludes the
+            # column from storage-type matching (a duration-hinted
+            # double is not a :double); port stays numeric — the
+            # reference declares `type port = uint64`, so `:uint64`
+            # reaches ports (Node Zeek dns log golden)
+            if self.type_hints.get(p) in ("ip", "subnet", "duration",
+                                          "enumeration"):
                 continue
-            if isinstance(dt, spark_types):
+            if isinstance(dt, spark_types) and p not in out:
                 out.append(p)
         return out
 

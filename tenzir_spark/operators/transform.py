@@ -17,14 +17,16 @@ from pyspark.sql import types as T
 from tenzir_spark.expr import compile_expression, leaf_paths, _suffix_matches
 
 
-def where(df: DataFrame, expr: str | Column, type_hints: dict[str, str] | None = None) -> DataFrame:
+def where(df: DataFrame, expr: str | Column, type_hints: dict[str, str] | None = None,
+          schema_name: str | None = None) -> DataFrame:
     """Filter rows by a TQL-ish expression or a Column.
 
     Reference: libtenzir/builtins/operators/where.cpp:53 (expression is
     tailored per schema, then rows filtered); pushdown (where.cpp:109-117)
     is Catalyst's job here.
     """
-    return df.filter(compile_expression(expr, df, type_hints=type_hints))
+    return df.filter(compile_expression(expr, df, type_hints=type_hints,
+                                        schema_name=schema_name))
 
 
 def _match_paths(df: DataFrame, extractors: Iterable[str]) -> list[str]:

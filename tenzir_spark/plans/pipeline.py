@@ -58,12 +58,16 @@ class Pipeline:
     # -- operator chain -----------------------------------------------------
 
     def where(self, expr, **kw) -> "Pipeline":
-        # readers attach declared ip/subnet typing (zeek #types, the
-        # suricata schema) as extractor hints on the frame; default to
-        # them so `:ip` / bare-ip queries see the declared types
+        # readers attach declared ip/subnet/duration/port typing (zeek
+        # #types, the suricata schema) and the declared schema name
+        # (zeek #path) on the frame; default to them so `:ip` /
+        # bare-ip / `#schema` queries see the declared types
         hints = self._df.__dict__.get("_tenzir_type_hints")
         if hints and "type_hints" not in kw:
             kw["type_hints"] = hints
+        sname = self._df.__dict__.get("_tenzir_schema")
+        if sname and "schema_name" not in kw:
+            kw["schema_name"] = sname
         return Pipeline(ops.where(self._df, expr, **kw))
 
     def select(self, *extractors: str) -> "Pipeline":

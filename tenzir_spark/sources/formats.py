@@ -218,6 +218,7 @@ def read_zeek_tsv(spark: SparkSession, path: str) -> DataFrame:
     sep, unset, empty = "\t", "-", "(empty)"
     fields: list[str] = []
     types: list[str] = []
+    zpath: str | None = None
     for row in head:
         line = row[0]
         if not line.startswith("#"):
@@ -225,6 +226,8 @@ def read_zeek_tsv(spark: SparkSession, path: str) -> DataFrame:
         key, _, rest = line[1:].partition("\t" if "\t" in line else " ")
         if key == "separator":
             sep = bytes(rest.strip(), "utf-8").decode("unicode_escape")
+        elif key == "path":
+            zpath = rest.strip()
         elif key == "unset_field":
             unset = rest.strip()
         elif key == "empty_field":
@@ -268,11 +271,15 @@ def read_zeek_tsv(spark: SparkSession, path: str) -> DataFrame:
     # `:ip`/`:subnet` type queries and bare-ip search resolve these
     # columns, as they do on the reference's typed schemas
     hints = {n: {"addr": "ip", "subnet": "subnet",
-                 "interval": "duration"}[t.split("[", 1)[0]]
+                 "interval": "duration", "port": "port"}[t.split("[", 1)[0]]
              for n, t in zip(fields, types)
-             if t in ("addr", "subnet", "interval")}
+             if t in ("addr", "subnet", "interval", "port")}
     if hints:
         out.__dict__["_tenzir_type_hints"] = hints
+    if zpath:
+        # `#schema == "zeek.dns"` meta queries resolve the frame's
+        # declared name, as on the reference's typed import
+        out.__dict__["_tenzir_schema"] = f"zeek.{zpath}"
     return out
 
 

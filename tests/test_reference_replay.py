@@ -461,3 +461,125 @@ def test_batch_events(spark, n, step):
     ref = sorted(int(m) for m in re.findall(
         r'"events": (\d+)', "\n".join(_ref_lines("batch-events", step))))
     assert ours == ref
+
+
+# ------------------------------------------- Node Zeek dns/http/snmp logs
+# tests.yaml — per-log-type zeek-tsv imports: address equality, the
+# `:port` type extractor (3565 port-53 rows), `:uint64` reaching ports
+# (the reference declares `type port = uint64`), `#schema` resolution
+# from the #path header, and interval comparisons.
+
+def _zeek_log(tmp_path_factory, name):
+    raw = gzip.decompress(open(
+        os.path.join(REF, f"data/zeek/{name}.log.gz"), "rb").read())
+    p = tmp_path_factory.mktemp("zl") / f"{name}.log"
+    p.write_bytes(raw)
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def dns_tsv(tmp_path_factory):
+    return _zeek_log(tmp_path_factory, "dns")
+
+
+def test_zeek_dns_resp_h(spark, dns_tsv):
+    df = parse_pipeline(
+        f"from {dns_tsv} read zeek-tsv | where resp_h == 192.168.1.104"
+        " | select uid", spark=spark).df
+    assert sorted(r.uid for r in df.collect()) == \
+        _ascii_uids("node-zeek-dns-log", 1)
+
+
+def test_zeek_dns_port_type_extractor(spark, dns_tsv):
+    df = parse_pipeline(f"from {dns_tsv} read zeek-tsv | where :port == 53",
+                        spark=spark).df
+    assert df.count() == int(_ref_lines("node-zeek-dns-log", 3)[0]) == 3565
+
+
+def test_zeek_dns_uint64_and_schema_meta(spark, dns_tsv):
+    df = parse_pipeline(
+        f'from {dns_tsv} read zeek-tsv'
+        ' | where :uint64 == 53 && #schema == "zeek.dns"', spark=spark).df
+    assert df.count() == int(_ref_lines("node-zeek-dns-log", 4)[0])
+
+
+def test_zeek_http_resp_h(spark, tmp_path_factory):
+    p = _zeek_log(tmp_path_factory, "http")
+    df = parse_pipeline(
+        f"from {p} read zeek-tsv | where resp_h == 216.240.189.196"
+        " | select uid", spark=spark).df
+    assert sorted(r.uid for r in df.collect()) == \
+        _ascii_uids("node-zeek-http-log", 1)
+
+
+def test_zeek_snmp_duration(spark, tmp_path_factory):
+    p = _zeek_log(tmp_path_factory, "snmp")
+    df = parse_pipeline(
+        f"from {p} read zeek-tsv | where duration >= 3s | select uid",
+        spark=spark).df
+    assert sorted(r.uid for r in df.collect()) == \
+        _ascii_uids("node-zeek-snmp-log", 1)
+
+
+# -------------------------------------- Read from zeek json / tshark json
+# tests.yaml — reader totality on heterogeneous zeek streaming JSON (36
+# events incl. a _path-less line) and tshark's deeply nested export.
+
+def test_read_zeek_json_file_totality(spark):
+    df = parse_pipeline(
+        f"from {os.path.join(REF, 'data/zeek/zeek.json')} read zeek-json",
+        spark=spark).df
+    ref_events = sum(1 for ln in _ref_lines("read-from-zeek-json-file", 0)
+                     if ln.startswith("{"))
+    assert df.count() == ref_events == 36
+
+
+def test_read_tshark_json(spark):
+    df = parse_pipeline(
+        f"from {os.path.join(REF, 'data/pcap/tshark.json')} read json",
+        spark=spark).df
+    ref_events = sum(
+        1 for ln in _ref_lines("read-json-from-tshark-output", 0)
+        if '"_index":' in ln)
+    assert df.count() == ref_events == 46
+
+
+# --------------------------------------------------- Node argus ssv/tsv
+# tests.yaml — the same argus schema over a space-separated file with
+# an EXTRA undeclared column (kept as string) and a tab-separated file
+# with REORDERED columns: header-name binding in both axes. Matched
+# against the reference's csv export golden.
+
+def _csv_ref_rows(case, idx):
+    import csv as _csv
+    rows = list(_csv.reader(_ref_lines(case, 1)))
+    # the reference's csv printer emits a header line — data rows carry
+    # the schema name in column 0
+    return sorted(tuple(r[i] for i in idx) for r in rows
+                  if r and r[0] == "argus.record")
+
+
+def test_argus_ssv_extra_column(spark):
+    from tenzir_spark.schema_lib import load_schema_file
+    load_schema_file("/root/reference/schema/types/argus.schema")
+    df = parse_pipeline(
+        f"from {os.path.join(REF, 'data/csv/argus-additional-fields.ssv')}"
+        " read ssv --schema argus.record"
+        " | select SrcAddr Sport DstAddr TotBytes UnknownField Cause",
+        spark=spark).df
+    ours = sorted((r.SrcAddr, str(r.Sport), r.DstAddr, str(r.TotBytes),
+                   r.UnknownField, r.Cause) for r in df.collect())
+    assert ours == _csv_ref_rows("node-argus-ssv", (4, 5, 7, 10, 13, 14))
+
+
+def test_argus_tsv_reordered_columns(spark):
+    from tenzir_spark.schema_lib import load_schema_file
+    load_schema_file("/root/reference/schema/types/argus.schema")
+    df = parse_pipeline(
+        f"from {os.path.join(REF, 'data/csv/argus-reordered.tsv')}"
+        " read tsv --schema argus.record"
+        " | select SrcAddr Sport DstAddr TotBytes Cause",
+        spark=spark).df
+    ours = sorted((r.SrcAddr, str(r.Sport), r.DstAddr, str(r.TotBytes),
+                   r.Cause) for r in df.collect())
+    assert ours == _csv_ref_rows("node-argus-tsv", (4, 5, 7, 10, 13))
