@@ -142,16 +142,42 @@ def sort(df: DataFrame, field: str | Column, ascending: bool = True,
     return df.orderBy(col)
 
 
+def _top_rare_check(op: str, field: str, count_field: str) -> None:
+    """Argument contract of top_rare.cpp (mirrored by the reference's
+    'Top and Rare Operators' error steps): a field is required, and the
+    count field must not collide with it."""
+    if not field or not field.strip():
+        raise ValueError(f"{op} requires a field argument")
+    if not count_field or not count_field.strip():
+        raise ValueError(f"{op}: count field must not be empty")
+    if field == count_field:
+        raise ValueError(
+            f"{op}: count field {count_field!r} collides with the "
+            f"grouped field")
+
+
+def _grp_col(df: DataFrame, field: str) -> Column:
+    """A dotted name that IS a column (zeek `id.orig_h`) needs
+    backticks; otherwise the dots mean nested access."""
+    return F.col(f"`{field}`") if field in df.columns else F.col(field)
+
+
 def top(df: DataFrame, field: str, count_field: str = "count", limit: int | None = None) -> DataFrame:
     """Most frequent values of a field. Reference: top_rare.cpp:24 —
     expands to ``summarize count(.) by x | sort desc`` (:70-82)."""
-    out = df.groupBy(field).agg(F.count(F.lit(1)).alias(count_field)) \
-            .orderBy(F.col(count_field).desc(), F.col(field).asc())
+    _top_rare_check("top", field, count_field)
+    key = _grp_col(df, field)
+    out = df.groupBy(key.alias(field)) \
+            .agg(F.count(F.lit(1)).alias(count_field)) \
+            .orderBy(F.col(count_field).desc(), F.col(f"`{field}`").asc())
     return out.limit(limit) if limit else out
 
 
 def rare(df: DataFrame, field: str, count_field: str = "count", limit: int | None = None) -> DataFrame:
     """Least frequent values. Reference: top_rare.cpp:88-89."""
-    out = df.groupBy(field).agg(F.count(F.lit(1)).alias(count_field)) \
-            .orderBy(F.col(count_field).asc(), F.col(field).asc())
+    _top_rare_check("rare", field, count_field)
+    key = _grp_col(df, field)
+    out = df.groupBy(key.alias(field)) \
+            .agg(F.count(F.lit(1)).alias(count_field)) \
+            .orderBy(F.col(count_field).asc(), F.col(f"`{field}`").asc())
     return out.limit(limit) if limit else out

@@ -798,14 +798,12 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
             n = int(toks[0]) if toks and toks[0].isdigit() else 10
             schema_col = _flag(toks, "--schema-col") or "_schema"
             p = p.taste(n, schema_col=schema_col)
-        elif op == "top":
-            toks = shlex.split(arg)
-            cf = _flag(toks, "-c") or "count"
-            p = p.top(toks[0], count_field=cf)
-        elif op == "rare":
-            toks = shlex.split(arg)
-            cf = _flag(toks, "-c") or "count"
-            p = p.rare(toks[0], count_field=cf)
+        elif op in ("top", "rare"):
+            toks = _split_eq_opts(shlex.split(arg))
+            cf = _flag(toks, "-c") or _flag(toks, "--count-field") or "count"
+            if not toks or toks[0].startswith("-"):
+                raise ValueError(f"{op} requires a field argument")
+            p = getattr(p, op)(toks[0], count_field=cf)
         elif op == "flatten":
             p = p.flatten(arg or ".")
         elif op == "unflatten":

@@ -583,3 +583,56 @@ def test_argus_tsv_reordered_columns(spark):
     ours = sorted((r.SrcAddr, str(r.Sport), r.DstAddr, str(r.TotBytes),
                    r.Cause) for r in df.collect())
     assert ours == _csv_ref_rows("node-argus-tsv", (4, 5, 7, 10, 13))
+
+
+# ------------------------------------------------ Top and Rare Operators
+# tests.yaml — value/count pairs against the reference's export, the
+# --count-field rename, and the argument-error contract (missing field,
+# empty field, count-field colliding with the grouped field).
+
+def _top_ref(step):
+    txt = "\n".join(_ref_lines("top-and-rare-operators", step))
+    pairs = re.findall(r'"id\.orig_h": "([^"]+)",\s*"(?:count|amount)": (\d+)',
+                       txt)
+    return {h: int(n) for h, n in pairs}
+
+
+def test_top_rare_values_and_count_field(spark, conn_tsv):
+    for op, cf, step in (("top", None, 2), ("rare", None, 3),
+                         ("top", "amount", 4), ("rare", "amount", 5)):
+        q = f"from {conn_tsv} read zeek-tsv | {op} id.orig_h"
+        if cf:
+            q += f" --count-field={cf}"
+        df = parse_pipeline(q, spark=spark).df
+        ours = {getattr(r, "id.orig_h"): r[cf or "count"]
+                for r in df.collect()}
+        assert ours == _top_ref(step), (op, cf)
+
+
+@pytest.mark.parametrize("q", [
+    "top count",                        # count-field collides (default)
+    "top uid --count-field=uid",        # count-field collides (explicit)
+    "rare uid -c uid",
+    "rare",                             # missing field
+    "top",
+    'top ""',                           # empty field
+])
+def test_top_rare_error_contract(spark, conn_tsv, q):
+    src = parse_pipeline(f"from {conn_tsv} read zeek-tsv", spark=spark)
+    with pytest.raises(ValueError):
+        parse_pipeline(q, source=src.df)
+
+
+# ------------------------------------------- Empty Record in Pipeline
+# tests.yaml:766 — `{"a": {}}` survives the json reader. DOCUMENTED
+# DIVERGENCE: the reference preserves the empty record field; Spark's
+# json inference prunes fieldless structs, so the row survives with an
+# empty schema.
+
+def test_empty_record_survives(spark):
+    df = parse_pipeline(
+        f"from {os.path.join(REF, 'data/json/empty-record.json')}"
+        " read json", spark=spark).df
+    ref_objs = "".join(
+        _ref_lines("empty-record-in-pipeline", 0)).count('"a"')
+    assert df.count() == ref_objs == 1
