@@ -636,3 +636,27 @@ def test_empty_record_survives(spark):
     ref_objs = "".join(
         _ref_lines("empty-record-in-pipeline", 0)).count('"a"')
     assert df.count() == ref_objs == 1
+
+
+# ------------------------------------------------- Node suricata alert
+# tests.yaml — import-time filter mixing a meta extractor with a field
+# predicate; the reference's final export carries 6 of the 8 events.
+
+def test_suricata_import_filter_meta_and_field(spark):
+    df = _eve(spark).where(
+        '#schema != "suricata.stats" && event_type != "flow"').df
+    assert df.count() == len(_ref_lines("node-suricata-alert", 4)) == 6
+
+
+# --------------------------------------------------- Read from JSON File
+# tests.yaml — records nested in a list survive the json reader with
+# full structure.
+
+def test_record_in_list_structure(spark):
+    rows = parse_pipeline(
+        f"from {os.path.join(REF, 'data/json/record-in-list.json')}"
+        " read json", spark=spark).df.collect()
+    assert len(rows) == 1
+    r = rows[0].asDict(recursive=True)
+    ref = json.loads("".join(_ref_lines("read-from-json-file", 0)))
+    assert r == ref == {"a": [{"b": "123", "c": 456}], "d": 789}
