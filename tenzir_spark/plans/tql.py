@@ -77,12 +77,24 @@ def _strip_comments(text: str) -> str:
     """Remove ``/* ... */`` comments outside quotes (reference TQL
     comments, tests.yaml:647: non-nested — the FIRST ``*/`` ends the
     comment, so ``/*double beginning /* is valid*/``; an unterminated
-    opener or a stray closer is a parse error)."""
+    opener or a stray closer is a parse error), ``// ...`` line
+    comments (only when the ``//`` starts the text or follows
+    whitespace, so ``https://`` URLs survive; an empty pattern ``//``
+    is invalid anyway), and a leading ``#!`` shebang line (reference
+    'Parse basic': ``#!/usr/bin/env tenzir``)."""
+    if text.startswith("#!"):
+        nl = text.find("\n")
+        text = "" if nl < 0 else text[nl + 1:]
     out: list[str] = []
     i, n = 0, len(text)
     quote: str | None = None
     while i < n:
         ch = text[i]
+        if quote is None and text.startswith("//", i) \
+                and (i == 0 or text[i - 1].isspace()):
+            while i < n and text[i] != "\n":
+                i += 1
+            continue
         if quote:
             out.append(ch)
             if ch == "\\" and i + 1 < n:
@@ -132,9 +144,11 @@ def _strip_comments(text: str) -> str:
     stripped = "".join(out)
     # a segment that held ONLY a comment is not a valid operator
     # (tests.yaml:647: `select x | /**/` must error, matching the
-    # reference's parser)
+    # reference's parser) — but a pipeline that is ENTIRELY comment or
+    # blank is simply the empty pipeline ('Parse basic': `// comment`)
     empty_seg = re.compile(r"(?:^|\|)\s*(?:\||$)")
-    if empty_seg.search(stripped) and not empty_seg.search(text):
+    if "|" in stripped and empty_seg.search(stripped) \
+            and not empty_seg.search(text):
         raise ValueError("a pipeline operator cannot be only a comment")
     return stripped
 
@@ -476,9 +490,10 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
         op, arg = m.group(1), m.group(2).strip()
 
         # local/remote placement modifiers (local_remote.cpp:24): accepted
-        # and stripped — in Spark, driver-vs-executor placement is the
-        # scheduler's decision, so the modifier is semantically a no-op
-        if op in ("local", "remote") and arg:
+        # and stripped, CHAINABLE (`local remote local pass`, reference
+        # 'Parse operators') — in Spark, driver-vs-executor placement is
+        # the scheduler's decision, so the modifiers are semantic no-ops
+        while op in ("local", "remote") and arg:
             m = re.match(r"^([A-Za-z_][\w-]*)\s*(.*)$", arg, re.S)
             if not m:
                 raise ValueError(f"cannot parse operator after {op!r}")
@@ -675,8 +690,14 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
         if op == "show":
             if spark is None:
                 raise ValueError("'show' requires a SparkSession")
+            stoks = shlex.split(arg)
+            if len(stoks) != 1:
+                # reference contract ('Parse operators'): show takes
+                # exactly one aspect and no flags
+                raise ValueError(f"show takes exactly one aspect, got "
+                                 f"{arg!r}")
             from tenzir_spark.plans.registry import show as _show
-            p = Pipeline(_show(spark, shlex.split(arg)[0]))
+            p = Pipeline(_show(spark, stoks[0]))
             continue
         if op == "export":
             # source from a registered lake table (reference export.cpp:34;

@@ -660,3 +660,31 @@ def test_record_in_list_structure(spark):
     r = rows[0].asDict(recursive=True)
     ref = json.loads("".join(_ref_lines("read-from-json-file", 0)))
     assert r == ref == {"a": [{"b": "123", "c": 456}], "d": 789}
+
+
+# --------------------------------------------------- Parse basic/operators
+# tests.yaml:212/:225 — parser totality on the reference's own parse
+# strings: blank / comment-only / shebang inputs reduce to the empty
+# pipeline, parseable forms parse, error forms raise ValueError (never
+# crash the parser).
+
+@pytest.mark.parametrize("q", [" ", "// comment", "#!/usr/bin/env tenzir"])
+def test_parse_basic_reduces_to_empty(spark, q):
+    with pytest.raises(ValueError, match="empty pipeline"):
+        parse_pipeline(q, spark=spark)
+
+
+def test_parse_operators_contract(spark):
+    # parseable forms (--dump-ast steps): these must not raise at parse
+    parse_pipeline("show version", spark=spark)
+    parse_pipeline("head 42",
+                   source=spark.createDataFrame([(1,)], "x int"))
+    parse_pipeline("local remote local pass",
+                   source=spark.createDataFrame([(1,)], "x int"))
+    parse_pipeline("where :ip == 1.2.3.4",
+                   source=spark.createDataFrame([("a",)], "x string"))
+    # error forms (expected_result: error in the reference)
+    with pytest.raises(ValueError):
+        parse_pipeline("show version --tev", spark=spark)
+    with pytest.raises(ValueError):
+        parse_pipeline("show version 42", spark=spark)
