@@ -11,10 +11,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def measure(df: DataFrame, schema_col: str | None = None) -> DataFrame:
+def measure(df: DataFrame, schema_col: str | None = None,
+            schema_name: str | None = None) -> DataFrame:
     """Replace events with measurement rows: one per (partition, schema)
     with event count. Byte size is approximated from Spark's column sizes
-    when available (exact wire bytes are a format concern)."""
+    when available (exact wire bytes are a format concern).
+
+    ``schema_name`` labels the whole frame (readers attach their declared
+    schema name, e.g. ``tenzir.json`` / ``cef.event`` — measure.cpp:47
+    reads it off the batch); ``schema_col`` groups by a per-row column
+    when schemas vary within the frame."""
     bsize = df.__dict__.get("_tenzir_batch")
     if bsize:
         # a preceding `batch N` pins exact batch boundaries (reference
@@ -32,7 +38,7 @@ def measure(df: DataFrame, schema_col: str | None = None) -> DataFrame:
     if schema_col and schema_col in df.columns:
         group.append(F.col(schema_col).alias("schema"))
     else:
-        group.append(F.lit("events").alias("schema"))
+        group.append(F.lit(schema_name or "events").alias("schema"))
     return (
         df.groupBy(*group)
         .agg(F.count(F.lit(1)).alias("events"))

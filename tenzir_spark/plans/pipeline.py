@@ -29,6 +29,17 @@ class Pipeline:
     def __init__(self, df: DataFrame):
         self._df = df
 
+    def _wrap(self, df: DataFrame) -> "Pipeline":
+        """Wrap an op result, carrying the reader-attached frame metadata
+        (declared schema name / extractor type hints) across the chain —
+        the reference keeps the schema on every batch (table_slice.hpp),
+        so `read cef | repeat 5 | measure` still reports `cef.event`."""
+        for k in ("_tenzir_schema", "_tenzir_type_hints"):
+            v = self._df.__dict__.get(k)
+            if v is not None and k not in df.__dict__:
+                df.__dict__[k] = v
+        return Pipeline(df)
+
     def run(self):
         """Execute the pending sink of a string-parsed pipeline (no-op
         passthrough of .df when there is none)."""
@@ -68,81 +79,84 @@ class Pipeline:
         sname = self._df.__dict__.get("_tenzir_schema")
         if sname and "schema_name" not in kw:
             kw["schema_name"] = sname
-        return Pipeline(ops.where(self._df, expr, **kw))
+        return self._wrap(ops.where(self._df, expr, **kw))
 
     def select(self, *extractors: str) -> "Pipeline":
-        return Pipeline(ops.select(self._df, *extractors))
+        return self._wrap(ops.select(self._df, *extractors))
 
     def drop(self, *extractors: str) -> "Pipeline":
-        return Pipeline(ops.drop(self._df, *extractors))
+        return self._wrap(ops.drop(self._df, *extractors))
 
     def put(self, **fields) -> "Pipeline":
-        return Pipeline(ops.put(self._df, **fields))
+        return self._wrap(ops.put(self._df, **fields))
 
     def extend(self, **fields) -> "Pipeline":
-        return Pipeline(ops.extend(self._df, **fields))
+        return self._wrap(ops.extend(self._df, **fields))
 
     def replace(self, **fields) -> "Pipeline":
-        return Pipeline(ops.replace(self._df, **fields))
+        return self._wrap(ops.replace(self._df, **fields))
 
     def rename(self, **mapping) -> "Pipeline":
-        return Pipeline(ops.rename(self._df, **mapping))
+        return self._wrap(ops.rename(self._df, **mapping))
 
     def summarize(self, aggs: Sequence, by: Sequence = (), **kw) -> "Pipeline":
-        return Pipeline(ops.summarize(self._df, aggs, by, **kw))
+        return self._wrap(ops.summarize(self._df, aggs, by, **kw))
 
     def sort(self, field, **kw) -> "Pipeline":
-        return Pipeline(ops.sort(self._df, field, **kw))
+        return self._wrap(ops.sort(self._df, field, **kw))
 
     def head(self, n: int = 10, **kw) -> "Pipeline":
-        return Pipeline(ops.head(self._df, n, **kw))
+        return self._wrap(ops.head(self._df, n, **kw))
 
     def tail(self, n: int = 10, **kw) -> "Pipeline":
-        return Pipeline(ops.tail(self._df, n, **kw))
+        return self._wrap(ops.tail(self._df, n, **kw))
 
     def taste(self, n: int = 10, **kw) -> "Pipeline":
-        return Pipeline(ops.taste(self._df, n, **kw))
+        return self._wrap(ops.taste(self._df, n, **kw))
 
     def unique(self, **kw) -> "Pipeline":
-        return Pipeline(ops.unique(self._df, **kw))
+        return self._wrap(ops.unique(self._df, **kw))
 
     def deduplicate(self, key, order_col, **kw) -> "Pipeline":
-        return Pipeline(ops.deduplicate(self._df, key, order_col, **kw))
+        return self._wrap(ops.deduplicate(self._df, key, order_col, **kw))
 
     def top(self, field: str, **kw) -> "Pipeline":
-        return Pipeline(ops.top(self._df, field, **kw))
+        return self._wrap(ops.top(self._df, field, **kw))
 
     def rare(self, field: str, **kw) -> "Pipeline":
-        return Pipeline(ops.rare(self._df, field, **kw))
+        return self._wrap(ops.rare(self._df, field, **kw))
 
     def flatten(self, sep: str = ".") -> "Pipeline":
-        return Pipeline(ops.flatten(self._df, sep))
+        return self._wrap(ops.flatten(self._df, sep))
 
     def unflatten(self, sep: str = ".") -> "Pipeline":
-        return Pipeline(ops.unflatten(self._df, sep))
+        return self._wrap(ops.unflatten(self._df, sep))
 
     def enumerate(self, **kw) -> "Pipeline":
-        return Pipeline(ops.enumerate_rows(self._df, **kw))
+        return self._wrap(ops.enumerate_rows(self._df, **kw))
 
     def hash(self, field: str, **kw) -> "Pipeline":
-        return Pipeline(ops.hash_column(self._df, field, **kw))
+        return self._wrap(ops.hash_column(self._df, field, **kw))
 
     def measure(self, **kw) -> "Pipeline":
-        return Pipeline(ops.measure(self._df, **kw))
+        sname = self._df.__dict__.get("_tenzir_schema")
+        if sname and "schema_name" not in kw:
+            kw["schema_name"] = sname
+        return self._wrap(ops.measure(self._df, **kw))
 
     def sigma(self, rules) -> "Pipeline":
         from tenzir_spark.functions.sigma import sigma as _sigma
-        return Pipeline(_sigma(self._df, rules))
+        return self._wrap(_sigma(self._df, rules))
 
     def alias(self, name: str, *args, **kw) -> "Pipeline":
         """Run a registered user-defined operator alias (reference:
         tql/parser.cpp:100-115 macro expansion)."""
         from tenzir_spark.plans.registry import get_alias
-        return Pipeline(get_alias(name)(self._df, *args, **kw))
+        return self._wrap(get_alias(name)(self._df, *args, **kw))
 
     def apply(self, fn) -> "Pipeline":
         """Escape hatch: fn(DataFrame) -> DataFrame."""
-        return Pipeline(fn(self._df))
+        return self._wrap(fn(self._df))
 
     # -- storage engine (import/export; reference: import.cpp/export.cpp) ---
 

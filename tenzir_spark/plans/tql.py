@@ -222,6 +222,16 @@ _EXT_FORMAT = {
     ".pcap": "pcap",
 }
 
+# Inferred-schema names the reference gives per-format batches (the
+# integration goldens pin them: measure-events -> tenzir.json, repeat ->
+# cef.event). Formats whose readers stamp a per-file name (zeek-tsv's
+# #path) or vary per row (suricata event_type) are absent here.
+_FMT_SCHEMA_NAME = {
+    "json": "tenzir.json",
+    "cef": "cef.event",
+    "lines": "tenzir.lines",
+}
+
 
 def _reader_kwargs(f: str, toks: list[str]) -> dict:
     """Map TQL reader flags to reader kwargs (reference: json.cpp:96-105
@@ -357,6 +367,10 @@ def _read_fmt(spark: SparkSession, f: str, path: str, opts: list[str] | None = N
         # extractor type hints from the named schema (ip/subnet columns)
         # ride on the frame for the downstream `where` compiler
         df.__dict__["_tenzir_type_hints"] = hints
+    if "_tenzir_schema" not in df.__dict__ and f in _FMT_SCHEMA_NAME:
+        # the reference names inferred schemas per format (json.cpp ->
+        # tenzir.json, cef parser -> cef.event); measure/#schema read it
+        df.__dict__["_tenzir_schema"] = _FMT_SCHEMA_NAME[f]
     return df
 
 
@@ -506,6 +520,10 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
             toks = shlex.split(arg)
             follow = "--follow" in toks
             toks = [t for t in toks if t != "--follow"]
+            if len(toks) >= 2 and toks[0] == "file" and toks[1] != "read":
+                # explicit file connector word (connectors/file.cpp:
+                # `from file <path>` / `load file -`)
+                toks = toks[1:]
             path = toks[0]
             infer_src = path
             # ftps deliberately absent: urllib cannot open it, so
@@ -687,6 +705,35 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
             read_fmt_pending = decompress_file(
                 read_fmt_pending, shlex.split(arg)[0])
             continue
+        if op == "repeat" and read_fmt_pending is not None:
+            # byte-position repeat (repeat.cpp works on both bytes and
+            # events; golden 'Repeat' step 1): replicate the spooled
+            # byte stream N times before the parser sees it.
+            import os as _os
+            import tempfile as _tf
+            n = int(arg) if arg.strip() else 2
+            data = open(read_fmt_pending, "rb").read()
+            fd, spool = _tf.mkstemp(
+                suffix=_os.path.splitext(read_fmt_pending)[1] or ".bin")
+            with _os.fdopen(fd, "wb") as fh:
+                fh.write(data * n)
+            read_fmt_pending = spool
+            continue
+        if op == "measure" and read_fmt_pending is not None:
+            # byte-position measure (measure.cpp:24 bytes mode; golden
+            # measure-bytes): the loader's byte stream becomes
+            # measurement events {timestamp, bytes} — one row per spooled
+            # chunk. Loaders spool driver-side files, so sizing them here
+            # is not a distributed-data collect.
+            import glob as _glob
+            import os as _os
+            paths = sorted(_glob.glob(read_fmt_pending)) or [read_fmt_pending]
+            sizes = [(int(_os.path.getsize(x)),) for x in paths]
+            bdf = spark.createDataFrame(sizes, "bytes long")
+            from pyspark.sql import functions as _F
+            p = Pipeline(bdf.withColumn("timestamp", _F.current_timestamp()))
+            read_fmt_pending = None
+            continue
         if op == "show":
             if spark is None:
                 raise ValueError("'show' requires a SparkSession")
@@ -839,6 +886,14 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
             salt = _flag(toks, "-s")
             p = p.hash(toks[-1], salt=salt)
         elif op == "measure":
+            # --real-time / --cumulative change emission cadence, not
+            # totals (measure.cpp:30-33; goldens pin identical sums for
+            # both modes) — accepted, batch semantics unchanged
+            mtoks = shlex.split(arg)
+            bad = [t for t in mtoks
+                   if t not in ("--real-time", "--cumulative")]
+            if bad:
+                raise ValueError(f"measure: unknown arguments {bad}")
             p = p.measure()
         elif op == "pass":
             pass
@@ -846,10 +901,10 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
             # execution knob; pins exact boundaries for a following
             # `measure` (see operators.batch)
             from tenzir_spark.operators.transform import batch as _batch
-            p = Pipeline(_batch(df, int(arg) if arg.strip() else 65536))
+            p = p._wrap(_batch(df, int(arg) if arg.strip() else 65536))
         elif op == "repeat":
             from tenzir_spark.operators import repeat as _repeat
-            p = Pipeline(_repeat(df, int(arg) if arg else 2))
+            p = p._wrap(_repeat(df, int(arg) if arg else 2))
         elif op == "sigma":
             from tenzir_spark.functions.sigma import load_rules
             p = p.sigma(load_rules(shlex.split(arg)[0]))

@@ -688,3 +688,78 @@ def test_parse_operators_contract(spark):
         parse_pipeline("show version --tev", spark=spark)
     with pytest.raises(ValueError):
         parse_pipeline("show version 42", spark=spark)
+
+
+# ------------------------------------------------ Measure Events / Bytes
+# tests.yaml:742/:750 — event-position measure reports the reader's
+# declared schema name (the json reader stamps `tenzir.json`);
+# byte-position measure totals the loader's stream (the reference
+# harness gunzips .gz inputs before piping them to stdin, so the golden
+# byte count is the DECOMPRESSED size). --real-time changes emission
+# cadence only; the goldens pin identical sums for both modes.
+
+def _gunzipped(tmp_path_factory, rel):
+    raw = gzip.decompress(
+        open(os.path.join(REF, rel), "rb").read())
+    p = tmp_path_factory.mktemp("mz") / os.path.basename(rel)[:-3]
+    p.write_bytes(raw)
+    return str(p)
+
+
+@pytest.mark.parametrize("flags,step", [("", 0), (" --real-time", 1)])
+def test_measure_events_schema_name(spark, tmp_path_factory, flags, step):
+    p = _gunzipped(tmp_path_factory, "data/json/files.log.json.gz")
+    df = parse_pipeline(
+        f"from {p} read json | measure{flags}"
+        " | summarize events=sum(events) by schema", spark=spark).df
+    ref = json.loads("".join(_ref_lines("measure-events", step)))
+    assert [r.asDict() for r in df.collect()] == \
+        [{"schema": "tenzir.json", "events": 2}] == [ref]
+
+
+@pytest.mark.parametrize("flags,step", [("", 0), (" --real-time", 1)])
+def test_measure_bytes_total(spark, tmp_path_factory, flags, step):
+    p = _gunzipped(tmp_path_factory, "data/json/conn.log.json.gz")
+    df = parse_pipeline(
+        f"load file {p} | measure{flags} | summarize bytes=sum(bytes)",
+        spark=spark).df
+    ref = json.loads("".join(_ref_lines("measure-bytes", step)))
+    assert df.collect()[0].bytes == ref["bytes"] == 255960
+
+
+# ---------------------------------------------------------------- Repeat
+# tests.yaml:777 — repeat in BYTE position (between load and read)
+# replicates the loader's stream before the parser sees it; in EVENT
+# position it replicates rows; measure after either reports the cef
+# parser's declared `cef.event` schema riding on the frame.
+
+FORCEPOINT = os.path.join(REF, "data/cef/forcepoint.log")
+
+
+def test_repeat_byte_position(spark):
+    df = parse_pipeline(
+        f"load file {FORCEPOINT} | repeat 5 | read cef", spark=spark).df
+    ref_events = "\n".join(_ref_lines("repeat", 1)).count('"cef_version":')
+    assert df.count() == ref_events == 50
+    # replicated parses stay identical to the unreplicated golden
+    # (to_json: the cef extension MAP column bars a native distinct)
+    from pyspark.sql import functions as F
+    one = "\n".join(_ref_lines("repeat", 0)).count('"cef_version":')
+    assert df.select(
+        F.to_json(F.struct(*df.columns))).distinct().count() == one == 10
+
+
+@pytest.mark.parametrize("q,step", [
+    ("read cef | measure", 3),
+    ("repeat 5 | read cef | measure", 4),
+    ("read cef | repeat 5 | measure", 5),
+])
+def test_repeat_measure_schema(spark, q, step):
+    df = parse_pipeline(
+        f"load file {FORCEPOINT} | {q}"
+        " | summarize total=sum(events) by schema", spark=spark).df
+    ref = json.loads("".join(_ref_lines("repeat", step)))
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0].schema == ref["schema"] == "cef.event"
+    assert rows[0].total == ref["sum(events)"]
