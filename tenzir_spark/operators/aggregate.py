@@ -59,6 +59,11 @@ def _agg_column(spec: str | tuple | Column, binder=None) -> Column:
         field = rest.rsplit(")", 1)[0].strip()
         if out is None:
             out = f"{func}_{field}".replace(".", "_").replace("*", "star")
+    if field in (".", "*", "") and func != "count":
+        # reference contract (summarize-dot golden): only count accepts
+        # the whole-event `.` extractor
+        raise ValueError(
+            f"the `.` extractor is not supported for `{func}`")
     fn = AGGREGATION_FUNCTIONS[func]
     col = F.lit(1) if field in (".", "*", "") else _field_col(field, binder)
     if func == "count" and field in (".", "*", ""):
@@ -105,6 +110,10 @@ def summarize(
     for k in by:
         if isinstance(k, Column):
             keys.append(k)
+        elif k in (".", ""):
+            # reference contract (summarize-dot golden): `.` is not a
+            # grouping key
+            raise ValueError("cannot group by the `.` extractor")
         elif resolution and time_col and k == time_col:
             keys.append(F.window(F.col(k), resolution).start.alias(k))
         else:

@@ -188,41 +188,125 @@ def rename(df: DataFrame, **mapping: str) -> DataFrame:
     return out
 
 
+def _flatten_array(out: list, c: Column, et, prefix: str, sep: str) -> None:
+    """Flatten a column of type array<et> (reference flatten semantics:
+    nested lists concatenate into one list; lists of records transpose
+    into one list per leaf field, names joined with ``sep``)."""
+    while isinstance(et, T.ArrayType):
+        c = F.flatten(c)
+        et = et.elementType
+    if isinstance(et, T.StructType):
+        for f in et.fields:
+            # one-arg closure: a two-parameter lambda would make
+            # F.transform pass the element INDEX as the second arg
+            def _get(fn):
+                return lambda x: x[fn]
+            _flatten_array(out, F.transform(c, _get(f.name)),
+                           f.dataType, prefix + sep + f.name, sep)
+    else:
+        out.append((prefix, c))
+
+
 def flatten(df: DataFrame, sep: str = ".") -> DataFrame:
     """Flatten nested records into ``a.b``-named top-level columns.
-    Lists are kept as-is (the reference also keeps lists, merging nested
-    list-of-record layers). Reference: flatten.cpp:26."""
-    cols = []
-    for p, _ in leaf_paths(df.schema):
-        cols.append(F.col(p).alias(p.replace(".", sep)))
-    return df.select(*cols)
+    Nested lists concatenate into a single list and records inside lists
+    transpose into per-field lists (``{"a":[{"b":1}]}`` -> ``a.b: [1]``),
+    matching the reference's own flatten goldens. Maps stay opaque.
+    Reference: flatten.cpp:26, table_slice flatten."""
+    out: list = []
+
+    def walk(col: Column, dt, prefix: str) -> None:
+        if isinstance(dt, T.StructType):
+            for f in dt.fields:
+                walk(col.getField(f.name), f.dataType,
+                     f"{prefix}{sep}{f.name}" if prefix else f.name)
+        elif isinstance(dt, T.ArrayType):
+            _flatten_array(out, col, dt.elementType, prefix, sep)
+        else:
+            out.append((prefix, col))
+
+    for f in df.schema.fields:
+        walk(F.col(f"`{f.name}`"), f.dataType, f.name)
+    return df.select(*[c.alias(n) for n, c in out])
+
+
+def _unflatten_value(col: Column, dt, sep: str) -> Column:
+    """Recursively unflatten inside a value: records resolve their own
+    field names; list elements recurse (reference unflatten_list,
+    table_slice.cpp:1174)."""
+    if isinstance(dt, T.StructType):
+        pairs = _unflatten_fields(lambda n: col.getField(n), dt.fields, sep)
+        return F.struct(*[c.alias(n) for n, c in pairs])
+    if isinstance(dt, T.ArrayType):
+        et = dt.elementType
+        if isinstance(et, (T.StructType, T.ArrayType)):
+            return F.transform(col, lambda x: _unflatten_value(x, et, sep))
+    return col
+
+
+def _unflatten_fields(get, fields, sep: str) -> list[tuple[str, Column]]:
+    """Resolve one record level per the reference's conflict rules
+    (table_slice.cpp:1230 unflatten_struct_array): a name whose
+    before-last-separator prefix is itself a field stays flat; otherwise
+    it nests under its shortest prefix that is NOT a field name. Output
+    preserves original field order (groups emit at their first member)."""
+    names = [f.name for f in fields]
+    orig = set(names)
+    dts = {f.name: f.dataType for f in fields}
+    plan: dict[str, tuple] = {}
+    for n in names:
+        if sep not in n or n.startswith(sep) or n.endswith(sep):
+            plan[n] = ("self",)
+            continue
+        if n.rsplit(sep, 1)[0] in orig:
+            # value collision with an already-placeable field -> retain
+            plan[n] = ("self",)
+            continue
+        parts = n.split(sep)
+        for i in range(1, len(parts)):
+            pref = sep.join(parts[:i])
+            if pref not in orig:
+                plan[n] = ("child", pref, sep.join(parts[i:]))
+                break
+
+    def build(node) -> Column:
+        if isinstance(node, Column):
+            return node
+        return F.struct(*[build(v).alias(k) for k, v in node.items()])
+
+    groups: dict[str, list[tuple[str, str]]] = {}
+    for n in names:
+        if plan[n][0] == "child":
+            groups.setdefault(plan[n][1], []).append((plan[n][2], n))
+    out: list[tuple[str, Column]] = []
+    emitted: set[str] = set()
+    for n in names:
+        if plan[n][0] == "self":
+            out.append((n, _unflatten_value(get(n), dts[n], sep)))
+            continue
+        parent = plan[n][1]
+        if parent in emitted:
+            continue
+        emitted.add(parent)
+        tree: dict = {}
+        for rest, member in groups[parent]:
+            node = tree
+            ps = rest.split(sep)
+            for part in ps[:-1]:
+                node = node.setdefault(part, {})
+            node[ps[-1]] = _unflatten_value(get(member), dts[member], sep)
+        out.append((parent, build(tree)))
+    return out
 
 
 def unflatten(df: DataFrame, sep: str = ".") -> DataFrame:
-    """Rebuild nested records from separator-joined column names.
-    Reference: unflatten.cpp:27."""
-    tree: dict = {}
-    for name in df.columns:
-        parts = name.split(sep)
-        node = tree
-        for part in parts[:-1]:
-            node = node.setdefault(part, {})
-        node[parts[-1]] = F.col(f"`{name}`")
-
-    def build(node) -> Column | dict:
-        if isinstance(node, Column):
-            return node
-        return F.struct(*[
-            (build(v)).alias(k) for k, v in node.items()
-        ])
-
-    cols = []
-    for k, v in tree.items():
-        if isinstance(v, Column):
-            cols.append(v.alias(k))
-        else:
-            cols.append(build(v).alias(k))
-    return df.select(*cols)
+    """Rebuild nested records from separator-joined column names,
+    recursing into records nested in lists and keeping conflicting names
+    flat exactly like the reference. Reference: unflatten.cpp:27,
+    table_slice.cpp:1230."""
+    pairs = _unflatten_fields(
+        lambda n: F.col(f"`{n}`"), df.schema.fields, sep)
+    return df.select(*[c.alias(n) for n, c in pairs])
 
 
 def _q(c: str):

@@ -18,6 +18,38 @@ from pyspark.sql import types as T
 
 # ------------------------------------------------------------------ json
 
+def _normalize_concat_json(path: str, cap: int = 1 << 26) -> str | None:
+    """Parse a driver-local file of concatenated (possibly multi-line)
+    JSON values and spool it as NDJSON; None if the file is remote,
+    oversized, or not a clean JSON stream."""
+    import json as _json
+    import os
+    import tempfile
+
+    if not os.path.isfile(path) or os.path.getsize(path) > cap:
+        return None
+    text = open(path, encoding="utf-8", errors="replace").read()
+    dec = _json.JSONDecoder()
+    vals, i, n = [], 0, len(text)
+    try:
+        while True:
+            while i < n and text[i] in " \t\r\n":
+                i += 1
+            if i >= n:
+                break
+            v, i = dec.raw_decode(text, i)
+            vals.append(v)
+    except ValueError:
+        return None
+    if not vals:
+        return None
+    fd, out = tempfile.mkstemp(suffix=".ndjson")
+    with os.fdopen(fd, "w") as fh:
+        for v in vals:
+            fh.write(_json.dumps(v) + "\n")
+    return out
+
+
 def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None,
               selector: str | None = None, selector_prefix: str = "",
               arrays_of_objects: bool = False, **options) -> DataFrame:
@@ -36,6 +68,15 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None
     if schema is not None:
         reader = reader.schema(schema)
     df = reader.json(path, **options)
+    if (schema is None and not options.get("multiLine")
+            and "_corrupt_record" in df.columns):
+        # the reference's incremental parser accepts CONCATENATED
+        # pretty-printed JSON values (json.cpp); Spark's line reader
+        # marks those corrupt. For a single driver-local file (the TQL
+        # spool path), re-serialize to NDJSON and re-read.
+        norm = _normalize_concat_json(path)
+        if norm is not None:
+            df = reader.json(norm, **options)
     if selector:
         prefix = f"{selector_prefix}." if selector_prefix else ""
         df = df.withColumn("_schema", F.concat(F.lit(prefix), F.col(selector).cast("string")))

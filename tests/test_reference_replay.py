@@ -763,3 +763,195 @@ def test_repeat_measure_schema(spark, q, step):
     assert len(rows) == 1
     assert rows[0].schema == ref["schema"] == "cef.event"
     assert rows[0].total == ref["sum(events)"]
+
+
+# ------------------------------------------------------------------ Sort
+# tests.yaml — sort over zeek-tsv: timestamp ascending, string
+# descending, and explicit null placement (reference default is
+# nulls-last ascending). The ts golden renders the reference's float64
+# microsecond rounding (.800932 for a file value of .800933); we assert
+# on row ORDER (by uid), which is unaffected.
+
+@pytest.fixture(scope="module")
+def merge_tsv():
+    return os.path.join(REF, "data/zeek/merge.log")
+
+
+def _ref_field(case, step, key):
+    pat = rf'"{key}": (null|"[^"]*")'
+    return [None if v == "null" else v.strip('"')
+            for v in re.findall(pat, "\n".join(_ref_lines(case, step)))]
+
+
+def test_sort_ts_ascending(spark, merge_tsv):
+    df = parse_pipeline(
+        f"from {merge_tsv} read zeek-tsv | select ts, uid | sort ts",
+        spark=spark).df
+    assert [r.uid for r in df.collect()] == _ref_field("sort", 0, "uid")
+
+
+def test_sort_string_desc(spark, merge_tsv):
+    df = parse_pipeline(
+        f"from {merge_tsv} read zeek-tsv | select uid | sort uid desc",
+        spark=spark).df
+    assert [r.uid for r in df.collect()] == _ref_field("sort", 1, "uid")
+
+
+@pytest.mark.parametrize("flags,step", [("", 2), (" nulls-first", 3)])
+def test_sort_null_placement(spark, conn_tsv, flags, step):
+    df = parse_pipeline(
+        f"from {conn_tsv} read zeek-tsv | head | select service"
+        f" | sort service{flags}", spark=spark).df
+    assert [r.service for r in df.collect()] == \
+        _ref_field("sort", step, "service")
+
+
+# --------------------------------------------------------- Summarize Dot
+# tests.yaml — count(.) counts whole events across schemas; any other
+# aggregate (and grouping) rejects the `.` extractor at parse time.
+
+def test_summarize_count_dot(spark):
+    df = parse_pipeline(
+        f"from {os.path.join(REF, 'data/zeek/zeek.json')} read zeek-json"
+        " | summarize x=count(.)", spark=spark).df
+    ref = json.loads("".join(_ref_lines("summarize-dot", 0)))
+    assert df.collect()[0].x == ref["x"] == 36
+
+
+@pytest.mark.parametrize("q", [
+    "summarize x=distinct(.)",
+    "summarize x=count(_path) by .",
+])
+def test_summarize_dot_error_contract(spark, q):
+    src = parse_pipeline(
+        f"from {os.path.join(REF, 'data/zeek/zeek.json')} read zeek-json",
+        spark=spark)
+    with pytest.raises(ValueError):
+        parse_pipeline(q, source=src.df).df.collect()
+
+
+# ------------------------------------------------------ Flatten Operator
+# tests.yaml — flatten turns nested records into dotted names, fully
+# concatenates nested lists, and transposes records-inside-lists into
+# per-field lists. Each case is pinned to the reference's own output.
+
+JD = os.path.join(REF, "data/json")
+
+
+def _one_row(spark, q):
+    rows = parse_pipeline(q, spark=spark).df.collect()
+    assert len(rows) == 1
+    return rows[0].asDict(recursive=True)
+
+
+def test_flatten_nested_object(spark):
+    got = _one_row(spark, f"from {JD}/nested-object.json read json | flatten")
+    ref = json.loads("".join(_ref_lines("flatten-operator", 1)))
+    assert got == ref == {"a.b.c": 42, "a.d": True, "a.e": False, "f.g": ""}
+
+
+def test_flatten_record_in_list_transposes(spark):
+    got = _one_row(spark, f"from {JD}/record-in-list.json read json | flatten")
+    ref = json.loads("".join(_ref_lines("flatten-operator", 3)))
+    assert got == ref == {"a.b": ["123"], "a.c": [456], "d": 789}
+
+
+def test_flatten_nested_lists_concatenate(spark):
+    # nested-structure.json: uid is a 6-deep ragged list holding 42,
+    # 43, null; desktop_height a list-of-lists — both concatenate flat
+    # (reference golden step 2; reads concatenated pretty JSON)
+    rows = parse_pipeline(
+        f"from {JD}/nested-structure.json read json | flatten",
+        spark=spark).df.collect()
+    assert len(rows) == 2
+    for r in rows:
+        d = r.asDict(recursive=True)
+        assert d["uid"] == [42, 43, None]
+        assert d["desktop_height"] == [2, 3, 2, 3, 4]
+        assert d["desktop_width.amount"] == 10
+    ref = "\n".join(_ref_lines("flatten-operator", 2))
+    assert ref.count('"desktop_width.amount": 10') == 2
+
+
+def test_flatten_suricata_dotted_alert(spark):
+    df = parse_pipeline(
+        f"from {os.path.join(REF, 'data/suricata/eve.json')} read suricata"
+        " | flatten", spark=spark).df
+    row = [r.asDict(recursive=True) for r in df.collect()
+           if r.asDict().get("pcap_cnt") == 83]
+    assert len(row) == 1
+    ref_txt = "\n".join(_ref_lines("flatten-operator", 4))
+    assert row[0]["alert.signature_id"] == 2017318
+    assert '"alert.signature_id": 2017318' in ref_txt
+    assert row[0]["alert.category"] == "Potentially Bad Traffic"
+
+
+# ---------------------------------------------------- Unflatten Operator
+# tests.yaml — dotted names rebuild records, recursing into records
+# nested in lists; a name whose before-last-dot prefix is itself a
+# field stays flat (reference conflict rule, table_slice.cpp).
+
+@pytest.mark.parametrize("fixture,step", [
+    ("record-in-list-in-record.json", 0),
+    ("records-in-nested-lists.json", 1),
+    ("records-in-nested-record-lists.json", 2),
+    ("record-in-list2.json", 7),
+    ("record-with-multiple-unflattened-values.json", 8),
+    ("record-with-multi-nested-field-names.json", 9),
+])
+def test_unflatten_fixture(spark, fixture, step):
+    got = _one_row(spark, f"from {JD}/{fixture} read json | unflatten")
+    ref = json.loads("".join(_ref_lines("unflatten-operator", step)))
+    assert got == ref
+
+
+@pytest.mark.parametrize("fixture,step", [
+    ("record-in-list.json", 3),
+    ("nested-object.json", 4),
+    ("nested-structure.json", 5),
+])
+def test_flatten_unflatten_roundtrip(spark, fixture, step):
+    rows = parse_pipeline(
+        f"from {JD}/{fixture} read json | flatten | unflatten",
+        spark=spark).df.collect()
+    ref_objs = []
+    dec = json.JSONDecoder()
+    txt, i = "\n".join(_ref_lines("unflatten-operator", step)), 0
+    while i < len(txt):
+        while i < len(txt) and txt[i] in " \t\r\n":
+            i += 1
+        if i >= len(txt):
+            break
+        v, i = dec.raw_decode(txt, i)
+        ref_objs.append(v)
+    assert len(rows) == len(ref_objs)
+    if fixture != "nested-structure.json":
+        assert [r.asDict(recursive=True) for r in rows] == ref_objs
+    else:
+        # ts microsecond float rendering differs (see sort note);
+        # compare everything except ts
+        for r, ref in zip(rows, ref_objs):
+            d = r.asDict(recursive=True)
+            d.pop("ts", None), ref.pop("ts", None)
+            assert d == ref
+
+
+# ------------------------------------------------- Slice Regression Test
+# tests.yaml — select of a nested (map-key) path followed by head/tail
+# and an extend reading the same path: row identity vs the golden.
+
+def test_slice_regression_head_tail(spark):
+    # our tail requires an explicit order (stream order does not exist
+    # in a distributed pipeline), so the tail leg carries an enumerate
+    # index through the select and drops it after slicing
+    for q, step in (
+            ("select extension.dvc | head 8", 0),
+            ("enumerate idx | select idx, extension.dvc"
+             " | tail 3 --order-by idx | drop idx", 1)):
+        df = parse_pipeline(
+            f"load file {FORCEPOINT} | read cef | {q}"
+            " | extend foo=extension.dvc", spark=spark).df
+        rows = [r.asDict(recursive=True) for r in df.collect()]
+        ref_foo = _ref_field("slice-regression-test", step, "foo")
+        assert [r["foo"] for r in rows] == ref_foo
+        assert [r["extension"]["dvc"] for r in rows] == ref_foo
