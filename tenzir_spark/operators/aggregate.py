@@ -26,8 +26,11 @@ AGGREGATION_FUNCTIONS = {
     # count_distinct.cpp:54-86 — EXACT distinct (not approx, for parity)
     "count_distinct": lambda c: F.countDistinct(c),
     "approx_count_distinct": lambda c: F.approx_count_distinct(c),
-    # distinct.cpp — sorted list of distinct values
-    "distinct": lambda c: F.array_sort(F.collect_set(c)),
+    # distinct.cpp — sorted list of distinct values; NULL (not []) when
+    # no non-null input (summarize-all-none-some golden: distinct over
+    # an absent column renders null)
+    "distinct": lambda c: (lambda a: F.when(F.size(a) > 0, a))(
+        F.array_sort(F.collect_set(c))),
     # any.cpp / all.cpp — boolean or / and
     "any": lambda c: F.bool_or(c),
     "all": lambda c: F.bool_and(c),
@@ -59,7 +62,7 @@ def _agg_column(spec: str | tuple | Column, binder=None) -> Column:
         field = rest.rsplit(")", 1)[0].strip()
         if out is None:
             out = f"{func}_{field}".replace(".", "_").replace("*", "star")
-    if field in (".", "*", "") and func != "count":
+    if field in (".", "*", "") and func not in ("count", "count_star"):
         # reference contract (summarize-dot golden): only count accepts
         # the whole-event `.` extractor
         raise ValueError(

@@ -955,3 +955,81 @@ def test_slice_regression_head_tail(spark):
         ref_foo = _ref_field("slice-regression-test", step, "foo")
         assert [r["foo"] for r in rows] == ref_foo
         assert [r["extension"]["dvc"] for r in rows] == ref_foo
+
+
+# -------------------------------------------- Summarize All None Some
+# tests.yaml — distinct()/group-by over columns that are present in All,
+# None, or Some of the heterogeneous zeek.json schemas: absent
+# aggregation columns yield null (not []), absent group keys put every
+# row in the null group. IP lists compare as sets (the reference sorts
+# them as ip values, we as strings).
+
+def _ref_objs(case, step):
+    txt, i, out = "\n".join(_ref_lines(case, step)), 0, []
+    dec = json.JSONDecoder()
+    while i < len(txt):
+        while i < len(txt) and txt[i] in " \t\r\n":
+            i += 1
+        if i >= len(txt):
+            break
+        try:
+            v, i = dec.raw_decode(txt, i)
+        except ValueError:
+            break  # trailing warning lines
+        out.append(v)
+    return out
+
+
+def _zjson(spark, q):
+    return parse_pipeline(
+        f"from {os.path.join(REF, 'data/zeek/zeek.json')} read zeek-json"
+        f" | {q}", spark=spark).df
+
+
+def _norm(v):
+    return tuple(sorted(v)) if isinstance(v, list) else v
+
+
+@pytest.mark.parametrize("q,step", [
+    ("summarize x=distinct(_path) by _path", 0),    # AA
+    ("summarize x=distinct(y) by z", 1),            # NN
+    ("summarize x=distinct(y) by _path", 2),        # NA
+    ("summarize x=distinct(_path) by z", 3),        # AN
+    ("summarize x=distinct(id.orig_h) by z", 5),    # SN
+    ("summarize x=distinct(id.orig_h) by _path", 7),  # SA
+    ("summarize x=distinct(_path)", 9),             # A
+    ("summarize x=distinct(id.orig_h)", 10),        # S
+    ("summarize x=distinct(y)", 11),                # N
+])
+def test_summarize_all_none_some(spark, q, step):
+    rows = _zjson(spark, q).collect()
+    ours = sorted((tuple(_norm(v) for v in r) for r in rows),
+                  key=repr)
+    key = [k for k in rows[0].asDict() if k != "x"]
+    ref = sorted(
+        (tuple(_norm(o[k]) for k in (key + ["x"])) for o in
+         _ref_objs("summarize-all-none-some", step)), key=repr)
+    assert ours == ref
+
+
+# --------------------------------------------------------- Enumerate
+# tests.yaml — `select uid | enumerate index` over a 10-event import:
+# dense 0-based indices per schema. The reference interleaves its conn
+# and dns imports in one export; we replay each log separately and
+# check both (index, uid) sequences appear exactly in the golden.
+
+def test_enumerate_dense_index_per_schema(spark, tmp_path_factory):
+    ref_pairs = [(o["index"], o["uid"])
+                 for o in _ref_objs("enumerate", 2)]
+    seen = []
+    for log in ("conn", "dns"):
+        p = _zeek_log(tmp_path_factory, log)
+        df = parse_pipeline(
+            f"from {p} read zeek-tsv | head 10 | select uid"
+            " | enumerate index", spark=spark).df
+        ours = [(r["index"], r.uid) for r in df.collect()]
+        assert [i for i, _ in ours] == list(range(10)), log
+        for pair in ours:
+            assert pair in ref_pairs, (log, pair)
+        seen.extend(ours)
+    assert sorted(seen, key=repr) == sorted(ref_pairs, key=repr)
