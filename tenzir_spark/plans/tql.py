@@ -1128,20 +1128,27 @@ def run_pipeline(p: Pipeline):
         return None
     if sink.kind == "json":
         opts = getattr(sink, "opts", [])
+        known = ("-c", "--compact-output", "--omit-nulls", "--omit-empty",
+                 "--omit-empty-objects", "--omit-empty-lists")
         for o in opts:
-            if o in ("--omit-empty", "--omit-empty-objects",
-                     "--omit-empty-lists"):
-                raise NotImplementedError(
-                    f"json printer option {o} is unsupported (needs "
-                    f"per-row structural pruning Spark's writer lacks)")
-            if o not in ("-c", "--compact-output", "--omit-nulls"):
+            if o not in known:
                 raise ValueError(f"unknown json printer option {o!r}")
         # reference default (json.cpp printer) INCLUDES null fields;
-        # --omit-nulls drops them. -c/--compact-output is accepted: the
-        # output is NDJSON, which is already the compact form (the
+        # --omit-nulls drops them; --omit-empty implies all three omit
+        # flags (json.cpp:989-994). -c/--compact-output is accepted:
+        # the output is NDJSON, already the compact form (the
         # reference's non-compact default pretty-prints multi-line).
-        fmt.write_json(p.df, sink.path,
-                       ignoreNullFields=("--omit-nulls" in opts))
+        if any(o.startswith("--omit-empty") for o in opts):
+            ea = "--omit-empty" in opts
+            lines = fmt.json_pruned_lines(
+                p.df,
+                omit_nulls=ea or "--omit-nulls" in opts,
+                omit_empty_objects=ea or "--omit-empty-objects" in opts,
+                omit_empty_lists=ea or "--omit-empty-lists" in opts)
+            lines.write.mode("overwrite").text(sink.path)
+        else:
+            fmt.write_json(p.df, sink.path,
+                           ignoreNullFields=("--omit-nulls" in opts))
         return None
     if sink.kind in ("csv", "tsv", "ssv"):
         fmt.write_xsv(p.df, sink.path, sep={"csv": ",", "tsv": "\t", "ssv": " "}[sink.kind])
@@ -1156,10 +1163,24 @@ def run_pipeline(p: Pipeline):
         fmt._assemble_parts(lines, sink.path)
         return None
     if sink.kind == "zeek-tsv":
+        zopts = list(getattr(sink, "opts", []))
+
+        def _zflag(flag, default):
+            if flag in zopts:
+                i = zopts.index(flag)
+                val = zopts[i + 1]
+                del zopts[i:i + 2]
+                return val
+            return default
+
+        sset = _zflag("--set-separator", ",")
+        sempty = _zflag("--empty-field", "(empty)")
+        sunset = _zflag("--unset-field", "-")
         fmt.write_zeek_tsv(
             p.df, sink.path,
-            disable_timestamp_tags=("--disable-timestamp-tags"
-                                    in getattr(sink, "opts", [])))
+            log_path=p.df.__dict__.get("_tenzir_schema", "tenzir"),
+            disable_timestamp_tags="--disable-timestamp-tags" in zopts,
+            set_separator=sset, empty_field=sempty, unset_field=sunset)
         return None
     if sink.kind == "yaml":
         fmt.write_yaml(p.df, sink.path)

@@ -42,7 +42,9 @@ _PRIMITIVES = {
     "duration": (T.DoubleType(), "duration"),
     "ip": (T.StringType(), "ip"),
     "subnet": (T.StringType(), "subnet"),
-    "port": (T.LongType(), None),
+    # hint lets `:port` type queries resolve and the zeek-tsv printer
+    # emit the `port` type name for declared port columns
+    "port": (T.LongType(), "port"),
 }
 
 

@@ -50,6 +50,26 @@ def _normalize_concat_json(path: str, cap: int = 1 << 26) -> str | None:
     return out
 
 
+def _first_object_key_order(path: str) -> list[str] | None:
+    """Top-level key order of the first JSON object in a driver-local
+    file (None for globs/dirs or non-object heads)."""
+    import json as _json
+    import os
+
+    if not os.path.isfile(path):
+        return None
+    try:
+        with open(path, encoding="utf-8", errors="replace") as fh:
+            txt = fh.read(1 << 20)
+        i = 0
+        while i < len(txt) and txt[i] in " \t\r\n":
+            i += 1
+        v, _ = _json.JSONDecoder().raw_decode(txt, i)
+    except (ValueError, OSError):
+        return None
+    return list(v) if isinstance(v, dict) else None
+
+
 def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None,
               selector: str | None = None, selector_prefix: str = "",
               arrays_of_objects: bool = False, **options) -> DataFrame:
@@ -77,9 +97,28 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None
         norm = _normalize_concat_json(path)
         if norm is not None:
             df = reader.json(norm, **options)
+    if schema is None and not options.get("multiLine"):
+        # Spark's inference alphabetizes top-level fields; the
+        # reference keeps the input's key order (zeek-tsv-pipeline
+        # step 5 golden pins it) — restore first-object order
+        order = _first_object_key_order(path)
+        if order:
+            cols = ([c for c in order if c in df.columns]
+                    + [c for c in df.columns if c not in order])
+            if cols != df.columns:
+                df = df.select(*[F.col(f"`{c}`") for c in cols])
     if selector:
         prefix = f"{selector_prefix}." if selector_prefix else ""
-        df = df.withColumn("_schema", F.concat(F.lit(prefix), F.col(selector).cast("string")))
+        if selector in df.columns:
+            df = df.withColumn("_schema", F.concat(
+                F.lit(prefix), F.col(selector).cast("string")))
+        else:
+            # selector field absent from the input (e.g. zeek json
+            # exports without _path): fall back to <prefix>.unknown,
+            # mirroring the reference's unknown-schema demotion
+            df = df.withColumn(
+                "_schema", F.lit(f"{prefix}unknown" if prefix
+                                 else "unknown"))
     return df
 
 
@@ -105,6 +144,48 @@ def read_zeek_json(spark: SparkSession, path: str, **options) -> DataFrame:
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
     df.write.mode(mode).json(path, **options)
+
+
+def json_pruned_lines(df: DataFrame, omit_nulls: bool,
+                      omit_empty_objects: bool,
+                      omit_empty_lists: bool) -> DataFrame:
+    """NDJSON lines with the reference's --omit-* printer flags applied
+    (json.cpp:989-994; --omit-empty implies all three). Spark's writer
+    has a fixed schema per file, so the structural per-row pruning runs
+    as an Arrow-batched pass over ``to_json`` output — a printer (edge)
+    path, never the bulk parquet path. Children prune first, so a
+    record emptied by --omit-nulls then drops under
+    --omit-empty-objects."""
+    import json as _json
+
+    from pyspark.sql.functions import pandas_udf
+
+    def prune(v):
+        if isinstance(v, dict):
+            out = {}
+            for k, x in v.items():
+                x = prune(x)
+                if x is None and omit_nulls:
+                    continue
+                if x == {} and omit_empty_objects:
+                    continue
+                if x == [] and omit_empty_lists:
+                    continue
+                out[k] = x
+            return out
+        if isinstance(v, list):
+            return [prune(x) for x in v]
+        return v
+
+    @pandas_udf("string")
+    def _prune_udf(s):
+        return s.map(lambda ln: _json.dumps(
+            prune(_json.loads(ln)), separators=(",", ":")))
+
+    js = df.select(F.to_json(
+        F.struct(*[F.col(f"`{c}`") for c in df.columns]),
+        {"ignoreNullFields": "false"}).alias("value"))
+    return js.select(_prune_udf("value").alias("value"))
 
 
 # ------------------------------------------------------------------ xsv
@@ -256,31 +337,45 @@ def read_zeek_tsv(spark: SparkSession, path: str) -> DataFrame:
         if n_headers > 1:
             return _read_zeek_tsv_multi(spark, path)
     head = spark.read.text(path).limit(200).collect()
-    sep, unset, empty = "\t", "-", "(empty)"
+    sep, unset, empty, set_sep = "\t", "-", "(empty)", ","
     fields: list[str] = []
     types: list[str] = []
     zpath: str | None = None
     for row in head:
         line = row[0]
+        if not line.strip():
+            continue  # leading blank lines (whitespace_start.log)
         if not line.startswith("#"):
             break
         key, _, rest = line[1:].partition("\t" if "\t" in line else " ")
+        # directives with a MISSING value keep their zeek defaults
+        # (broken_no_separator_value / broken_no_empty_and_unset_fields
+        # goldens: the reference parses such files tolerantly)
         if key == "separator":
-            sep = bytes(rest.strip(), "utf-8").decode("unicode_escape")
+            sep = (bytes(rest.strip(), "utf-8").decode("unicode_escape")
+                   or "\t")
         elif key == "path":
             zpath = rest.strip()
+        elif key == "set_separator":
+            set_sep = rest.strip() or ","
         elif key == "unset_field":
-            unset = rest.strip()
+            unset = rest.strip() or unset
         elif key == "empty_field":
-            empty = rest.strip()
+            empty = rest.strip() or empty
         elif key == "fields":
             fields = rest.split(sep)
         elif key == "types":
             types = rest.split(sep)
     if not fields:
+        if not head or all(not r[0].strip() for r in head):
+            # a fully empty input parses to zero events, not an error
+            # (reference golden: empty.log -> empty output)
+            return spark.createDataFrame([], T.StructType([]))
         raise ValueError(f"{path}: no #fields header — not zeek-tsv?")
 
-    lines = spark.read.text(path).filter(~F.col("value").startswith("#"))
+    lines = spark.read.text(path).filter(
+        (~F.col("value").startswith("#"))
+        & (F.trim(F.col("value")) != ""))
     parts = F.split(F.col("value"), re.escape(sep))
     cols = []
     _stringy = {"string", "addr", "subnet", "enum"}
@@ -289,15 +384,47 @@ def read_zeek_tsv(spark: SparkSession, path: str) -> DataFrame:
         base = ztype.split("[", 1)[0]  # vector[string] -> vector handled as string
         # zeek distinguishes unset ('-' -> null) from set-but-empty
         # ('(empty)' -> "" for string-like types, null otherwise)
-        if base in _stringy and not ztype.startswith(("set[", "vector[")):
+        if base in _stringy and not ztype.startswith(("set[", "vector[", "table[")):
             raw = F.when(raw0 == unset, None) \
                 .otherwise(F.when(raw0 == empty, F.lit("")).otherwise(raw0))
         else:
             raw = F.when((raw0 == unset) | (raw0 == empty), None).otherwise(raw0)
-        if ztype.startswith(("set[", "vector[")):
-            col = F.split(raw, ",")
+        if ztype.startswith(("set[", "vector[", "table[")):
+            # the reference has no null lists: BOTH the unset and the
+            # empty token parse as an empty vector (its dns golden
+            # prints input '-' back as '(empty)')
+            col = (F.when((raw0 == unset) | (raw0 == empty),
+                          F.array().cast("array<string>"))
+                   .otherwise(F.split(raw0, re.escape(set_sep))))
         elif base == "time":
-            col = F.timestamp_seconds(raw.cast("double"))
+            # accept both zeek's on-disk epoch floats and the
+            # reference printer's ISO rendering (round-trip). The
+            # reference converts the float to NANOSECONDS (losing
+            # float64 precision at e18) then truncates to µs — .237254
+            # prints as .237253 (chrono.hpp:171 'no rounding'); the
+            # ns-long → exact-µs chain below reproduces that bit-form
+            # try_cast: ISO-rendered input must fall through to the
+            # to_timestamp branch, not throw under ANSI mode
+            ns = (raw.try_cast("double") * F.lit(1e9)).try_cast("long")
+            # ns/1000 must divide as integers: long/int promotes to
+            # double, whose 53-bit mantissa cannot hold e18 — decimal
+            # division is exact
+            us = F.floor(ns.cast("decimal(38,0)") / 1000).cast("long")
+            col = F.coalesce(F.timestamp_micros(us), F.to_timestamp(raw))
+        elif base == "interval":
+            # raw seconds ('3.780218') or the printer's adaptive form
+            # ('163.82ms') — both to double seconds
+            num = F.regexp_extract(raw, r"^(-?\d+(?:\.\d+)?)", 1) \
+                .cast("double")
+            unit = F.regexp_extract(raw, r"([a-z]+)$", 1)
+            col = num * (F.when(unit == "d", F.lit(86400.0))
+                         .when(unit == "h", F.lit(3600.0))
+                         .when(unit == "m", F.lit(60.0))
+                         .when(unit == "s", F.lit(1.0))
+                         .when(unit == "ms", F.lit(1e-3))
+                         .when(unit == "us", F.lit(1e-6))
+                         .when(unit == "ns", F.lit(1e-9))
+                         .otherwise(F.lit(1.0)))
         elif base == "bool":
             # zeek booleans are T/F
             col = (F.when(raw == "T", F.lit(True))
@@ -359,14 +486,24 @@ def _read_zeek_tsv_multi(spark: SparkSession, path: str) -> DataFrame:
             cur.write(line)
     if cur is not None:
         cur.close()
+    same = len({name for name, _, _ in blocks}) == 1
     frames = []
     for name, spool, _fh in blocks:
         df = read_zeek_tsv(spark, spool)
-        frames.append(df.withColumn("_schema", F.lit(f"zeek.{name}")))
+        if not same:
+            df = df.withColumn("_schema", F.lit(f"zeek.{name}"))
+        frames.append(df)
         # the frame reads the spool lazily — unlink at interpreter exit,
         # not here (deleting now would break any later action on it)
         import atexit as _atexit
         _atexit.register(lambda p=spool: _os.path.exists(p) and _os.unlink(p))
+    if same:
+        # repeated blocks of ONE schema (e.g. a log rotated onto stdin):
+        # coalesce without a demux column, keeping the declared name on
+        # the frame like the single-block read
+        out = unify_streams(frames, schema_col=None)
+        out.__dict__["_tenzir_schema"] = f"zeek.{blocks[0][0]}"
+        return out
     return unify_streams(frames, schema_col=None)
 
 
@@ -378,12 +515,84 @@ _ZEEK_OUT_TYPE = {
 }
 
 
+def _zeek_duration_text(c: Column) -> Column:
+    """Adaptive duration rendering (reference chrono.hpp print_adaptive):
+    largest unit with magnitude >= 1, '%.2f', then ONE trailing zero
+    stripped ('120.00' -> '120.0', '163.82' stays)."""
+    def _fmt(v: Column) -> Column:
+        return F.regexp_replace(F.format_string("%.2f", v), "0$", "")
+    a = F.abs(c)
+    return (F.when(c.isNull(), F.lit(None).cast("string"))
+            .when(a >= 86400, F.concat(_fmt(c / 86400), F.lit("d")))
+            .when(a >= 3600, F.concat(_fmt(c / 3600), F.lit("h")))
+            .when(a >= 60, F.concat(_fmt(c / 60), F.lit("m")))
+            .when(a >= 1, F.concat(_fmt(c), F.lit("s")))
+            .when(a >= 1e-3, F.concat(_fmt(c * 1e3), F.lit("ms")))
+            .when(a >= 1e-6, F.concat(_fmt(c * 1e6), F.lit("us")))
+            .otherwise(F.concat(_fmt(c * 1e9), F.lit("ns"))))
+
+
+def _declared_zeek_layout(name: str) -> list[tuple[str, str]] | None:
+    """Flattened (dotted field, zeek type name) list of a declared
+    schema from the module library, or None. Maps library types back to
+    zeek printer names (enum->string, list<x> -> vector[x])."""
+    from tenzir_spark.schema_lib import get_schema
+    got = get_schema(name)
+    if got is None:
+        return None
+    st, hints = got
+
+    def ztype(dt, path):
+        h = hints.get(path)
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            return "time"
+        if isinstance(dt, T.BooleanType):
+            return "bool"
+        if isinstance(dt, T.ArrayType):
+            return f"vector[{ztype(dt.elementType, path)}]"
+        if h == "duration":
+            return "interval"
+        if h == "port":
+            return "port"
+        if h == "ip":
+            return "addr"
+        if h == "subnet":
+            return "subnet"
+        if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType)):
+            return "count"
+        if isinstance(dt, (T.DoubleType, T.FloatType)):
+            return "double"
+        return "string"
+
+    out: list[tuple[str, str]] = []
+
+    def walk(fields, prefix):
+        for f in fields:
+            p = f"{prefix}{f.name}"
+            if isinstance(f.dataType, T.StructType):
+                walk(f.dataType.fields, p + ".")
+            else:
+                out.append((p, ztype(f.dataType, p)))
+
+    walk(st.fields, "")
+    return out
+
+
 def write_zeek_tsv(df: DataFrame, path: str, log_path: str = "tenzir",
-                   disable_timestamp_tags: bool = False) -> None:
+                   disable_timestamp_tags: bool = False,
+                   set_separator: str = ",", empty_field: str = "(empty)",
+                   unset_field: str = "-") -> None:
     """Zeek-native TSV printer: the full #separator/#set_separator/
     #empty_field/#unset_field/#path/#fields/#types header block followed
     by TSV rows, so ``read_zeek_tsv(write_zeek_tsv(df))`` round-trips
-    (reference printer: formats/zeek_tsv.cpp).
+    (reference printer: formats/zeek_tsv.cpp; value rendering —
+    ISO timestamps, adaptive durations, T/F bools — matches the
+    reference's own zeek-tsv-pipeline-format goldens byte-for-byte).
+
+    When ``log_path`` names a schema in the module library, the output
+    conforms to the DECLARED layout: declared order, declared #types,
+    declared-but-absent columns rendered unset — like the reference's
+    typed import. Extra frame columns append after the declared ones.
 
     Rows are rendered distributed (one JVM concat_ws projection); the
     final single-file assembly streams SHARED-storage part files through
@@ -391,38 +600,75 @@ def write_zeek_tsv(df: DataFrame, path: str, log_path: str = "tenzir",
     single-stream .log format, not a data-scale path, and safe on a
     multi-machine cluster.
     """
-    sep, unset, empty = "\t", "-", "(empty)"
-    names, ztypes, rendered = [], [], []
+    if not df.schema.fields or df.isEmpty():
+        # the reference printer is per-batch: zero events emit zero
+        # bytes, not a bare header block (broken_no_data_after_open /
+        # empty-input goldens). Through the FileIO seam for shared
+        # storage, same as the assembled path.
+        from tenzir_spark.lake.format import DEFAULT_IO
+        with DEFAULT_IO.open_write(path):
+            pass
+        return
+    sep, unset, empty = "\t", unset_field, empty_field
+    have = {f.name: f for f in df.schema.fields}
+    layout = _declared_zeek_layout(log_path) or []
+    plan: list[tuple[str, str]] = list(layout)
+    declared = {n for n, _ in layout}
     for f in df.schema.fields:
-        names.append(f.name)
-        col = F.col(f"`{f.name}`")
-        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
-            ztypes.append("time")
-            s = col.cast("double").cast("decimal(20,6)").cast("string")
-        elif isinstance(f.dataType, T.BooleanType):
-            ztypes.append("bool")
-            # guard nulls FIRST: when(col,'T').otherwise('F') routes null
-            # into the 'F' branch, so a null bool would round-trip as
-            # False instead of unset (round-2 advice #2) — keep it null
-            # here and let the final coalesce emit the unset token
+        if f.name not in declared:
+            if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
+                zt = "time"
+            elif isinstance(f.dataType, T.BooleanType):
+                zt = "bool"
+            elif isinstance(f.dataType, (T.DoubleType, T.FloatType)):
+                zt = "interval" if f.name == "duration" else "double"
+            elif isinstance(f.dataType, T.ArrayType):
+                zt = "vector[string]"
+            else:
+                zt = _ZEEK_OUT_TYPE.get(type(f.dataType), "string")
+            plan.append((f.name, zt))
+
+    names, ztypes, rendered = [], [], []
+    for name, zt in plan:
+        names.append(name)
+        ztypes.append(zt)
+        if name not in have:
+            rendered.append(F.lit(unset))
+            continue
+        dt = have[name].dataType
+        col = F.col(f"`{name}`")
+        if zt == "time":
+            s = F.date_format(col.cast("timestamp"),
+                              "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        elif zt == "bool":
+            # guard nulls FIRST: when(col,'T').otherwise('F') routes
+            # null into 'F', so a null bool would round-trip as False
+            # instead of unset (round-2 advice #2)
             s = (F.when(col.isNull(), F.lit(None).cast("string"))
-                 .when(col, F.lit("T")).otherwise(F.lit("F")))
-        elif isinstance(f.dataType, (T.DoubleType, T.FloatType)):
-            ztypes.append("interval" if f.name == "duration" else "double")
-            s = col.cast("decimal(24,6)").cast("string")
-        elif isinstance(f.dataType, T.ArrayType):
-            ztypes.append("vector[string]")
-            s = F.array_join(col.cast("array<string>"), ",")
+                 .when(col.cast("boolean"), F.lit("T"))
+                 .otherwise(F.lit("F")))
+        elif zt == "interval":
+            s = _zeek_duration_text(col.cast("double"))
+        elif zt.startswith("vector["):
+            inner = zt[7:-1]
+            arr = col if isinstance(dt, T.ArrayType) else F.array(col)
+            if inner == "interval":
+                items = F.transform(
+                    arr, lambda x: _zeek_duration_text(x.cast("double")))
+            else:
+                items = arr.cast("array<string>")
+            s = (F.when(col.isNull(), F.lit(None).cast("string"))
+                 .when(F.size(arr) == 0, F.lit(empty))
+                 .otherwise(F.array_join(items, set_separator)))
         else:
-            ztypes.append(_ZEEK_OUT_TYPE.get(type(f.dataType), "string"))
             s = col.cast("string")
-            if isinstance(f.dataType, T.StringType):
+            if isinstance(dt, T.StringType):
                 s = F.when(col == "", F.lit(empty)).otherwise(s)
         rendered.append(F.coalesce(s, F.lit(unset)))
     line = F.concat_ws(sep, *rendered)
 
     head = ("#separator \\x09\n"
-            f"#set_separator{sep},\n"
+            f"#set_separator{sep}{set_separator}\n"
             f"#empty_field{sep}{empty}\n"
             f"#unset_field{sep}{unset}\n"
             f"#path{sep}{log_path}\n")

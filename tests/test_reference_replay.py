@@ -1033,3 +1033,142 @@ def test_enumerate_dense_index_per_schema(spark, tmp_path_factory):
             assert pair in ref_pairs, (log, pair)
         seen.extend(ours)
     assert sorted(seen, key=repr) == sorted(ref_pairs, key=repr)
+
+
+# ---------------------------------------------- Read JSON (list cases)
+# tests.yaml — json inference over records nested in lists: a field
+# missing from one element backfills null; duplicate keys inside one
+# object keep the last value; conflicting value types across rows
+# unify (DOCUMENTED DIVERGENCE: the reference keeps per-row schemas, so
+# 42 stays a number next to "qux"; Spark unifies the column to string).
+
+def test_read_json_new_field_in_record_list(spark):
+    df = parse_pipeline(
+        f"from {JD}/record-list-new-field.json read json", spark=spark).df
+    ref = _ref_objs("read-json-with-new-field-in-record-list", 0)
+    assert [r.asDict(recursive=True) for r in df.collect()] == ref
+
+
+def test_read_json_different_fields_in_record_list(spark):
+    df = parse_pipeline(
+        f"from {JD}/record-list-different-fields.json read json",
+        spark=spark).df
+    ref = _ref_objs("read-json-with-differents-fields-in-one-record-list", 0)
+    assert [r.asDict(recursive=True) for r in df.collect()] == ref
+
+
+def test_read_json_duplicate_key_last_wins(spark):
+    df = parse_pipeline(
+        f"from {JD}/record-list-conflict-field-overwrite.json read json",
+        spark=spark).df
+    ref = _ref_objs("read-json-with-list-config-in-overwritten-field", 0)
+    assert [r.asDict(recursive=True) for r in df.collect()] == ref \
+        == [{"foo": [{"bar": "qux"}]}]
+
+
+def test_read_json_null_conflict(spark):
+    df = parse_pipeline(
+        f"from {JD}/record-list-with-null-conflict.json read json",
+        spark=spark).df
+    ref = _ref_objs("read-json-record-list-with-nulls-and-conflict", 0)
+    # type-unified column: compare bar as strings; foo ([{},null,{}])
+    # is pruned by Spark's fieldless-struct inference (same documented
+    # divergence as the empty-record case)
+    assert [r.bar for r in df.collect()] == [str(o["bar"]) for o in ref]
+
+
+def test_read_json_tshark_output(spark):
+    df = parse_pipeline(
+        f"from {os.path.join(REF, 'data/pcap/tshark.json')} read json",
+        spark=spark).df
+    ref = _ref_objs("read-json-from-tshark-output", 0)
+    assert df.count() == len(ref) == 46
+    row = df.limit(1).collect()[0].asDict(recursive=True)
+    assert row["_type"] == ref[0]["_type"]
+    assert row["_source"]["layers"]["frame"]["frame.encap_type"] == \
+        ref[0]["_source"]["layers"]["frame"]["frame.encap_type"]
+
+
+# ------------------------------------------------------ Lines (counts)
+# tests.yaml — the lines reader counts raw lines; -s skips empties.
+
+@pytest.mark.parametrize("flags,step", [("", 0), (" -s", 1)])
+def test_lines_count_golden(spark, flags, step):
+    df = parse_pipeline(
+        f"from {os.path.join(REF, 'data/cef/checkpoint.log')}"
+        f" read lines{flags} | summarize n=count(.)", spark=spark).df
+    ref = json.loads("".join(_ref_lines("lines", step)))
+    assert df.collect()[0].n == ref["n"]
+
+
+# ------------------------------------------------------- Compression
+# tests.yaml — gzip byte-stream decompression between load and read;
+# the zeek json export has no _path, demoting to the unknown schema.
+
+def test_compression_gzip_count(spark):
+    df = parse_pipeline(
+        f"load file {os.path.join(REF, 'data/json/conn.log.json.gz')}"
+        " | decompress gzip | read zeek-json"
+        " | summarize num_events=count(.)", spark=spark).df
+    ref = json.loads("".join(_ref_lines("compression", 0)))
+    assert df.collect()[0].num_events == ref["num_events"] == 729
+
+
+# --------------------------------------------------------- JSON Printer
+# tests.yaml — the json printer's --omit-nulls / --omit-empty-objects /
+# --omit-empty-lists / --omit-empty flags over one suricata event.
+# Normalizations: our timestamps carry an explicit +0000 offset, and
+# keys that are null in EVERY row of the file exist only in the
+# reference's declared suricata schema (schema-on-read divergence) —
+# such keys must be null in the golden.
+
+def _printer_ours(spark, on=False, oo=False, ol=False, flat=False):
+    from tenzir_spark.sources import formats as fmt
+    df = parse_pipeline(
+        f"from {os.path.join(REF, 'data/suricata/rrdata-eve.json')}"
+        " read suricata | head 1", spark=spark).df.drop("_schema")
+    if flat:
+        from tenzir_spark.operators.transform import flatten as _fl
+        df = _fl(df)
+    ln = fmt.json_pruned_lines(df, on, oo, ol).collect()[0].value
+
+    def fix(v):
+        if isinstance(v, dict):
+            return {k: fix(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [fix(x) for x in v]
+        if isinstance(v, str) and "T" in v and v.endswith("+0000"):
+            return v[:-5]
+        return v
+    return fix(json.loads(ln))
+
+
+@pytest.mark.parametrize("step,kw", [
+    (0, {}),                                    # default: nulls kept
+    (1, {}),                                    # --compact-output
+    (2, dict(on=True)),                         # --omit-nulls
+    (3, dict(oo=True)),                         # --omit-empty-objects
+    (4, dict(ol=True)),                         # --omit-empty-lists
+    (5, dict(on=True, oo=True, ol=True)),       # --omit-empty
+    (7, dict(on=True, oo=True, ol=True, flat=True)),  # flatten+omit
+])
+def test_json_printer_flags(spark, step, kw):
+    ours = _printer_ours(spark, **kw)
+    ref = json.loads("\n".join(_ref_lines("json-printer", step)))
+
+    def reconcile(o, r):
+        # drop declared-schema padding: keys (at any depth) absent from
+        # ours must be null in the golden
+        if isinstance(r, dict) and isinstance(o, dict):
+            out = {}
+            for k, v in r.items():
+                if k not in o:
+                    assert v is None, k
+                    continue
+                out[k] = reconcile(o[k], v)
+            return out
+        if isinstance(r, list) and isinstance(o, list) and len(o) == len(r):
+            return [reconcile(a, b) for a, b in zip(o, r)]
+        return r
+
+    assert ours == reconcile(ours, ref)

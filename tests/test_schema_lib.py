@@ -26,7 +26,7 @@ def test_parse_primitives_and_records():
     assert st["c"].dataType == T.ArrayType(T.StringType())
     assert st["d"].dataType == T.StringType()
     assert st["e"].dataType["g"].dataType == T.StringType()
-    assert hints == {"a": "ip", "e.g": "subnet"}
+    assert hints == {"a": "ip", "b": "port", "e.g": "subnet"}
 
 
 def test_keyword_prefix_type_names():

@@ -342,9 +342,13 @@ def test_json_printer_flags(spark, tmp_path):
                   spark=spark)
     assert read_out(d3) == [{"a": 1}, {"a": 2}]
 
-    with _pt.raises(NotImplementedError, match="omit-empty"):
-        exec_pipeline(f"from {src} read json | to {tmp_path}/x write json"
-                      " --omit-empty", spark=spark)
+    # --omit-empty implies all three omit flags (json.cpp:989-994)
+    src2 = tmp_path / "e.json"
+    src2.write_text('{"a": 1, "b": null, "c": [], "d": 2}\n')
+    d4 = tmp_path / "omit_empty"
+    exec_pipeline(f"from {src2} read json | to {d4} write json --omit-empty",
+                  spark=spark)
+    assert read_out(d4) == [{"a": 1, "d": 2}]
 
 
 def test_zeek_tsv_timestamp_tags(spark, tmp_path):
@@ -402,10 +406,11 @@ def test_ascii_printer(spark, tmp_path, capsys):
         f"from {src} read json | select n s b l m"
         " | sort n | write ascii", spark=spark)
     out = capsys.readouterr().out.strip().splitlines()
-    # spark's json reader orders keys alphabetically: b, l, m, n, s
+    # the reader preserves the input's key order (n, s, b, l, m) and
+    # select keeps the layout order like the reference
     assert out == [
-        '<true, [1, 2], null, 1, "x">',
-        '<false, [], 3, 2, "y \\"q\\"">',
+        '<1, "x", true, [1, 2], null>',
+        '<2, "y \\"q\\"", false, [], 3>',
     ]
     # timestamps print bare in ISO form with microseconds
     exec_pipeline(
