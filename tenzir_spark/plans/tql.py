@@ -1151,7 +1151,9 @@ def run_pipeline(p: Pipeline):
                            ignoreNullFields=("--omit-nulls" in opts))
         return None
     if sink.kind in ("csv", "tsv", "ssv"):
-        fmt.write_xsv(p.df, sink.path, sep={"csv": ",", "tsv": "\t", "ssv": " "}[sink.kind])
+        fmt.write_xsv(p.df, sink.path,
+                      sep={"csv": ",", "tsv": "\t", "ssv": " "}[sink.kind],
+                      log_path=p.df.__dict__.get("_tenzir_schema", "tenzir"))
         return None
     if sink.kind == "ascii":
         # reference debug format (format/ascii.cpp): <v1, v2, ...> rows
@@ -1176,11 +1178,38 @@ def run_pipeline(p: Pipeline):
         sset = _zflag("--set-separator", ",")
         sempty = _zflag("--empty-field", "(empty)")
         sunset = _zflag("--unset-field", "-")
+        kw = dict(
+            disable_timestamp_tags="--disable-timestamp-tags" in zopts,
+            set_separator=sset, empty_field=sempty, unset_field=sunset)
+        spools = p.df.__dict__.get("_tenzir_zeek_blocks")
+        if spools and len(spools) > 1:
+            # a pass-through of a multi-block zeek stream prints one
+            # header block PER INPUT BLOCK (the reference printer is
+            # per-batch; broken_no_closing_tag golden). The attr lives
+            # only on the reader's own frame — any intervening operator
+            # returns a new DataFrame and falls to the unified path.
+            import os as _os
+
+            from tenzir_spark.lake.format import DEFAULT_IO
+            parts = []
+            for i, spool in enumerate(spools):
+                bdf = fmt.read_zeek_tsv(p.df.sparkSession, spool)
+                bpath = f"{sink.path}.block{i}"
+                fmt.write_zeek_tsv(
+                    bdf, bpath,
+                    log_path=bdf.__dict__.get("_tenzir_schema", "tenzir"),
+                    **kw)
+                parts.append(bpath)
+            with DEFAULT_IO.open_write(sink.path) as out:
+                for bpath in parts:
+                    with open(bpath, "rb") as fh:
+                        out.write(fh.read())
+                    _os.unlink(bpath)
+            return None
         fmt.write_zeek_tsv(
             p.df, sink.path,
             log_path=p.df.__dict__.get("_tenzir_schema", "tenzir"),
-            disable_timestamp_tags="--disable-timestamp-tags" in zopts,
-            set_separator=sset, empty_field=sempty, unset_field=sunset)
+            **kw)
         return None
     if sink.kind == "yaml":
         fmt.write_yaml(p.df, sink.path)

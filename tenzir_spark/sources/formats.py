@@ -119,7 +119,95 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None
             df = df.withColumn(
                 "_schema", F.lit(f"{prefix}unknown" if prefix
                                  else "unknown"))
+    elif schema is None:
+        # plain `read json` infers value types the way the reference's
+        # parser does per-value (json.cpp: strings parsing as time/ip
+        # become typed data) — selector-routed reads (suricata/zeek)
+        # keep their own declared-schema typing instead
+        df = _infer_json_value_types(df)
+    # json numbers are SIGNED in the reference's data model: frames
+    # from json print int64 as `int` (not zeek's count), doubles as
+    # `double` (zeek-tsv-pipeline step_05 golden)
+    df.__dict__["_tenzir_number_style"] = "int"
     return df
+
+
+_TS_RE = re.compile(
+    r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(\.\d+)?"
+    r"(Z|[+-]\d{2}:?\d{2})?$")
+_IP4_RE = re.compile(r"^(\d{1,3}\.){3}\d{1,3}$")
+_IP6_RE = re.compile(r"^[0-9a-fA-F:]*:[0-9a-fA-F:.]+$")
+_SUBNET_RE = re.compile(r"^((\d{1,3}\.){3}\d{1,3}|[0-9a-fA-F:]+)/\d{1,3}$")
+
+
+def _ref_iso_to_timestamp(col: Column) -> Column:
+    """ISO string -> timestamp reproducing the reference's ymdhms parser
+    BIT-FOR-BIT (parseable/tenzir/time.hpp:206-210): the whole
+    time-of-day collapses into ONE double — ``hours + minutes - zone
+    + double_seconds{secs}`` — before duration_cast truncates at
+    nanoseconds, so ``09:22:26.073000`` parses to ...072999 while the
+    same fraction at another hour survives (verified against all 58
+    rows of the zeek-tsv-pipeline step_05 golden). A plain
+    try_cast("timestamp") would be exact and therefore WRONG here."""
+    days = F.datediff(F.to_date(F.substring(col, 1, 10)),
+                      F.lit("1970-01-01").cast("date")).cast("long")
+    h = F.regexp_extract(col, r"[T ](\d{2}):", 1).try_cast("long")
+    m = F.regexp_extract(col, r"[T ]\d{2}:(\d{2})", 1).try_cast("long")
+    s = F.regexp_extract(
+        col, r"(\d{2}(?:\.\d+)?)(?:Z|[+-]\d{2}:?\d{2})?$", 1) \
+        .try_cast("double")
+    zsign = F.when(
+        F.regexp_extract(col, r"([+-])\d{2}:?\d{2}$", 1) == "-",
+        F.lit(-1)).otherwise(F.lit(1)).cast("long")
+    zh = F.coalesce(
+        F.regexp_extract(col, r"[+-](\d{2}):?\d{2}$", 1).try_cast("long"),
+        F.lit(0))
+    zm = F.coalesce(
+        F.regexp_extract(col, r"[+-]\d{2}:?(\d{2})$", 1).try_cast("long"),
+        F.lit(0))
+    tod = (h * 3600 + m * 60 - zsign * (zh * 3600 + zm * 60))
+    ns = ((tod.cast("double") + s) * F.lit(1e9)).try_cast("long")
+    us = F.floor(ns.cast("decimal(20,0)") / 1000).cast("long")
+    return F.timestamp_micros(days * F.lit(86400000000) + us)
+
+
+def _infer_json_value_types(df: DataFrame) -> DataFrame:
+    """Value-based inference over TOP-LEVEL string columns: a column
+    whose sampled values all parse as timestamps is cast (try_cast —
+    stragglers past the sample become null, like the reference's
+    per-value fallback to the unknown schema); all-ip / all-subnet
+    columns keep their string form but gain the extractor hint that
+    declared schemas carry, so `:ip` type queries and the zeek-tsv
+    printer's `addr` naming resolve them. The decision sample is one
+    bounded limit().collect() of the string columns only — a
+    single-partition head read, O(sample) at any corpus size."""
+    str_cols = [f.name for f in df.schema.fields
+                if isinstance(f.dataType, T.StringType)]
+    if not str_cols:
+        return df
+    sample = df.select(*[F.col(f"`{c}`") for c in str_cols]) \
+        .limit(64).collect()
+    hints = dict(df.__dict__.get("_tenzir_type_hints") or {})
+    ts_casts = []
+    for c in str_cols:
+        vals = [row[c] for row in sample if row[c] is not None]
+        if not vals:
+            continue
+        if all(_TS_RE.match(v) for v in vals):
+            ts_casts.append(c)
+        elif all(_IP4_RE.match(v)
+                 or (":" in v and _IP6_RE.match(v)) for v in vals):
+            hints[c] = "ip"
+        elif all(_SUBNET_RE.match(v) for v in vals):
+            hints[c] = "subnet"
+    out = df
+    for c in ts_casts:
+        out = out.withColumn(c, _ref_iso_to_timestamp(F.col(f"`{c}`")))
+    if hints:
+        out.__dict__["_tenzir_type_hints"] = hints
+    if "_tenzir_schema" in df.__dict__:
+        out.__dict__["_tenzir_schema"] = df.__dict__["_tenzir_schema"]
+    return out
 
 
 def read_suricata(spark: SparkSession, path: str, **options) -> DataFrame:
@@ -231,9 +319,74 @@ def read_ssv(spark, path, **kw):
     return read_xsv(spark, path, " ", **kw)
 
 
-def write_xsv(df: DataFrame, path: str, sep: str = ",", mode: str = "overwrite",
-              **options) -> None:
-    df.write.mode(mode).option("header", True).option("sep", sep).csv(path, **options)
+def write_xsv(df: DataFrame, path: str, sep: str = ",",
+              list_sep: str | None = None,
+              null_value: str | None = None,
+              log_path: str = "tenzir") -> None:
+    """Reference xsv printer (builtins/formats/xsv.cpp): csv is
+    ``(',', ';', "")``, tsv ``('\\t', ',', "-")``, ssv ``(' ', ',',
+    "-")`` for (field sep, list sep, null token). Strings quote with
+    ``"`` + backslash escaping only when they contain the field sep or
+    a quote; lists join on the list sep (empty list prints nothing);
+    timestamps print ISO µs, durations adaptively, bools true/false.
+    Like the zeek-tsv printer, a ``log_path`` naming a library schema
+    makes the output conform to the declared layout. Row rendering is
+    distributed; the single-file concat streams through the FileIO
+    seam (the reference prints csv as one stream too)."""
+    if list_sep is None:
+        list_sep = ";" if sep == "," else ","
+    if null_value is None:
+        null_value = "" if sep == "," else "-"
+    if not df.schema.fields or df.isEmpty():
+        from tenzir_spark.lake.format import DEFAULT_IO
+        with DEFAULT_IO.open_write(path):
+            pass
+        return
+    have = {f.name: f for f in df.schema.fields}
+    plan = _zeek_plan(df, log_path)
+
+    def quote(s: Column) -> Column:
+        esc = F.regexp_replace(s, r"([\\\"])", r"\\$1")
+        return (F.when(s.isNull(), s)
+                .when(s.contains(sep) | s.contains('"'),
+                      F.concat(F.lit('"'), esc, F.lit('"')))
+                .otherwise(s))
+
+    names, rendered = [], []
+    for name, zt in plan:
+        names.append(name)
+        if name not in have:
+            rendered.append(F.lit(null_value))
+            continue
+        dt = have[name].dataType
+        col = F.col(f"`{name}`")
+        if zt == "time":
+            s = F.date_format(col.cast("timestamp"),
+                              "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        elif zt == "interval":
+            s = _zeek_duration_text(col.cast("double"))
+        elif zt.startswith("vector["):
+            inner = zt[7:-1]
+            arr = col if isinstance(dt, T.ArrayType) else F.array(col)
+            if inner == "interval":
+                items = F.transform(
+                    arr, lambda x: _zeek_duration_text(x.cast("double")))
+            else:
+                items = F.transform(arr, lambda x: quote(x.cast("string")))
+            # an empty list prints NOTHING (xsv.cpp visitor: no element,
+            # no output) — distinct from null, which prints the token
+            s = (F.when(col.isNull(), F.lit(None).cast("string"))
+                 .otherwise(F.coalesce(F.array_join(items, list_sep),
+                                       F.lit(""))))
+        elif isinstance(dt, T.StringType):
+            s = quote(col)
+        else:
+            s = col.cast("string")  # bool -> true/false, numbers plain
+        rendered.append(F.coalesce(s, F.lit(null_value)))
+    line = F.concat_ws(sep, *rendered)
+    head = sep.join(names) + "\n"
+    _assemble_parts(df.select(line.alias("value")), path,
+                    head=head.encode())
 
 
 # ------------------------------------------------------------------ lines
@@ -372,6 +525,31 @@ def read_zeek_tsv(spark: SparkSession, path: str) -> DataFrame:
             # (reference golden: empty.log -> empty output)
             return spark.createDataFrame([], T.StructType([]))
         raise ValueError(f"{path}: no #fields header — not zeek-tsv?")
+    if types and len(types) != len(fields):
+        # zeek_tsv.cpp rejects the document outright (its
+        # broken_unequal_fields_types_length golden)
+        raise ValueError(
+            "failed to parse Zeek document: mismatching number "
+            f"#fields and #types (found {len(fields)} #fields, "
+            f"{len(types)} #types)")
+    if _os.path.isfile(path) and _os.path.getsize(path) < (1 << 26):
+        # document lint the reference applies while streaming: a data
+        # line after #close has no live header block -> error ("missing
+        # #path", broken_duplicate_close_tag / broken_data_after_close
+        # goldens). Bounded to small single local files — the
+        # distributed bulk path cannot (and need not) see line
+        # adjacency across partitions.
+        opener = __import__("gzip").open if path.endswith(".gz") else open
+        closed = False
+        with opener(path, "rt", errors="replace") as fh:
+            for ln in fh:
+                if ln.startswith("#close"):
+                    closed = True
+                elif ln.startswith("#separator"):
+                    closed = False
+                elif closed and ln.strip():
+                    raise ValueError(
+                        "failed to parse Zeek document: missing #path")
 
     lines = spark.read.text(path).filter(
         (~F.col("value").startswith("#"))
@@ -503,8 +681,15 @@ def _read_zeek_tsv_multi(spark: SparkSession, path: str) -> DataFrame:
         # the frame like the single-block read
         out = unify_streams(frames, schema_col=None)
         out.__dict__["_tenzir_schema"] = f"zeek.{blocks[0][0]}"
-        return out
-    return unify_streams(frames, schema_col=None)
+    else:
+        out = unify_streams(frames, schema_col=None)
+    # per-input-block spools ride on the frame (this exact DataFrame
+    # object only — any transformation drops the attr, exactly the
+    # semantics we want): a direct read->write zeek-tsv re-emits one
+    # header block PER INPUT BLOCK, as the reference's per-batch
+    # printer does (broken_no_closing_tag golden prints two headers)
+    out.__dict__["_tenzir_zeek_blocks"] = [spool for _, spool, _ in blocks]
+    return out
 
 
 _ZEEK_OUT_TYPE = {
@@ -578,6 +763,43 @@ def _declared_zeek_layout(name: str) -> list[tuple[str, str]] | None:
     return out
 
 
+def _zeek_plan(df: DataFrame, log_path: str) -> list[tuple[str, str]]:
+    """(field, zeek type name) print plan: the declared layout of
+    ``log_path`` (module library) first, then undeclared frame columns
+    typed from their Spark type + the frame's extractor hints. A frame
+    read from json carries ``_tenzir_number_style == "int"`` — its
+    int64/double columns print as the reference's signed ``int`` /
+    ``double``, not zeek's ``count``/name-guessed ``interval``."""
+    hints = df.__dict__.get("_tenzir_type_hints") or {}
+    json_nums = df.__dict__.get("_tenzir_number_style") == "int"
+    layout = _declared_zeek_layout(log_path) or []
+    plan: list[tuple[str, str]] = list(layout)
+    declared = {n for n, _ in layout}
+    for f in df.schema.fields:
+        if f.name in declared:
+            continue
+        h = hints.get(f.name)
+        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
+            zt = "time"
+        elif isinstance(f.dataType, T.BooleanType):
+            zt = "bool"
+        elif isinstance(f.dataType, (T.DoubleType, T.FloatType)):
+            zt = ("interval" if h == "duration"
+                  or (f.name == "duration" and not json_nums) else "double")
+        elif isinstance(f.dataType, T.ArrayType):
+            inner = "interval" if h == "duration" else "string"
+            zt = f"vector[{inner}]"
+        elif isinstance(f.dataType, (T.LongType, T.IntegerType, T.ShortType)):
+            zt = ("port" if h == "port"
+                  else "int" if json_nums else "count")
+        elif isinstance(f.dataType, T.StringType):
+            zt = {"ip": "addr", "subnet": "subnet"}.get(h, "string")
+        else:
+            zt = _ZEEK_OUT_TYPE.get(type(f.dataType), "string")
+        plan.append((f.name, zt))
+    return plan
+
+
 def write_zeek_tsv(df: DataFrame, path: str, log_path: str = "tenzir",
                    disable_timestamp_tags: bool = False,
                    set_separator: str = ",", empty_field: str = "(empty)",
@@ -611,22 +833,7 @@ def write_zeek_tsv(df: DataFrame, path: str, log_path: str = "tenzir",
         return
     sep, unset, empty = "\t", unset_field, empty_field
     have = {f.name: f for f in df.schema.fields}
-    layout = _declared_zeek_layout(log_path) or []
-    plan: list[tuple[str, str]] = list(layout)
-    declared = {n for n, _ in layout}
-    for f in df.schema.fields:
-        if f.name not in declared:
-            if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
-                zt = "time"
-            elif isinstance(f.dataType, T.BooleanType):
-                zt = "bool"
-            elif isinstance(f.dataType, (T.DoubleType, T.FloatType)):
-                zt = "interval" if f.name == "duration" else "double"
-            elif isinstance(f.dataType, T.ArrayType):
-                zt = "vector[string]"
-            else:
-                zt = _ZEEK_OUT_TYPE.get(type(f.dataType), "string")
-            plan.append((f.name, zt))
+    plan = _zeek_plan(df, log_path)
 
     names, ztypes, rendered = [], [], []
     for name, zt in plan:
