@@ -137,7 +137,14 @@ def _strip_comments(text: str) -> str:
                 raise ValueError("unterminated /* comment in pipeline")
             i = end + 2
             continue
-        if standalone and text.startswith("*/", i):
+        if text.startswith("*/", i) and (standalone or (
+                text[i - 1].isalnum()
+                and (i + 2 >= n or text[i + 2].isspace()
+                     or text[i + 2] == "|"))):
+            # a closer that stands alone OR terminates a word
+            # (`slash*/`, tests.yaml:647) is a stray comment end;
+            # glob paths like /data/*/x.parquet survive (their `*/`
+            # follows '/' and is followed by a path character)
             raise ValueError("stray */ outside a comment in pipeline")
         out.append(ch)
         i += 1
@@ -489,7 +496,7 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
             msave = re.match(r"^save\s+(\S+)\s*$", seg)
             if sink.path is None and sink.kind not in ("stdout", "discard") and msave:
                 path = msave.group(1)
-                if path == "-":
+                if path in ("-", "stdout"):
                     if sink.kind == "ascii":
                         sink.path = "-"  # ascii keeps its printer on stdout
                     else:
@@ -617,9 +624,10 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
             if len(toks) >= 3 and toks[1] == "read":
                 f = toks[2]
                 ropts = toks[3:]
-            if path == "-":
-                # stdin connector (reference: connectors/dash.cpp) —
-                # driver-side spool, then the normal distributed reader
+            if path in ("-", "stdin"):
+                # stdin connector (reference: connectors/dash.cpp;
+                # `stdin` is its named alias) — driver-side spool, then
+                # the normal distributed reader
                 path = _spool_stdin(f or "json")
                 infer_src = path  # the spool carries the format suffix
             if f is None and op == "load":
@@ -648,6 +656,10 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
         if op == "read":
             rtoks = shlex.split(arg)
             f = rtoks[0]
+            if read_fmt_pending is None and p is None:
+                # a pipeline STARTING with `read <fmt>` defaults to the
+                # stdin connector (exec.cpp:32-95 prepends `load -`)
+                read_fmt_pending = _spool_stdin(f)
             if read_fmt_pending is None:
                 raise ValueError("'read' without a preceding 'load'")
             p = Pipeline(_read_fmt(spark, f, read_fmt_pending, rtoks[1:]))
@@ -943,7 +955,7 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
                 sink.key = _flag(ktoks, "-k") or _flag(ktoks, "--key")
                 ts = _flag(ktoks, "-T") or _flag(ktoks, "--timestamp")
                 sink.timestamp = ts
-            elif path == "-":
+            elif path in ("-", "stdout"):
                 sink = _Sink("stdout")
             else:
                 f = toks[2] if len(toks) >= 3 and toks[1] == "write" else _infer_format(path)
@@ -988,6 +1000,11 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
 
     if p is None:
         raise ValueError("pipeline has no source")
+    if sink is not None and sink.path is None and sink.kind == "json" \
+            and not getattr(sink, "opts", None):
+        # bare `write json` — tenzir exec appends `save -` (exec.cpp:
+        # 32-95); the stdout sink's NDJSON IS the json printer form
+        sink = _Sink("stdout")
     if sink is not None and sink.path is None \
             and sink.kind not in ("stdout", "discard", "ascii"):
         # bare `write <fmt>` with no following `save <path>` would
@@ -1120,8 +1137,8 @@ def run_pipeline(p: Pipeline):
     if sink.kind == "stdout":
         # `to -` / tenzir exec default sink: NDJSON to stdout. Driver-side
         # by nature — results only, never the bulk path.
-        for line in p.df.toJSON().toLocalIterator():
-            print(line)
+        for line in fmt.ndjson_lines(p.df).toLocalIterator():
+            print(line["value"])
         return None
     if sink.kind == "parquet":
         p.to_parquet(sink.path)
@@ -1150,9 +1167,21 @@ def run_pipeline(p: Pipeline):
             fmt.write_json(p.df, sink.path,
                            ignoreNullFields=("--omit-nulls" in opts))
         return None
-    if sink.kind in ("csv", "tsv", "ssv"):
-        fmt.write_xsv(p.df, sink.path,
-                      sep={"csv": ",", "tsv": "\t", "ssv": " "}[sink.kind],
+    if sink.kind in ("csv", "tsv", "ssv", "xsv"):
+        # `write xsv <field-sep> <list-sep> <null-value>` takes the three
+        # knobs positionally (xsv.cpp:385-391); csv/tsv/ssv are the
+        # pre-configured aliases
+        xopts = list(getattr(sink, "opts", []))
+        if sink.kind == "xsv":
+            if len(xopts) != 3:
+                raise ValueError(
+                    "write xsv requires <field-sep> <list-sep> <null-value>")
+            xsep, xlist, xnull = xopts
+        else:
+            xsep = {"csv": ",", "tsv": "\t", "ssv": " "}[sink.kind]
+            xlist = xnull = None
+        fmt.write_xsv(p.df, sink.path, sep=xsep, list_sep=xlist,
+                      null_value=xnull,
                       log_path=p.df.__dict__.get("_tenzir_schema", "tenzir"))
         return None
     if sink.kind == "ascii":

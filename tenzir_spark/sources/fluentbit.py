@@ -216,6 +216,11 @@ def _dec_map(buf, off, n):
     for _ in range(n):
         k, off = msgpack_decode(buf, off)
         v, off = msgpack_decode(buf, off)
+        if isinstance(k, (list, dict)):
+            # msgpack permits container keys but fluent-bit never emits
+            # them and Python cannot hash them — reject as malformed
+            # rather than crash (decoder totality property)
+            raise ValueError("unhashable msgpack map key")
         out[k] = v
     return out, off
 

