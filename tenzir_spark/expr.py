@@ -126,6 +126,7 @@ _TOKEN_RE = re.compile(
   | (?P<ip>\d{1,3}(?:\.\d{1,3}){3}|[0-9a-fA-F:]*::[0-9a-fA-F:.]*)
   | (?P<time>\d{4}-\d{2}-\d{2}(?:[T ]\d{2}:\d{2}(?::\d{2}(?:\.\d+)?)?)?(?:Z|[+-]\d{2}:?\d{2})?)
   | (?P<duration>\d+(?:\.\d+)?\s*(?:ns|us|ms|s|sec|min|mins|h|hrs|d|days?|w|weeks?)\b)
+  | (?P<si>(?:\d+\.\d*|\.\d+|\d+)(?:[kKMGTPE]i?)\b)
   | (?P<number>(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<typex>:[A-Za-z_][A-Za-z0-9_.]*)
   | (?P<metax>\#[A-Za-z_][A-Za-z0-9_]*)
@@ -175,6 +176,19 @@ def tokenize(text: str) -> list[tuple[str, str]]:
             continue
         pos = m.end()
         if kind == "ws":
+            continue
+        if kind == "si":
+            # SI magnitude literals (reference si_literal parser,
+            # data.cpp: 1k=1000, 1Ki=1024, ... up to E/Ei) fold into
+            # plain numbers at lex time
+            sm = re.match(r"^([\d.]+)([kKMGTPE])(i?)$", m.group())
+            num, unit, binary = sm.group(1), sm.group(2), sm.group(3)
+            exp = {"k": 1, "K": 1, "M": 2, "G": 3,
+                   "T": 4, "P": 5, "E": 6}[unit]
+            factor = (1024 if binary else 1000) ** exp
+            val = float(num) * factor
+            tokens.append(("number",
+                           str(int(val)) if val == int(val) else str(val)))
             continue
         tokens.append((kind, m.group()))
     return tokens
@@ -441,6 +455,10 @@ class Binder:
         # (reference: catalog.cpp resolves expressions against taxonomies
         # before partition lookup; web/docs/data-model/taxonomies.md)
         self.concepts = concepts or {}
+        # resolved path -> schema-name prefix consumed during qualified
+        # resolution; on heterogeneous frames (a _schema column) the
+        # predicate gates on it so `zeek.conn.id.resp_h` misses dns rows
+        self._schema_gates: dict[str, str] = {}
 
     def col(self, path: str) -> Column:
         """Column for a resolved leaf path; dotted FLAT names get
@@ -473,6 +491,12 @@ class Binder:
                 for p in hits:
                     if p not in out:
                         out.append(p)
+            for p in out:
+                # concept resolution stays FRAME-level (the reference
+                # resolves concepts before partition lookup; its concept
+                # lists don't enumerate every inferred schema variant) —
+                # drop any schema gate the qualified fallback recorded
+                self._schema_gates.pop(p, None)
             return out
         hits = [p for p, _ in self.leaves if _suffix_matches(p, suffix)]
         if hits:
@@ -514,6 +538,10 @@ class Binder:
             hits = [p for p, _ in self.leaves
                     if _suffix_matches(p, ".".join(tail))]
             if hits:
+                prefix = ".".join(parts[:len(parts) - len(tail)])
+                if any(p == "_schema" for p, _ in self.leaves):
+                    for h in hits:
+                        self._schema_gates[h] = prefix
                 return hits
         return hits
 
@@ -619,11 +647,21 @@ class Binder:
                 return out
         if not paths:
             return F.lit(False)
-        cols = [self._one(p, op, rhs) for p in paths]
+        cols = [self._schema_gated(p, self._one(p, op, rhs))
+                for p in paths]
         out = cols[0]
         for c in cols[1:]:
             out = out | c
         return out
+
+    def _schema_gated(self, path: str, pred: Column) -> Column:
+        """AND a qualified extractor's schema-name constraint into its
+        predicate (suffix semantics: `conn.duration` binds zeek.conn)."""
+        gate = self._schema_gates.get(path)
+        if gate is None:
+            return pred
+        sc = F.col("_schema")
+        return pred & ((sc == gate) | sc.endswith("." + gate))
 
     def value(self, node) -> Column | None:
         """Compile an operand (literal / extractor / arithmetic / function

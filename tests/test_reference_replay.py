@@ -1396,3 +1396,133 @@ def test_empty_record_xsv(spark, tmp_path, step, w):
         REF, "reference/empty-record-in-pipeline",
         f"step_{step:02d}.ref")).read()
     assert out.read_text() == ref
+
+
+# ------------------------------------------------- Node Zeek conn log
+# tests.yaml:92 — suffix extractors, SI magnitude literals (1k=1000 vs
+# 1Ki=1024), type extractors and #schema meta queries over zeek conn;
+# matched rows pinned by uid against the reference's ascii exports.
+
+def _conn_uids(spark, conn_tsv, where):
+    df = parse_pipeline(
+        f"from {conn_tsv} read zeek-tsv | where {where} | select uid",
+        spark=spark).df
+    return sorted(r.uid for r in df.collect())
+
+
+def test_node_zeek_conn_resp_h(spark, conn_tsv):
+    assert _conn_uids(spark, conn_tsv, "resp_h == 192.168.1.104") == \
+        _ascii_uids("node-zeek-conn-log", 1)
+
+
+def test_node_zeek_conn_si_literals(spark, conn_tsv):
+    assert _conn_uids(
+        spark, conn_tsv, "orig_bytes > 1k && orig_bytes < 1Ki") == \
+        _ascii_uids("node-zeek-conn-log", 2)
+
+
+def test_node_zeek_conn_type_extractor_disjunction(spark, conn_tsv):
+    assert _conn_uids(
+        spark, conn_tsv,
+        ':string == "OrfTtuI5G4e" || :port == 67 || :uint64 == 67') == \
+        _ascii_uids("node-zeek-conn-log", 3)
+
+
+def test_node_zeek_conn_schema_meta_and(spark, conn_tsv):
+    assert _conn_uids(
+        spark, conn_tsv,
+        '#schema == "zeek.conn" && resp_h == 192.168.1.104') == \
+        _ascii_uids("node-zeek-conn-log", 4)
+
+
+def test_node_zeek_conn_schema_meta_mismatch(spark, conn_tsv):
+    # every event is zeek.conn -> a != filter on it exports nothing
+    df = parse_pipeline(
+        f"from {conn_tsv} read zeek-tsv"
+        ' | where #schema != "zeek.conn" && #schema != "tenzir.metrics"',
+        spark=spark).df
+    assert df.count() == len(_ref_lines("node-zeek-conn-log", 5)) == 0
+
+
+def test_node_zeek_conn_schema_meta_negated_passthrough(spark, conn_tsv):
+    assert _conn_uids(
+        spark, conn_tsv,
+        '#schema != "foobar" && resp_h == 192.168.1.104') == \
+        _ascii_uids("node-zeek-conn-log", 6)
+
+
+# -------------------------------------------- Node Zeek multiple imports
+# tests.yaml:104 / :191 (server variant) — conn + dns in ONE store;
+# suffix and fully-qualified (zeek.conn.id.resp_h) extractors across
+# the heterogeneous set, and meta/type count queries.
+
+@pytest.fixture(scope="module")
+def conn_dns(spark, conn_tsv, tmp_path_factory):
+    import gzip as _gz
+    dns = tmp_path_factory.mktemp("cd") / "dns.log"
+    dns.write_bytes(_gz.decompress(open(
+        os.path.join(REF, "data/zeek/dns.log.gz"), "rb").read()))
+    both = tmp_path_factory.mktemp("cd") / "both.log"
+    both.write_bytes(open(conn_tsv, "rb").read() + dns.read_bytes())
+    return str(both)
+
+
+def test_multi_import_suffix_resp_h(spark, conn_dns):
+    df = parse_pipeline(
+        f"from {conn_dns} read zeek-tsv"
+        " | where resp_h == 192.168.1.104 | select uid", spark=spark).df
+    ours = sorted(r.uid for r in df.collect())
+    ref = sorted(_ascii_uids("node-zeek-multiple-imports", 2))
+    assert ours == ref
+
+
+def test_multi_import_qualified_resp_h(spark, conn_dns):
+    # zeek.conn.id.resp_h binds only the conn schema's column
+    df = parse_pipeline(
+        f"from {conn_dns} read zeek-tsv"
+        " | where zeek.conn.id.resp_h == 192.168.1.104 | select uid _schema",
+        spark=spark).df
+    rows = df.collect()
+    assert all(r._schema == "zeek.conn" for r in rows)
+    assert sorted(r.uid for r in rows) == \
+        _ascii_uids("node-zeek-multiple-imports", 3)
+
+
+def test_multi_import_timestamp_type_count(spark, conn_dns):
+    df = parse_pipeline(
+        f"from {conn_dns} read zeek-tsv"
+        ' | where :timestamp >= 1970-01-01 && #schema != "tenzir.metrics"',
+        spark=spark).df
+    assert df.count() == int(_ref_lines("node-zeek-multiple-imports", 4)[0])
+
+
+def test_multi_import_schema_count(spark, conn_dns):
+    df = parse_pipeline(
+        f"from {conn_dns} read zeek-tsv"
+        ' | where #schema == "zeek.conn"', spark=spark).df
+    assert df.count() == int(_ref_lines("node-zeek-multiple-imports", 5)[0])
+
+
+# --------------------------------------------------- Type query (-n 20)
+# tests.yaml:227/:234 — `import -n 20 zeek | export ascii`: exactly the
+# first 20 conn events come back (schema-filtered in the server form).
+
+@pytest.mark.parametrize("case,step", [
+    ("node-type-query", 1), ("type-query", 1)])
+def test_type_query_first_20(spark, conn_tsv, case, step):
+    df = parse_pipeline(
+        f"from {conn_tsv} read zeek-tsv | head 20"
+        ' | where #schema == "zeek.conn" | select uid', spark=spark).df
+    assert sorted(r.uid for r in df.collect()) == _ascii_uids(case, step)
+
+
+# ------------------------------------------------------ Malformed query
+# tests.yaml:169 — garbage pipeline text is a parse error, not a crash.
+
+@pytest.mark.parametrize("q", [
+    "yo that is not a query", "and that is not a command"])
+def test_malformed_query_errors(spark, q):
+    from tenzir_spark.plans.tql import exec_pipeline
+    with pytest.raises(ValueError):
+        exec_pipeline(f"from /dev/null read json | where {q} | to -",
+                      spark=spark)
