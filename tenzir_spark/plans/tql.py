@@ -371,6 +371,22 @@ def _read_fmt(spark: SparkSession, f: str, path: str, opts: list[str] | None = N
         from tenzir_spark.operators.transform import flatten
         df = flatten(df, sep=unnest)
     if hints:
+        # declared `duration #unit=X` fields arrive as bare numbers in
+        # that unit — scale to the engine's double-seconds domain
+        # (argus.schema:91 SIntPkt #unit=ms; node-argus goldens)
+        for k, unit in hints.items():
+            if not k.endswith("#unit"):
+                continue
+            c = k[:-len("#unit")]
+            fac = fmt._UNIT_SECONDS.get(unit)
+            if fac and fac != 1.0 and c in df.columns:
+                from pyspark.sql import functions as _F
+                from pyspark.sql import types as _T
+                if isinstance(df.schema[c].dataType,
+                              (_T.DoubleType, _T.FloatType, _T.LongType,
+                               _T.IntegerType)):
+                    df = df.withColumn(
+                        c, _F.col(f"`{c}`").cast("double") * _F.lit(fac))
         # extractor type hints from the named schema (ip/subnet columns)
         # ride on the frame for the downstream `where` compiler
         df.__dict__["_tenzir_type_hints"] = hints

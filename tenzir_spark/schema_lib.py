@@ -105,18 +105,24 @@ class _Parser:
         self.pos += m.end()
         return m.group(0)
 
-    def _skip_attrs(self):
+    def _skip_attrs(self) -> dict:
+        attrs: dict = {}
         while self._peek("#"):
             self._eat("#")
-            self._ident()
+            name = self._ident()
+            val = True
             if self._eat("="):
                 self._ws()
                 if self._eat('"'):
                     end = self.text.index('"', self.pos)
+                    val = self.text[self.pos:end]
                     self.pos = end + 1
                 else:
                     m = re.match(r"[^\s,}#]+", self.text[self.pos:])
+                    val = m.group() if m else True
                     self.pos += m.end() if m else 0
+            attrs[name] = val
+        return attrs
 
     # -- grammar ---------------------------------------------------------
 
@@ -141,7 +147,7 @@ class _Parser:
             lf = self._fields_of(node)
             rf = self._fields_of(rhs)
             node = ("record", lf + [f for f in rf
-                                    if f[0] not in {n for n, _ in lf}])
+                                    if f[0] not in {f2[0] for f2 in lf}])
         return node
 
     def _type_atom(self):
@@ -153,8 +159,8 @@ class _Parser:
                 fname = self._ident()
                 self._expect(":")
                 ftype = self._type_expr()
-                self._skip_attrs()
-                fields.append((fname, ftype))
+                attrs = self._skip_attrs()
+                fields.append((fname, ftype, attrs))
                 self._eat(",")
             return ("record", fields)
         if self._peek_kw("enum"):
@@ -198,9 +204,19 @@ def _to_spark(node, prefix: str, hints: dict) -> T.DataType:
     if kind == "list":
         return T.ArrayType(_to_spark(node[1], prefix, hints))
     if kind == "record":
-        return T.StructType([
-            T.StructField(n, _to_spark(t, f"{prefix}{n}.", hints), True)
-            for n, t in node[1]])
+        out_fields = []
+        for n, t, *rest in node[1]:
+            path = f"{prefix}{n}"
+            out_fields.append(T.StructField(
+                n, _to_spark(t, path + ".", hints), True))
+            attrs = rest[0] if rest else {}
+            unit = attrs.get("unit")
+            if unit and hints.get(path) == "duration":
+                # `duration #unit=ms` (argus.schema:91): bare numbers in
+                # this field are in that unit; recorded as a parallel
+                # hint key the readers consult for scaling
+                hints[path + "#unit"] = unit
+        return T.StructType(out_fields)
     raise TypeError(node)
 
 

@@ -50,9 +50,9 @@ def _normalize_concat_json(path: str, cap: int = 1 << 26) -> str | None:
     return out
 
 
-def _first_object_key_order(path: str) -> list[str] | None:
-    """Top-level key order of the first JSON object in a driver-local
-    file (None for globs/dirs or non-object heads)."""
+def _first_object(path: str) -> dict | None:
+    """First JSON object of a driver-local file (None for globs/dirs or
+    non-object heads)."""
     import json as _json
     import os
 
@@ -67,7 +67,12 @@ def _first_object_key_order(path: str) -> list[str] | None:
         v, _ = _json.JSONDecoder().raw_decode(txt, i)
     except (ValueError, OSError):
         return None
-    return list(v) if isinstance(v, dict) else None
+    return v if isinstance(v, dict) else None
+
+
+def _first_object_key_order(path: str) -> list[str] | None:
+    v = _first_object(path)
+    return list(v) if v is not None else None
 
 
 def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None,
@@ -112,6 +117,9 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None
         if selector in df.columns:
             df = df.withColumn("_schema", F.concat(
                 F.lit(prefix), F.col(selector).cast("string")))
+            if selector_prefix:
+                df = _bind_selector_schema(df, path, selector,
+                                           selector_prefix)
         else:
             # selector field absent from the input (e.g. zeek json
             # exports without _path): fall back to <prefix>.unknown,
@@ -130,6 +138,41 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None
     # `double` (zeek-tsv-pipeline step_05 golden)
     df.__dict__["_tenzir_number_style"] = "int"
     return df
+
+
+def _bind_selector_schema(df: DataFrame, path: str, selector: str,
+                          prefix: str) -> DataFrame:
+    """Selector-routed reads bind the head object's schema from the
+    module library: declared duration fields coerce UNIT-AWARE — a bare
+    number is in the field's `#unit` (use-schema-time-unit golden:
+    argus SIntPkt 20.0 -> 20ms, "20ns" -> 20ns) — and declared
+    ip/subnet/port typing rides on as extractor hints. Heterogeneous
+    streams route per-schema through schema_lib.demux_typed instead."""
+    from tenzir_spark.schema_lib import get_schema
+
+    head = _first_object(path)
+    if not head or selector not in head:
+        return df
+    entry = get_schema(f"{prefix}.{head[selector]}")
+    if entry is None:
+        return df
+    _, declared = entry
+    merged = dict(df.__dict__.get("_tenzir_type_hints") or {})
+    out = df
+    for p, h in declared.items():
+        if p not in out.columns or p.endswith("#unit"):
+            continue
+        if h == "duration":
+            unit = declared.get(p + "#unit", "s")
+            out = out.withColumn(
+                p, duration_to_seconds(F.col(f"`{p}`"), unit))
+        merged.setdefault(p, h)
+    if merged:
+        out.__dict__["_tenzir_type_hints"] = merged
+    for k, v in df.__dict__.items():
+        if k.startswith("_tenzir_") and k != "_tenzir_type_hints":
+            out.__dict__.setdefault(k, v)
+    return out
 
 
 _TS_RE = re.compile(
@@ -246,18 +289,56 @@ def read_zeek_json(spark: SparkSession, path: str, **options) -> DataFrame:
 # Spark's writer default truncates to milliseconds + 'Z'
 _JSON_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
 
+_UNIT_SECONDS = {"ns": 1e-9, "us": 1e-6, "ms": 1e-3, "s": 1.0,
+                 "sec": 1.0, "secs": 1.0, "min": 60.0, "mins": 60.0,
+                 "h": 3600.0, "hrs": 3600.0, "d": 86400.0, "w": 604800.0}
+
+
+def duration_to_seconds(c: Column, default_unit: str = "s") -> Column:
+    """Value -> double seconds: a bare number is in the schema's
+    declared unit (`duration #unit=ms`, argus.schema:91); a string with
+    its own unit suffix ('20ns') carries that unit."""
+    s = c.cast("string")
+    num = F.regexp_extract(s, r"^(-?\d+(?:\.\d+)?)", 1).try_cast("double")
+    suf = F.regexp_extract(s, r"([a-z]+)$", 1)
+    mult = F.when(suf == "", F.lit(_UNIT_SECONDS.get(default_unit, 1.0)))
+    for u, f_ in _UNIT_SECONDS.items():
+        mult = mult.when(suf == u, F.lit(f_))
+    return num * mult.otherwise(F.lit(None))
+
+
+def _render_durations(df: DataFrame) -> DataFrame:
+    """Duration-HINTED columns render as adaptive strings in json output
+    ("163.82ms", flatten-operator / zeek-tsv-pipeline goldens); plain
+    inferred doubles stay numbers. Scalar and list columns both."""
+    hints = df.__dict__.get("_tenzir_type_hints") or {}
+    out = df
+    for c, h in hints.items():
+        if h != "duration" or c not in out.columns:
+            continue
+        dt = out.schema[c].dataType
+        if isinstance(dt, T.ArrayType):
+            col = F.col(f"`{c}`")
+            out = out.withColumn(c, F.transform(
+                col, lambda x: _zeek_duration_text(x.cast("double"))))
+        elif isinstance(dt, (T.DoubleType, T.FloatType)):
+            out = out.withColumn(
+                c, _zeek_duration_text(F.col(f"`{c}`").cast("double")))
+    return out
+
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
     options.setdefault("timestampFormat", _JSON_TS_FMT)
-    df.write.mode(mode).json(path, **options)
+    _render_durations(df).write.mode(mode).json(path, **options)
 
 
 def ndjson_lines(df: DataFrame) -> DataFrame:
     """One NDJSON string column ('value') per row, rendered the way the
     reference's json printer does: null fields omitted, timestamps at
-    µs precision without a zone suffix."""
+    µs precision without a zone suffix, typed durations adaptive."""
     if not df.schema.fields:
         return df.select(F.lit("{}").alias("value"))
+    df = _render_durations(df)
     return df.select(F.to_json(
         F.struct(*[F.col(f"`{c}`") for c in df.columns]),
         {"timestampFormat": _JSON_TS_FMT}).alias("value"))
@@ -299,6 +380,7 @@ def json_pruned_lines(df: DataFrame, omit_nulls: bool,
         return s.map(lambda ln: _json.dumps(
             prune(_json.loads(ln)), separators=(",", ":")))
 
+    df = _render_durations(df)
     js = df.select(F.to_json(
         F.struct(*[F.col(f"`{c}`") for c in df.columns]),
         {"ignoreNullFields": "false",
@@ -660,6 +742,8 @@ def read_zeek_tsv(spark: SparkSession, path: str) -> DataFrame:
                  "interval": "duration", "port": "port"}[t.split("[", 1)[0]]
              for n, t in zip(fields, types)
              if t in ("addr", "subnet", "interval", "port")}
+    hints.update({n: "duration" for n, t in zip(fields, types)
+                  if t in ("vector[interval]", "set[interval]")})
     if hints:
         out.__dict__["_tenzir_type_hints"] = hints
     if zpath:

@@ -1526,3 +1526,26 @@ def test_malformed_query_errors(spark, q):
     with pytest.raises(ValueError):
         exec_pipeline(f"from /dev/null read json | where {q} | to -",
                       spark=spark)
+
+
+# --------------------------------------- Schema time unit (#unit=ms)
+# tests.yaml:771 'Use schema time unit when converting from a double to
+# a duration' — selector-routed json binds the argus.record schema:
+# SIntPkt is `duration #unit=ms`, so the bare double 20.0 means 20ms
+# while the string "20ns" carries its own unit; the json printer
+# renders typed durations adaptively.
+
+def test_schema_time_unit_double_to_duration(spark, capsys):
+    from tenzir_spark.plans.tql import exec_pipeline
+    from tenzir_spark.schema_lib import load_schema_file
+    load_schema_file("/root/reference/schema/types/argus.schema")
+    exec_pipeline(
+        f"from {os.path.join(REF, 'data/json/double-to-duration-cast.json')}"
+        " read json --selector=schema:argus | select SIntPkt | to -",
+        spark=spark)
+    ours = [json.loads(ln)["SIntPkt"]
+            for ln in capsys.readouterr().out.strip().splitlines()]
+    ref = [o["SIntPkt"] for o in _ref_objs(
+        "use-schema-time-unit-when-converting-from-a-double-to-a-duration",
+        0)]
+    assert ours == ref == ["20.0ns", "20.0ms"]
