@@ -204,6 +204,7 @@ _READERS: dict[str, Callable] = {
     "yaml": fmt.read_yaml,
     "parquet": fmt.read_parquet,
     "feather": fmt.read_feather,
+    "arrow": fmt.read_arrow,
     "syslog": fmt.read_syslog,
 }
 
@@ -1258,6 +1259,9 @@ def run_pipeline(p: Pipeline):
         return None
     if sink.kind == "yaml":
         fmt.write_yaml(p.df, sink.path)
+        return None
+    if sink.kind == "arrow":
+        fmt.write_arrow(p.df, sink.path)
         return None
     if sink.kind == "pcap":
         from tenzir_spark.sources.pcap import write_pcap

@@ -1549,3 +1549,65 @@ def test_schema_time_unit_double_to_duration(spark, capsys):
         "use-schema-time-unit-when-converting-from-a-double-to-a-duration",
         0)]
     assert ours == ref == ["20.0ns", "20.0ms"]
+
+
+# ------------------------------------------------------- Arrow IPC
+# tests.yaml:309-337 — `export arrow` / `import arrow`. The goldens
+# print the reference's INTERNAL extension-typed schemas (vast.address
+# fixed_size_binary[16]) via its print-arrow.py harness; the replayable
+# contract is the wire interop: our reader consumes the reference's OWN
+# exported artifact (data/suricata/arrow_ipc.bin, 8 concatenated
+# streams), and our writer emits streams stock pyarrow reads back with
+# the golden's row counts.
+
+ARROW_BIN = os.path.join(REF, "data/suricata/arrow_ipc.bin")
+
+
+def test_arrow_import_total_count(spark):
+    df = parse_pipeline(f"from {ARROW_BIN} read arrow", spark=spark).df
+    assert df.count() == int(_ref_lines("arrow-import", 3)[-1]) == 8469
+
+
+def test_arrow_import_schema_filter(spark):
+    p = parse_pipeline(
+        f'from {ARROW_BIN} read arrow | where #schema == "zeek.conn"'
+        " | head 10", spark=spark)
+    assert any(ln.endswith("rows: 10")
+               for ln in _ref_lines("arrow-import", 1))
+    assert p.df.count() == 10
+    # the reference's ip extension columns decode to our string-ip form
+    import pyspark.sql.functions as _F
+    row = p.df.filter(_F.col("uid") == "Pii6cUUq1v4").collect()
+    assert row and row[0]["id.orig_h"] == "192.168.1.102"
+
+
+def test_arrow_import_suricata_http(spark):
+    df = parse_pipeline(
+        f'from {ARROW_BIN} read arrow | where #schema == "suricata.http"',
+        spark=spark).df
+    assert any(ln.endswith("rows: 1")
+               for ln in _ref_lines("arrow-import", 2))
+    assert df.count() == 1
+
+
+def test_arrow_export_roundtrip(spark, conn_tsv, tmp_path):
+    """`read zeek-tsv | head 10 | write arrow` — stock pyarrow must read
+    the output back with the arrow-export golden's row count."""
+    import pyarrow as pa
+
+    from tenzir_spark.plans.tql import exec_pipeline
+    out = tmp_path / "out.arrow"
+    exec_pipeline(
+        f"from {conn_tsv} read zeek-tsv | head 10 | write arrow"
+        f" | save {out}", spark=spark)
+    rows = 0
+    with pa.input_stream(str(out)) as stream:
+        while True:
+            try:
+                r = pa.ipc.RecordBatchStreamReader(stream)
+            except (pa.ArrowInvalid, OSError):
+                break
+            rows += r.read_all().num_rows
+    assert any(ln.endswith("rows: 10")
+               for ln in _ref_lines("arrow-export", 1))
+    assert rows == 10
