@@ -363,10 +363,18 @@ def hash_column(df: DataFrame, field: str, salt: str | None = None, out: str | N
     """Append a SHA-256 hex digest of a field (optionally salted).
     Reference: hash.cpp:54 (appends ``<field>_hashed``)."""
     target = out or f"{field}_hashed"
-    col = F.col(field).cast("string")
+    col = F.col(f"`{field}`").cast("string")
     if salt:
         col = F.concat(col, F.lit(salt))
-    return df.withColumn(target, F.sha2(col, 256))
+    out_df = df.withColumn(target, F.sha2(col, 256))
+    if field in df.columns and target not in df.columns:
+        # the reference INSERTS the digest right after its source field
+        # (hash.cpp transform_fn returns the pair adjacent), not at the
+        # end of the layout
+        cols = list(df.columns)
+        cols.insert(cols.index(field) + 1, target)
+        out_df = out_df.select(*[F.col(f"`{c}`") for c in cols])
+    return out_df
 
 
 def pass_(df: DataFrame) -> DataFrame:

@@ -911,9 +911,31 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
             field = toks[0] if toks and not toks[0].startswith("--") else "#"
             p = p.enumerate(field=field, order_by=order)
         elif op == "hash":
-            toks = shlex.split(arg)
-            salt = _flag(toks, "-s")
+            toks = _split_eq_opts(shlex.split(arg))
+            salt = _flag(toks, "-s") or _flag(toks, "--salt")
             p = p.hash(toks[-1], salt=salt)
+        elif op == "pseudonymize":
+            # `pseudonymize -m "crypto-pan" -s <seed> f1, f2`
+            # (pseudonymize.cpp:50). Ours is prefix-preserving via a
+            # blake2b PRF — a DOCUMENTED divergence from Crypto-PAn's
+            # AES (functions/ip.py) — so values differ from the
+            # reference's goldens deterministically.
+            ptoks = _split_eq_opts(shlex.split(arg))
+            fields, i, seed = [], 0, ""
+            while i < len(ptoks):
+                t = ptoks[i]
+                if t in ("-m", "--method"):
+                    i += 2  # method name accepted, single implementation
+                    continue
+                if t in ("-s", "--seed"):
+                    seed = ptoks[i + 1]
+                    i += 2
+                    continue
+                fields.append(t.rstrip(","))
+                i += 1
+            from tenzir_spark.functions.ip import pseudonymize as _pseudo
+            fields = [f for f in fields if f]
+            p = p.apply(lambda df: _pseudo(df, fields, seed))
         elif op == "measure":
             # --real-time / --cumulative change emission cadence, not
             # totals (measure.cpp:30-33; goldens pin identical sums for

@@ -1611,3 +1611,117 @@ def test_arrow_export_roundtrip(spark, conn_tsv, tmp_path):
     assert any(ln.endswith("rows: 10")
                for ln in _ref_lines("arrow-export", 1))
     assert rows == 10
+
+
+# ---------------------------- Export pipeline operator parsing suites
+# tests.yaml 'Export pipeline operator parsing ...' — multi-line
+# pipeline strings with interleaved /* */ comments, comma-separated
+# select operands, hash --salt, rename new=old, pseudonymize. Values
+# compare exactly except the digest columns: the reference hashes with
+# xxh3 over its internal serialization and pseudonymizes with
+# Crypto-PAn AES — ours are sha256/blake2b (documented divergences), so
+# digests check determinism + grouping, not byte equality.
+
+def _eve_rows(spark, tql):
+    df = parse_pipeline(f"from {EVE} read suricata | {tql}",
+                        spark=spark).df.drop("_schema")
+    return df
+
+
+def test_export_parsing_multiline_comments(spark):
+    df = _eve_rows(spark, """pass
+      /* a comment here */
+      | select /* and a comment there /**/ timestamp, flow_id, src_ip, dest_ip, src_port
+      /**/ /*foo*/
+      """)
+    ref = _ref_objs(
+        "export-pipeline-operator-parsing-everything-but-summarize", 2)
+    assert df.columns == list(ref[0].keys())
+    assert sorted((r.flow_id for r in df.collect()), key=repr) == \
+        sorted((o.get("flow_id") for o in ref), key=repr)
+
+
+def test_export_parsing_drop_and_hash(spark):
+    df = _eve_rows(spark, 'pass | select timestamp, flow_id, src_ip,'
+                   ' dest_ip, src_port | drop timestamp'
+                   ' | hash --salt="abcdefghij12" flow_id')
+    ref = _ref_objs(
+        "export-pipeline-operator-parsing-everything-but-summarize", 4)
+    assert df.columns == list(ref[0].keys())
+    rows = df.collect()
+    # the digest column groups identically: equal flow_id -> equal
+    # digest, distinct -> distinct (algorithm is a documented
+    # divergence; 16-hex xxh3 there, sha256 here)
+    ours = {r.flow_id: r.flow_id_hashed for r in rows}
+    theirs = {o.get("flow_id"): o.get("flow_id_hashed") for o in ref}
+    assert sorted(ours, key=repr) == sorted(theirs, key=repr)
+    assert len(set(ours.values())) == len(set(theirs.values()))
+
+
+def test_export_parsing_pseudonymize_rename(spark):
+    df = _eve_rows(spark, 'pass'
+                   ' | select timestamp, flow_id, src_ip, dest_ip, src_port'
+                   ' | drop timestamp | hash --salt="abcdefghij12" flow_id'
+                   ' | drop flow_id'
+                   ' | pseudonymize -m "crypto-pan" -s "123456abcdef"'
+                   ' src_ip, dest_ip | rename source_ip=src_ip')
+    ref = _ref_objs(
+        "export-pipeline-operator-parsing-everything-but-summarize", 7)
+    assert df.columns == list(ref[0].keys())
+    rows = df.collect()
+    assert len(rows) == len(ref)
+    # pseudonymization is deterministic and collision-free on this set
+    assert len({r.source_ip for r in rows}) == \
+        len({o.get("source_ip") for o in ref})
+
+
+def test_export_parsing_after_expression(spark):
+    df = _eve_rows(spark,
+                   "where src_ip==147.32.84.165 &&"
+                   " (src_port==1181 || src_port == 138)\n"
+                   "       | pass\n"
+                   "       | select timestamp, flow_id, src_ip, dest_ip,"
+                   " src_port\n       | drop timestamp")
+    ref = _ref_objs(
+        "export-pipeline-operator-parsing-after-expression", 4)
+    assert df.columns == list(ref[0].keys())
+    assert sorted((r.flow_id for r in df.collect()), key=repr) == \
+        sorted((o.get("flow_id") for o in ref), key=repr)
+
+
+def test_export_parsing_only_summarize(spark):
+    """sysmon NetworkConnection: `summarize usercount=count(User),
+    initiated=all(Initiated) by ProcessId` — aggregate values equal the
+    reference's."""
+    df = parse_pipeline(
+        f"from {os.path.join(REF, 'data/json/sysmon.json')} read json"
+        " | summarize usercount=count(User), initiated=all(Initiated)"
+        " by ProcessId", spark=spark).df
+    ref = _ref_objs("export-pipeline-operator-parsing-only-summarize", 3)
+    # the reference types ProcessId uint64 via the declared
+    # sysmon.NetworkConnection schema; our inference keeps the json
+    # string form — compare as ints
+    ours = {int(r.ProcessId): r.usercount for r in df.collect()
+            if r.ProcessId is not None}
+    theirs = {int(o["ProcessId"]): o["usercount"]
+              for o in ref if o.get("ProcessId") is not None}
+    assert ours == theirs
+
+
+# ------------------------------------- Skip attribute (zeek.radius)
+# tests.yaml:563 — a value query over the heterogeneous zeek.json
+# stream reaches the radius event's username field (#skip only
+# suppresses INDEXING in the reference; matching still works).
+
+def test_skip_attribute_value_query(spark):
+    df = parse_pipeline(
+        f"from {os.path.join(REF, 'data/zeek/zeek.json')} read zeek-json"
+        ' | where username == "steve"', spark=spark).df
+    ref = json.loads("\n".join(_ref_lines(
+        "process-query-for-field-with-skip-attribute", 1)))
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.username == ref["username"] == "steve"
+    assert r.uid == ref["uid"]
+    assert r.result == ref["result"]
