@@ -63,6 +63,43 @@ def tables() -> list[str]:
     return sorted(_TABLES)
 
 
+class _NodeStore:
+    """The process-default event store backing BARE ``import``/``export``
+    (the reference node's implicit storage, export.cpp:34 with no
+    argument). Events append as parquet partitions; heterogeneous
+    schemas unify on read via mergeSchema — the same multi-schema
+    semantics as the node's catalog. Durable lake tables with
+    exactly-once ledgers stay the explicit `import <name>` surface."""
+
+    def __init__(self):
+        import tempfile
+        self.root = tempfile.mkdtemp(prefix="tenzir_node_")
+        self.generation = 0
+
+    def append(self, df) -> None:
+        df.write.mode("append").parquet(self.root)
+        self.generation += 1
+
+    def read(self, spark):
+        import glob
+        import os
+        if not glob.glob(os.path.join(self.root, "*.parquet")) and \
+                not glob.glob(os.path.join(self.root, "part-*")):
+            from pyspark.sql import types as T
+            return spark.createDataFrame([], T.StructType([]))
+        return spark.read.option("mergeSchema", "true").parquet(self.root)
+
+
+_NODE_STORE: _NodeStore | None = None
+
+
+def node_store() -> _NodeStore:
+    global _NODE_STORE
+    if _NODE_STORE is None:
+        _NODE_STORE = _NodeStore()
+    return _NODE_STORE
+
+
 def register_alias(name: str, fn: Callable[..., DataFrame]) -> None:
     """Define a reusable pipeline macro: fn(df, *args) -> df."""
     _ALIASES[name] = fn

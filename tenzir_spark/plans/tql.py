@@ -778,9 +778,18 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
         if op == "export":
             # source from a registered lake table (reference export.cpp:34;
             # bucket/stat pruning happens inside LakeTable.read via the
-            # downstream filter — Catalyst pushes it into the scans)
-            from tenzir_spark.plans.registry import get_table
-            p = Pipeline(get_table(shlex.split(arg)[0]).read())
+            # downstream filter — Catalyst pushes it into the scans).
+            # BARE `export` reads the process-default node store, like
+            # the reference node's implicit storage.
+            etoks = shlex.split(arg)
+            if etoks:
+                from tenzir_spark.plans.registry import get_table
+                p = Pipeline(get_table(etoks[0]).read())
+            else:
+                from tenzir_spark.plans.registry import node_store
+                if spark is None:
+                    raise ValueError("'export' requires a SparkSession")
+                p = Pipeline(node_store().read(spark))
             continue
         if op == "fluent-bit":
             # reference surface: `fluent-bit <plugin> [key=value...]`
@@ -1008,9 +1017,10 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
         elif op == "import":
             # sink into a registered lake table under the exactly-once
             # ledger (reference import.cpp:70); --epoch defaults to the
-            # next unapplied integer epoch
+            # next unapplied integer epoch. BARE `import` appends to the
+            # process-default node store.
             toks = shlex.split(arg)
-            sink = _Sink("import", toks[0])
+            sink = _Sink("import", toks[0] if toks else None)
             sink.epoch = int(_flag(toks, "--epoch")) if _flag(toks, "--epoch") else None
         elif op == "discard":
             sink = _Sink("discard")
@@ -1045,7 +1055,7 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
         # 32-95); the stdout sink's NDJSON IS the json printer form
         sink = _Sink("stdout")
     if sink is not None and sink.path is None \
-            and sink.kind not in ("stdout", "discard", "ascii"):
+            and sink.kind not in ("stdout", "discard", "ascii", "import"):
         # bare `write <fmt>` with no following `save <path>` would
         # otherwise crash at run time (round-2 advice #5)
         raise ValueError(
@@ -1158,7 +1168,10 @@ def run_pipeline(p: Pipeline):
     if sink.kind == "import":
         from pyspark.sql import functions as F
 
-        from tenzir_spark.plans.registry import get_table
+        from tenzir_spark.plans.registry import get_table, node_store
+        if sink.path is None:
+            node_store().append(p.df)
+            return None
         table = get_table(sink.path)
         epoch = sink.epoch
         if epoch is None:

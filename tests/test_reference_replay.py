@@ -1725,3 +1725,49 @@ def test_skip_attribute_value_query(spark):
     assert r.username == ref["username"] == "steve"
     assert r.uid == ref["uid"]
     assert r.result == ref["result"]
+
+
+# --------------------------------------------------- Export in Pipeline
+# tests.yaml — BARE `import` / `export`: the node's implicit store.
+# Two cef imports accumulate; each `export | to stdout` shows the total
+# so far (our store is write-through, so the pre- and post-flush
+# exports are the same count — flush is a durability barrier we don't
+# defer).
+
+def test_export_in_pipeline_node_store(spark, capsys):
+    from tenzir_spark.plans.registry import node_store
+    from tenzir_spark.plans.tql import exec_pipeline
+    node_store().__init__()  # fresh store for the test
+    exec_pipeline("export | to stdout", spark=spark)
+    assert capsys.readouterr().out.strip() == ""
+    assert len(_ref_lines("export-in-pipeline", 0)) == 0
+
+    cynet = os.path.join(REF, "data/cef/cynet.log")
+    checkpoint = os.path.join(REF, "data/cef/checkpoint.log")
+    exec_pipeline(f"from {cynet} read cef | import", spark=spark)
+    exec_pipeline("export | to stdout", spark=spark)
+    n1 = len(capsys.readouterr().out.strip().splitlines())
+    assert n1 == len(_ref_objs("export-in-pipeline", 4))
+
+    exec_pipeline(f"from {checkpoint} read cef | import", spark=spark)
+    exec_pipeline("export | to stdout", spark=spark)
+    n2 = len(capsys.readouterr().out.strip().splitlines())
+    assert n2 == len(_ref_objs("export-in-pipeline", 8))
+
+
+# ------------------------------------------- Sort with Remote Operators
+# tests.yaml — `export | sort signature_id asc | write json` over an
+# imported cef log: the sorted key sequence equals the reference's.
+
+def test_sort_with_remote_operators(spark, capsys):
+    from tenzir_spark.plans.registry import node_store
+    from tenzir_spark.plans.tql import exec_pipeline
+    node_store().__init__()
+    fp = os.path.join(REF, "data/cef/forcepoint.log")
+    exec_pipeline(f"from {fp} read cef | import", spark=spark)
+    exec_pipeline("export | sort signature_id asc | to -", spark=spark)
+    ours = [json.loads(ln).get("signature_id") for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    ref = [o.get("signature_id")
+           for o in _ref_objs("sort-with-remote-operators", 2)]
+    assert [str(v) for v in ours] == [str(v) for v in ref]
