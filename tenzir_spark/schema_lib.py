@@ -138,6 +138,10 @@ class _Parser:
             name = self._ident()
             self._expect("=")
             self.types[name] = self._type_expr()
+            # type-level attributes (`type all_types = all_types_i
+            # #some=attr`, misc/schema/all-types.schema) attach to the
+            # definition, not a field — consumed, nothing to record yet
+            self._skip_attrs()
 
     def _type_expr(self):
         node = self._type_atom()

