@@ -275,8 +275,10 @@ def _reader_kwargs(f: str, toks: list[str]) -> dict:
             i += 2
         elif t == "--no-infer" and f in ("json", "suricata", "zeek-json"):
             # with an explicit Spark schema, fields outside it are
-            # already dropped — the flag is accepted for compatibility
-            # (json.cpp --no-infer)
+            # already dropped; for the selector readers the declared
+            # library schema gates the columns (json.cpp --no-infer;
+            # skip-columns-...-no-infer golden drops undeclared fields)
+            kw["no_infer"] = True
             i += 1
         elif t == "--arrays-of-objects" and f == "json":
             kw["arrays_of_objects"] = True

@@ -77,7 +77,8 @@ def _first_object_key_order(path: str) -> list[str] | None:
 
 def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None,
               selector: str | None = None, selector_prefix: str = "",
-              arrays_of_objects: bool = False, **options) -> DataFrame:
+              arrays_of_objects: bool = False, no_infer: bool = False,
+              **options) -> DataFrame:
     """NDJSON reader with optional schema inference and selector routing.
 
     ``selector='event_type'`` adds a ``_schema`` column naming each row's
@@ -119,7 +120,8 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None
                 F.lit(prefix), F.col(selector).cast("string")))
             if selector_prefix:
                 df = _bind_selector_schema(df, path, selector,
-                                           selector_prefix)
+                                           selector_prefix,
+                                           strict=no_infer)
         else:
             # selector field absent from the input (e.g. zeek json
             # exports without _path): fall back to <prefix>.unknown,
@@ -141,7 +143,7 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None
 
 
 def _bind_selector_schema(df: DataFrame, path: str, selector: str,
-                          prefix: str) -> DataFrame:
+                          prefix: str, strict: bool = False) -> DataFrame:
     """Selector-routed reads bind the head object's schema from the
     module library: declared duration fields coerce UNIT-AWARE — a bare
     number is in the field's `#unit` (use-schema-time-unit golden:
@@ -167,6 +169,17 @@ def _bind_selector_schema(df: DataFrame, path: str, selector: str,
             out = out.withColumn(
                 p, duration_to_seconds(F.col(f"`{p}`"), unit))
         merged.setdefault(p, h)
+    if strict:
+        # --no-infer: undeclared input columns are SKIPPED (json.cpp;
+        # the skip-columns-...-no-infer golden). Flattened dotted input
+        # keys match their declared nested paths by suffix root.
+        st = entry[0]
+        keep = []
+        for c in out.columns:
+            root = c.split(".", 1)[0]
+            if c == "_schema" or c == selector or root in st.fieldNames():
+                keep.append(c)
+        out = out.select(*[F.col(f"`{c}`") for c in keep])
     if merged:
         out.__dict__["_tenzir_type_hints"] = merged
     for k, v in df.__dict__.items():
@@ -1113,7 +1126,7 @@ def write_yaml(df: DataFrame, path: str) -> None:
 
 # ------------------------------------------------------------------ ascii
 
-def _ascii_value(v) -> str:
+def _ascii_value(v, is_map: bool = False) -> str:
     """One value in the reference's ascii data syntax
     (src/format/ascii.cpp + the data printer): null / true / false,
     quoted strings, bare numbers and timestamps (ISO, µs), [] lists,
@@ -1142,14 +1155,17 @@ def _ascii_value(v) -> str:
     if isinstance(v, (list, tuple, _np.ndarray)):
         return "[" + ", ".join(_ascii_value(x) for x in v) + "]"
     if isinstance(v, dict):
-        # pandas renders Spark structs as dicts too; structs print as
-        # records (<...>), maps as {k -> v} — both arrive as dict, so
-        # records are detected by their insertion-ordered field names
-        # being strings is not distinguishing; Spark Rows come through
-        # as dicts with all-string keys either way. Use map syntax only
-        # for MapType via the caller's schema hint when available.
-        return "{" + ", ".join(f"{_ascii_value(k)} -> {_ascii_value(x)}"
-                               for k, x in v.items()) + "}"
+        # pandas renders Spark structs AND maps as dicts; the caller
+        # flags MapType columns (is_map) — everything else is a record,
+        # which the reference data printer renders <"field": value, ...>
+        # (nested-records golden), maps as {k -> v}
+        if is_map:
+            return "{" + ", ".join(
+                f"{_ascii_value(k)} -> {_ascii_value(x)}"
+                for k, x in v.items()) + "}"
+        return "<" + ", ".join(
+            f"{_ascii_value(k)}: {_ascii_value(x)}"
+            for k, x in v.items()) + ">"
     return str(v)
 
 
@@ -1161,6 +1177,8 @@ def ascii_lines(df: DataFrame) -> DataFrame:
     names = df.columns
     struct_cols = {f.name for f in df.schema.fields
                    if isinstance(f.dataType, T.StructType)}
+    map_cols = {f.name for f in df.schema.fields
+                if isinstance(f.dataType, T.MapType)}
     int_cols = {f.name for f in df.schema.fields
                 if isinstance(f.dataType, (T.ByteType, T.ShortType,
                                            T.IntegerType, T.LongType))}
@@ -1179,7 +1197,7 @@ def ascii_lines(df: DataFrame) -> DataFrame:
                         # pandas widens nullable int columns to float
                         vals.append(str(int(v)))
                     else:
-                        vals.append(_ascii_value(v))
+                        vals.append(_ascii_value(v, is_map=n in map_cols))
                 out.append("<" + ", ".join(vals) + ">")
             yield pd.DataFrame({"value": out})
 
