@@ -703,11 +703,14 @@ def read_zeek_tsv(spark: SparkSession, path: str) -> DataFrame:
         else:
             raw = F.when((raw0 == unset) | (raw0 == empty), None).otherwise(raw0)
         if ztype.startswith(("set[", "vector[", "table[")):
-            # the reference has no null lists: BOTH the unset and the
-            # empty token parse as an empty vector (its dns golden
-            # prints input '-' back as '(empty)')
-            col = (F.when((raw0 == unset) | (raw0 == empty),
-                          F.array().cast("array<string>"))
+            # unset ('-') parses as a NULL list, set-but-empty
+            # ('(empty)') as []: the reference json prints the former
+            # null and the latter [] (merge.log vs flatten-operator
+            # goldens), while its zeek-tsv printer renders BOTH back as
+            # '(empty)' (dns step_02 golden)
+            col = (F.when(raw0 == unset,
+                          F.lit(None).cast("array<string>"))
+                   .when(raw0 == empty, F.array().cast("array<string>"))
                    .otherwise(F.split(raw0, re.escape(set_sep))))
         elif base == "time":
             # accept both zeek's on-disk epoch floats and the
@@ -803,8 +806,10 @@ def _read_zeek_tsv_multi(spark: SparkSession, path: str) -> DataFrame:
         cur.close()
     same = len({name for name, _, _ in blocks}) == 1
     frames = []
+    merged_hints: dict[str, str] = {}
     for name, spool, _fh in blocks:
         df = read_zeek_tsv(spark, spool)
+        merged_hints.update(df.__dict__.get("_tenzir_type_hints") or {})
         if not same:
             df = df.withColumn("_schema", F.lit(f"zeek.{name}"))
         frames.append(df)
@@ -826,6 +831,10 @@ def _read_zeek_tsv_multi(spark: SparkSession, path: str) -> DataFrame:
     # header block PER INPUT BLOCK, as the reference's per-batch
     # printer does (broken_no_closing_tag golden prints two headers)
     out.__dict__["_tenzir_zeek_blocks"] = [spool for _, spool, _ in blocks]
+    if merged_hints:
+        # blocks' declared typing (interval/addr/port) survives the
+        # union, so durations render adaptively in json output
+        out.__dict__["_tenzir_type_hints"] = merged_hints
     return out
 
 
@@ -1001,7 +1010,9 @@ def write_zeek_tsv(df: DataFrame, path: str, log_path: str = "tenzir",
                     arr, lambda x: _zeek_duration_text(x.cast("double")))
             else:
                 items = arr.cast("array<string>")
-            s = (F.when(col.isNull(), F.lit(None).cast("string"))
+            # zeek_tsv.cpp prints BOTH null and empty lists as the
+            # empty token (dns step_02 golden: input '-' -> '(empty)')
+            s = (F.when(col.isNull(), F.lit(empty))
                  .when(F.size(arr) == 0, F.lit(empty))
                  .otherwise(F.array_join(items, set_separator)))
         else:
