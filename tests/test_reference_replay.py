@@ -1362,11 +1362,11 @@ def test_comments_block_in_operator(spark, capsys):
         f"from {EVE} read suricata"
         " | select timestamp /*double beginning /* is valid */ | to -",
         spark=spark)
-    ours = sorted(
-        _norm_ts(json.loads(ln)["timestamp"])
-        for ln in capsys.readouterr().out.strip().splitlines())
-    ref = sorted(_norm_ts(o["timestamp"])
-                 for o in _ref_objs("comments", 1))
+    # EXACT value equality — suricata timestamps parse typed and
+    # render in the reference's µs-UTC form
+    ours = sorted(json.loads(ln)["timestamp"]
+                  for ln in capsys.readouterr().out.strip().splitlines())
+    ref = sorted(o["timestamp"] for o in _ref_objs("comments", 1))
     assert ours == ref and len(ours) == 8
 
 
