@@ -425,3 +425,57 @@ def test_ascii_printer(spark, tmp_path, capsys):
         f"from {src} read json | select n | sort n"
         f" | write ascii | save {dest}", spark=spark)
     assert dest.read_text().strip().splitlines() == ["<1>", "<2>"]
+
+
+def test_xsv_printer_quoting_and_lists(spark, tmp_path):
+    """xsv.cpp quoting: strings quote ONLY when they contain the field
+    sep or a quote (backslash escapes); lists join on the list sep;
+    null token differs per format (csv "", tsv "-")."""
+    src = tmp_path / "in.json"
+    src.write_text(
+        '{"a": "plain", "b": "with,comma", "c": "with\\"quote", '
+        '"d": [1, 2], "e": null}\n')
+    from tenzir_spark.plans.tql import exec_pipeline
+    out_csv = tmp_path / "o.csv"
+    exec_pipeline(f"from {src} read json | to {out_csv} write csv",
+                  spark=spark)
+    head, row = out_csv.read_text().splitlines()
+    assert head == "a,b,c,d,e"
+    assert row == 'plain,"with,comma","with\\"quote",1;2,'
+    out_tsv = tmp_path / "o.tsv"
+    exec_pipeline(f"from {src} read json | to {out_tsv} write tsv",
+                  spark=spark)
+    # quotes trigger quoting regardless of the field sep (xsv.cpp
+    # visitor checks sep OR '"'); commas are plain data in tsv
+    assert out_tsv.read_text().splitlines()[1] == \
+        'plain\twith,comma\t"with\\"quote"\t1,2\t-'
+
+
+def test_si_literal_edges(spark, tmp_path):
+    """SI magnitudes fold at lex time: fractional coefficients and the
+    binary/decimal distinction (2.5k=2500, 1.5Ki=1536)."""
+    src = tmp_path / "n.json"
+    src.write_text('{"x": 2500}\n{"x": 1536}\n{"x": 9}\n')
+    from tenzir_spark.plans.tql import parse_pipeline
+    df = parse_pipeline(f"from {src} read json | where x == 2.5k",
+                        spark=spark).df
+    assert [r.x for r in df.collect()] == [2500]
+    df2 = parse_pipeline(f"from {src} read json | where x == 1.5Ki",
+                         spark=spark).df
+    assert [r.x for r in df2.collect()] == [1536]
+
+
+def test_duration_to_seconds_units(spark):
+    from pyspark.sql import functions as F
+
+    from tenzir_spark.sources.formats import duration_to_seconds
+    df = spark.createDataFrame(
+        [("20ns",), ("1.5ms",), ("2m",), ("3",), ("4h",)], ["v"])
+    vals = [r.s for r in df.select(
+        duration_to_seconds(F.col("v"), "ms").alias("s")).collect()]
+    assert vals[0] == 2e-08
+    assert abs(vals[1] - 0.0015) < 1e-12
+    # 'm' is not a unit (reference uses 'min'); bare numbers take the
+    # schema unit
+    assert vals[3] == 0.003
+    assert vals[4] == 4 * 3600.0
