@@ -284,7 +284,11 @@ def read_suricata(spark: SparkSession, path: str, **options) -> DataFrame:
             "timestamp", _ref_iso_to_timestamp(F.col("timestamp")))
     for k, v in carried.items():
         df.__dict__.setdefault(k, v)
-    hints = {c: "ip" for c in ("src_ip", "dest_ip") if c in df.columns}
+    # MERGE the address-pair hints with whatever the selector binding
+    # already recorded (clobbering would lose declared duration hints)
+    hints = dict(df.__dict__.get("_tenzir_type_hints") or {})
+    hints.update({c: "ip" for c in ("src_ip", "dest_ip")
+                  if c in df.columns})
     if hints:
         df.__dict__["_tenzir_type_hints"] = hints
     return df
