@@ -216,6 +216,11 @@ class LocalFileIO:
         LastModified). Used by GC's orphan-file grace window."""
         return os.path.getmtime(path)
 
+    def size(self, path: str) -> int:
+        """File size in bytes (object stores: ContentLength). Used by
+        the disk-budget purge's footprint accounting."""
+        return os.path.getsize(path)
+
     def walk_files(self, path: str) -> list[str]:
         out = []
         for dirpath, _dirs, names in os.walk(path):

@@ -701,6 +701,82 @@ class LakeTable:
         self.refresh()
         return {"snapshots_removed": len(expired), "files_removed": removed_files}
 
+    def purge_to_budget(self, high_bytes: int, low_bytes: int,
+                        step: int = 1) -> dict:
+        """Disk-monitor eviction (libtenzir/src/disk_monitor.cpp:170-250,
+        config validation :64): when the live data footprint exceeds
+        ``high_bytes``, drop the OLDEST data files from the table —
+        ``step`` files per round, re-measuring after each round — until
+        the footprint is <= ``low_bytes`` (the reference's high/low
+        water-mark hysteresis; its partitions are this lake's data
+        files). Age order is on-disk mtime, exactly as the reference
+        sorts `partition_diskstate` — NOT commit order, so a compacted
+        bucket (fresh file, old rows) correctly counts as young.
+
+        Eviction is lossy retention BY DESIGN (the reference erases
+        whole partitions from the index regardless of query overlap);
+        it is published as a normal snapshot commit, so concurrent
+        readers of the pre-purge snapshot stay consistent and the
+        evicted files' bytes are reclaimed later by expire_snapshots(),
+        never here. For MoR tables, a delta file is never evicted
+        before its bucket's older base files (mtime order guarantees
+        base-before-delta within a bucket only when the base is older;
+        if a delta IS oldest it just loses those changes — the same
+        oldest-first contract the reference applies).
+
+        Returns {"evicted": n_files, "bytes_before": b0, "bytes_after": b1}.
+        """
+        if step < 1:
+            raise ValueError("step size must be greater than zero")
+        if high_bytes < low_bytes:
+            raise ValueError("low water mark must be smaller than high "
+                             "water mark")
+
+        def _live() -> list[tuple[DataFile, int, float]]:
+            out = []
+            for f in self.snapshot.files:
+                p = self.io.join(self.root, f.path)
+                try:
+                    out.append((f, self.io.size(p), self.io.mtime(p)))
+                except FileNotFoundError:
+                    out.append((f, 0, 0.0))
+            return out
+
+        live = _live()
+        bytes_before = sum(sz for _, sz, _ in live)
+        size = bytes_before
+        evicted = 0
+        if size <= high_bytes:  # under the high water mark: no-op round
+            return {"evicted": 0, "bytes_before": bytes_before,
+                    "bytes_after": size}
+        while size > low_bytes and live:
+            live.sort(key=lambda t: t[2])
+            drop = {id(t[0]) for t in live[:step]}
+            drop_paths = {t[0].path for t in live[:step]}
+            # snapshot-commit the eviction with the standard retry loop
+            for _ in range(20):
+                snap = latest_snapshot(self.root, self.io) or self.snapshot
+                files = [f for f in snap.files if f.path not in drop_paths]
+                new_snap = Snapshot(
+                    version=snap.version + 1, schema_json=snap.schema_json,
+                    schema_log=snap.schema_log, files=files,
+                    num_buckets=snap.num_buckets, key_col=snap.key_col,
+                    ledger=snap.ledger, properties=snap.properties,
+                )
+                try:
+                    write_snapshot_atomic(self.root, new_snap, self.io)
+                    self.snapshot = new_snap
+                    break
+                except CommitConflict:
+                    continue
+            else:
+                raise CommitConflict("exhausted purge commit retries")
+            evicted += len(drop_paths)
+            live = [t for t in live if id(t[0]) not in drop]
+            size = sum(sz for _, sz, _ in live)
+        return {"evicted": evicted, "bytes_before": bytes_before,
+                "bytes_after": size}
+
     def _write_checkpoints(self, epoch: str, files: list[DataFile], entry: dict) -> None:
         """Per-partition lineage/metrics rows (north rule A3 table).
 

@@ -385,3 +385,53 @@ def test_fileio_seam_path_rewriting_backend(spark, tmp_path):
     t2 = LakeTable.load(spark, str(tmp_path / "rw_t"), io=io)
     assert {r.url: r.v for r in t2.read().collect()} == {"a": 30, "b": 20}
     assert t2.checkpoints().count() >= 2
+
+
+# ---------------------------------------------------- disk-budget purge
+
+def test_purge_to_budget_noop_under_high_water(table, spark):
+    df = spark.createDataFrame([("a", 1), ("b", 2)], SCHEMA)
+    table.append(df)
+    out = table.purge_to_budget(high_bytes=1 << 40, low_bytes=1 << 30)
+    assert out["evicted"] == 0
+    assert out["bytes_before"] == out["bytes_after"] > 0
+    assert table.row_count() == 2
+
+
+def test_purge_to_budget_evicts_oldest_first(table, spark):
+    """disk_monitor.cpp sorts partitions by mtime and erases the oldest
+    first; eviction stops at the LOW water mark (hysteresis), not the
+    high one."""
+    import os as _os
+    import time as _time
+
+    for i in range(4):
+        table.append(spark.createDataFrame([(f"k{i}", i)], SCHEMA))
+    paths = [f.path for f in table.snapshot.files]
+    assert len(paths) >= 4
+    # pin distinct mtimes so age order is deterministic on coarse clocks
+    for age, p in enumerate(paths):
+        full = _os.path.join(table.root, p)
+        t = _time.time() - 1000 + age
+        _os.utime(full, (t, t))
+    sizes = {p: _os.path.getsize(_os.path.join(table.root, p)) for p in paths}
+    total = sum(sizes.values())
+    # low water mark that forces exactly the two oldest files out
+    low = total - sizes[paths[0]] - sizes[paths[1]] + 1
+    out = table.purge_to_budget(high_bytes=low, low_bytes=low, step=1)
+    assert out["evicted"] == 2
+    live = {f.path for f in table.snapshot.files}
+    assert paths[0] not in live and paths[1] not in live
+    assert paths[2] in live and paths[3] in live
+    got = {r.url for r in table.read().collect()}
+    assert got == {"k2", "k3"}  # lossy retention: oldest rows gone
+    # the eviction is a snapshot commit: reload sees the same state
+    t2 = LakeTable.load(spark, table.root)
+    assert {r.url for r in t2.read().collect()} == {"k2", "k3"}
+
+
+def test_purge_to_budget_validates_config(table):
+    with pytest.raises(ValueError, match="step size"):
+        table.purge_to_budget(10, 5, step=0)
+    with pytest.raises(ValueError, match="water mark"):
+        table.purge_to_budget(5, 10)

@@ -1966,3 +1966,84 @@ def test_server_multi_import_counts(spark, conn_dns):
         spark=spark).df
     assert sorted(r.uid for r in dfq.collect()) == \
         sorted(_ascii_uids("server-zeek-multiple-imports", 3))
+
+
+# ------------------------------------------------------- Disk monitor
+# tests.yaml:395 (fixture :38) — budget high=1/low=0 with the check
+# script always over-budget: the monitor erases oldest partitions round
+# by round until nothing is left; the final `count '#schema ==
+# /zeek.*/'` golden (disk-monitor/step_02.ref) is 0. Replayed against
+# the lake's purge_to_budget (disk_monitor.cpp:170-250 hysteresis).
+
+def test_disk_monitor_evicts_everything(spark, conn_tsv, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from tenzir_spark.lake import LakeTable
+
+    src = parse_pipeline(
+        f"from {conn_tsv} read zeek-tsv | select uid", spark=spark).df
+    schema = T.StructType([T.StructField("uid", T.StringType(), True)])
+    t = LakeTable.create(spark, str(tmp_path / "dm"), schema, "uid",
+                         num_buckets=2)
+    # several imports -> several partitions (the yaml uses a small
+    # max-partition-size for the same effect)
+    rows = src.limit(30).collect()
+    for i in range(3):
+        t.append(spark.createDataFrame(rows[i * 10:(i + 1) * 10], schema))
+    assert len(t.snapshot.files) >= 3
+    out = t.purge_to_budget(high_bytes=1, low_bytes=0)
+    assert out["evicted"] >= 3 and out["bytes_after"] == 0
+    assert t.read().count() == 0  # golden: step_02.ref == "0"
+
+
+# ------------------------------------- Rebuild undersized partitions
+# tests.yaml:569 — eve.json imported twice makes 16 partitions (golden
+# step_02.ref), each export batch carrying 1 event per schema
+# (step_03); `rebuild --undersized` folds them to 8 (step_05) with
+# batches of 2 (step_07) and the full 16-event export unchanged
+# (step_06). Lake analog: two appends x 8 buckets = 16 undersized
+# files, compact() = the reference's rebuild (rebuild.cpp:45-47) folds
+# to one file per bucket, read-back content identical.
+
+def test_rebuild_undersized_partitions(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from tenzir_spark.lake import LakeTable
+
+    from tenzir_spark.lake.format import bucket_expr
+
+    with open(EVE) as f:
+        events = [ln for ln in f.read().splitlines() if ln.strip()]
+    assert len(events) == 8  # one per suricata schema in the fixture
+    schema = T.StructType([
+        T.StructField("k", T.StringType(), False),
+        T.StructField("imp", T.IntegerType(), True),
+        T.StructField("raw", T.StringType(), True)])
+    t = LakeTable.create(spark, str(tmp_path / "rb"), schema, "k",
+                         num_buckets=8)
+    # one key per bucket so each import writes all 8 "partitions", as
+    # the reference's per-schema partitioning does for the 8 schemas
+    cand = spark.createDataFrame([(f"e{i}",) for i in range(256)], "k string")
+    key_of = {}
+    for r in cand.withColumn("b", bucket_expr("k", 8)).collect():
+        key_of.setdefault(r.b, r.k)
+    assert len(key_of) == 8
+    keys = [key_of[b] for b in range(8)]
+    for imp in range(2):
+        t.append(spark.createDataFrame(
+            [(keys[i], imp, e) for i, e in enumerate(events)], schema))
+    by_bucket: dict[int, int] = {}
+    for f_ in t.snapshot.files:
+        by_bucket[f_.bucket] = by_bucket.get(f_.bucket, 0) + 1
+    assert len(t.snapshot.files) == 16  # step_02.ref
+    before = sorted((r.k, r.imp, r.raw) for r in t.read().collect())
+    t.compact(target_rows=4_194_304)  # every file is undersized
+    after_files = t.snapshot.files
+    # step_05.ref: every bucket that had 2 files folds to 1
+    assert len(after_files) == 8
+    assert all(
+        sum(1 for f_ in after_files if f_.bucket == b) == 1
+        for b in by_bucket)
+    after = sorted((r.k, r.imp, r.raw) for r in t.read().collect())
+    assert after == before and len(after) == 16  # step_06.ref content
