@@ -611,6 +611,10 @@ class Binder:
             if bound is not None:
                 out = out & bound
             return out
+        # gates are scoped to THIS resolution: a prior comparison's
+        # qualified extractor (`conn.duration`) must not leak its schema
+        # gate onto a later bare `duration` over the same column
+        self._schema_gates.clear()
         paths = self._resolve(lhs)
         if not paths and isinstance(lhs, TypeExtractor) \
                 and lhs.type_name in ("ip", "subnet") \

@@ -72,8 +72,16 @@ class _NodeStore:
     exactly-once ledgers stay the explicit `import <name>` surface."""
 
     def __init__(self):
+        import os
         import tempfile
-        self.root = tempfile.mkdtemp(prefix="tenzir_node_")
+
+        # On a non-local master the store root must be shared storage
+        # (s3a://, hdfs://, NFS) — executors write the parquet parts, so
+        # a driver-local tempdir would scatter them across worker disks.
+        # TENZIR_SPARK_NODE_DIR pins it; the mkdtemp default is only
+        # correct for local[*].
+        self.root = os.environ.get("TENZIR_SPARK_NODE_DIR") \
+            or tempfile.mkdtemp(prefix="tenzir_node_")
         self.generation = 0
 
     def append(self, df) -> None:
@@ -83,11 +91,19 @@ class _NodeStore:
     def read(self, spark):
         import glob
         import os
-        if not glob.glob(os.path.join(self.root, "*.parquet")) and \
-                not glob.glob(os.path.join(self.root, "part-*")):
-            from pyspark.sql import types as T
+
+        from pyspark.sql import types as T
+        if "://" not in self.root:
+            if not glob.glob(os.path.join(self.root, "*.parquet")) and \
+                    not glob.glob(os.path.join(self.root, "part-*")):
+                return spark.createDataFrame([], T.StructType([]))
+            return spark.read.option("mergeSchema", "true").parquet(self.root)
+        # URI store roots (shared storage): no driver-local glob — probe
+        # by reading and map the empty-store failure to an empty frame
+        try:
+            return spark.read.option("mergeSchema", "true").parquet(self.root)
+        except Exception:
             return spark.createDataFrame([], T.StructType([]))
-        return spark.read.option("mergeSchema", "true").parquet(self.root)
 
 
 _NODE_STORE: _NodeStore | None = None

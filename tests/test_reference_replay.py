@@ -1490,6 +1490,21 @@ def test_multi_import_qualified_resp_h(spark, conn_dns):
     assert sorted(r.uid for r in rows) == \
         _ascii_uids("node-zeek-multiple-imports", 3)
 
+def test_qualified_then_bare_no_gate_leak(spark, conn_dns):
+    """A qualified extractor's schema gate is scoped to its own
+    comparison: a bare suffix over the same column in the SAME
+    expression still reaches every schema (regression: the gate dict
+    leaked across resolutions within one compile)."""
+    bare = parse_pipeline(
+        f"from {conn_dns} read zeek-tsv"
+        " | where resp_h == 192.168.1.104", spark=spark).df.count()
+    mixed = parse_pipeline(
+        f"from {conn_dns} read zeek-tsv"
+        " | where zeek.conn.id.resp_h == 8.8.8.8"
+        "      || id.resp_h == 192.168.1.104", spark=spark).df.count()
+    assert mixed == bare > 0
+
+
 
 def test_multi_import_timestamp_type_count(spark, conn_dns):
     df = parse_pipeline(
