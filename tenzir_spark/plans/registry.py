@@ -27,7 +27,9 @@ OPERATORS = [
 FORMATS = ["json", "suricata", "zeek-json", "csv", "tsv", "ssv", "zeek-tsv",
            "cef", "lines", "yaml", "parquet", "feather", "pcap", "netflow"]
 
-CONNECTORS = ["file", "directory", "s3a://", "gs://",
+CONNECTORS = ["file", "directory", "s3a:// (Spark-native bulk path)",
+              "s3 (Arrow S3FileSystem loader/saver, sources.objectstore)",
+              "gcs (Arrow GcsFileSystem loader/saver, sources.objectstore)",
               "kafka (structured streaming; offset-spec translation)",
               "http/https/ftp (driver spool, sources.net)",
               "stdin/stdout (driver)",

@@ -564,6 +564,27 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
                 from tenzir_spark.sources.net import http_fetch
                 infer_src = path.split("?", 1)[0].split("#", 1)[0]
                 path = http_fetch(path)
+            if path in ("s3", "gcs") or (
+                    "://" in path
+                    and path.split("://", 1)[0] in ("s3", "gs", "gcs")):
+                # object-store loader (s3.cpp loader / plugins/gcs):
+                # `from s3 [--anonymous] s3://bucket/key [read fmt]` or a
+                # bare s3://|gs:// URI. Arrow filesystem fetch to a
+                # driver spool, distributed parse — same split as curl.
+                # (s3a:// stays Spark-native and never reaches here.)
+                from tenzir_spark.sources.objectstore import \
+                    objectstore_fetch
+                ctoks = toks[1:] if path in ("s3", "gcs") else toks[:]
+                ridx = ctoks.index("read") if "read" in ctoks else len(ctoks)
+                conn, rest = ctoks[:ridx], ctoks[ridx:]
+                anon = "--anonymous" in conn
+                conn = [t for t in conn if t != "--anonymous"]
+                if not conn:
+                    raise ValueError(f"'{op} {toks[0]}' requires a URI")
+                uri = conn[0]
+                infer_src = uri.split("?", 1)[0]
+                path = objectstore_fetch(uri, anonymous=anon)
+                toks = [path] + rest
             if path == "nic":
                 # live AF_PACKET capture -> pcap byte stream (nic.md:
                 # "the default parser for the nic loader is pcap")
@@ -1007,6 +1028,37 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
                 sink.timestamp = ts
             elif path in ("-", "stdout"):
                 sink = _Sink("stdout")
+            elif path in ("s3", "gcs") or (
+                    "://" in path
+                    and path.split("://", 1)[0] in ("s3", "gs", "gcs")):
+                # object-store saver (s3.cpp saver / plugins/gcs):
+                # `to s3 [--anonymous] s3://bucket/key [write fmt]` or a
+                # bare URI. The format printer runs first into a local
+                # spool; run_pipeline then streams the spool to the
+                # object (the reference saver is the same bytes-out
+                # tail behind any printer).
+                import os as _os
+                import tempfile as _tf
+                otoks = toks[1:] if path in ("s3", "gcs") else toks[:]
+                widx = (otoks.index("write")
+                        if "write" in otoks else len(otoks))
+                conn, wrest = otoks[:widx], otoks[widx:]
+                anon = "--anonymous" in conn
+                conn = [t for t in conn if t != "--anonymous"]
+                if not conn:
+                    raise ValueError(f"'to {toks[0]}' requires a URI")
+                uri = conn[0]
+                bare = uri.split("?", 1)[0]
+                f = wrest[1] if len(wrest) >= 2 else _infer_format(bare)
+                fd, spool = _tf.mkstemp(
+                    prefix="tenzir_objsink_",
+                    suffix=_os.path.splitext(bare)[1] or ".bin")
+                _os.close(fd)
+                sink = _Sink(f, spool)
+                if len(wrest) >= 2:
+                    sink.opts = wrest[2:]
+                sink.objectstore_uri = uri
+                sink.objectstore_anonymous = anon
             else:
                 f = toks[2] if len(toks) >= 3 and toks[1] == "write" else _infer_format(path)
                 sink = _Sink(f, path)
@@ -1110,6 +1162,36 @@ def run_pipeline(p: Pipeline):
     sink: _Sink | None = getattr(p, "_pending_sink", None)
     if sink is None:
         return p.df
+    osuri = getattr(sink, "objectstore_uri", None)
+    if osuri is not None:
+        # object-store saver tail: run the format printer into the local
+        # spool first (recursive call with the tag cleared), then stream
+        # the spool to the object (s3.cpp saver). Spark's directory
+        # writers (parquet) emit a part dir — a single part uploads as
+        # the object; multi-part output belongs on s3a:// Spark-native.
+        import os as _os
+
+        from tenzir_spark.sources.objectstore import objectstore_save
+        sink.objectstore_uri = None
+        try:
+            run_pipeline(p)
+            src = sink.path
+            if _os.path.isdir(src):
+                parts = sorted(
+                    _os.path.join(src, n) for n in _os.listdir(src)
+                    if not n.startswith(("_", ".")) and
+                    _os.path.getsize(_os.path.join(src, n)) > 0)
+                if len(parts) != 1:
+                    raise ValueError(
+                        f"object-store sink got {len(parts)} output parts; "
+                        "coalesce to one partition or write s3a:// directly")
+                src = parts[0]
+            objectstore_save(
+                src, osuri,
+                anonymous=getattr(sink, "objectstore_anonymous", False))
+        finally:
+            sink.objectstore_uri = osuri
+        return None
     if sink.kind == "serve":
         # handles batch AND streaming frames (foreachBatch inside)
         from tenzir_spark.serve import (DEFAULT_BUFFER_SIZE,
