@@ -87,7 +87,16 @@ class _NodeStore:
         self.generation = 0
 
     def append(self, df) -> None:
-        df.write.mode("append").parquet(self.root)
+        # one IMMUTABLE subdirectory per import, like the lake's
+        # add-files commits: concurrent `mode("append")` writes to a
+        # single path race on Spark's shared _temporary commit dir (one
+        # job's cleanup deletes another's in-flight task attempts —
+        # database.bats "parallel imports" fails exactly that way), but
+        # distinct output paths give every import client its own
+        # committer, so parallel imports are lock-free and lossless.
+        import uuid
+        sep = "" if self.root.endswith("/") else "/"
+        df.write.parquet(f"{self.root}{sep}import-{uuid.uuid4().hex}")
         self.generation += 1
 
     def read(self, spark):
@@ -95,15 +104,18 @@ class _NodeStore:
         import os
 
         from pyspark.sql import types as T
+        reader = spark.read.option("mergeSchema", "true") \
+            .option("recursiveFileLookup", "true")
         if "://" not in self.root:
-            if not glob.glob(os.path.join(self.root, "*.parquet")) and \
+            if not glob.glob(os.path.join(self.root, "import-*")) and \
+                    not glob.glob(os.path.join(self.root, "*.parquet")) and \
                     not glob.glob(os.path.join(self.root, "part-*")):
                 return spark.createDataFrame([], T.StructType([]))
-            return spark.read.option("mergeSchema", "true").parquet(self.root)
+            return reader.parquet(self.root)
         # URI store roots (shared storage): no driver-local glob — probe
         # by reading and map the empty-store failure to an empty frame
         try:
-            return spark.read.option("mergeSchema", "true").parquet(self.root)
+            return reader.parquet(self.root)
         except Exception:
             return spark.createDataFrame([], T.StructType([]))
 

@@ -1254,7 +1254,17 @@ def run_pipeline(p: Pipeline):
 
         from tenzir_spark.plans.registry import get_table, node_store
         if sink.path is None:
-            node_store().append(p.df)
+            df = p.df
+            # the reference's catalog records every import's schema name
+            # (import.cpp -> catalog); single-schema frames carry it only
+            # as the _tenzir_schema attribute, which a parquet round-trip
+            # through the store would lose — materialize it so `export |
+            # where #schema == ...` (functional-test database.bats counts)
+            # resolves on the merged multi-schema read.
+            sname = df.__dict__.get("_tenzir_schema")
+            if sname and "_schema" not in df.columns:
+                df = df.withColumn("_schema", F.lit(str(sname)))
+            node_store().append(df)
             return None
         table = get_table(sink.path)
         epoch = sink.epoch
