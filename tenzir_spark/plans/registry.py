@@ -156,11 +156,13 @@ def show(spark: SparkSession, aspect: str) -> DataFrame:
     if aspect == "tables":
         return spark.sql("SHOW TABLES")
     if aspect == "version":
-        import pyspark
-
+        # ONE event with a single `version` field, exactly the
+        # reference's tenzir.version record (aspects/version.cpp:20-23)
+        # — the web plugin's serve.sh uses it as a 1-event source
+        # (`show version | repeat 5 | serve`). Component/runtime
+        # versions live under `show build` / `show dependencies`.
         from tenzir_spark import __version__
-        rows = [("tenzir_spark", __version__), ("pyspark", pyspark.__version__)]
-        return spark.createDataFrame(rows, "component string, version string")
+        return spark.createDataFrame([(__version__,)], "version string")
     if aspect == "build":
         rows = [("master", spark.sparkContext.master),
                 ("spark_version", spark.version),

@@ -132,8 +132,7 @@ CASES = [
     # show aspect as a TQL source piped through operators
     # (tests.yaml:1038 YAML shape: `show plugins | where name == ...`)
     ("show_version_component.txt",
-     "show version | where component == \"tenzir_spark\""
-     " | select component"),
+     "show version | where version != \"\" | select version"),
     # tests.yaml:1046 'PCAP Format' concat step: shell-concatenated
     # captures with -e keep file_header/packet sequencing per input
     ("pcap_concat_schemas.txt",

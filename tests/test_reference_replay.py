@@ -446,16 +446,14 @@ def test_type_mismatch_column_totality(spark):
 
 
 # ---------------------------------------------------------- Batch Events
-# tests.yaml — `repeat 10 | batch N | measure | select events` reports
-# the exact per-batch event counts. (The reference uses `show version`
-# as its 1-event source; ours emits component rows, so a 1-line shell
-# source stands in.)
+# tests.yaml — `show version | repeat 10 | batch N | measure | select
+# events` reports the exact per-batch event counts (`show version` is
+# the reference's canonical 1-event source).
 
 @pytest.mark.parametrize("n,step", [(5, 0), (1, 1), (3, 2), (15, 3)])
 def test_batch_events(spark, n, step):
     df = parse_pipeline(
-        "shell \"printf 'x\\n'\" | read lines"
-        f" | repeat 10 | batch {n} | measure | select events",
+        f"show version | repeat 10 | batch {n} | measure | select events",
         spark=spark).df
     ours = sorted(r.events for r in df.collect())
     ref = sorted(int(m) for m in re.findall(

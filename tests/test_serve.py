@@ -247,3 +247,29 @@ def test_serve_streaming_available_now_completes(spark, manager, tmp_path):
     assert sorted(r["v"] for r in rows) == [1, 2, 3, 4, 5]
     assert chunks >= 3  # max_events=2 paging actually paged
     assert not q.isActive  # availableNow terminated the query itself
+
+
+def test_web_plugin_serve_sh_replay(spark):
+    """Replay of plugins/web/integration/scripts/serve.sh: `show version
+    | repeat 5 | serve version`, drained with max_events=1 for the first
+    page then max_events=4 until the continuation token goes null — the
+    golden is exactly 5 events total."""
+    from tenzir_spark.plans.tql import exec_pipeline
+    from tenzir_spark.serve import default_manager
+
+    exec_pipeline("show version | repeat 5 | serve version", spark=spark)
+    port = default_manager().port
+    total = 0
+    status, resp = _post(port, {"serve_id": "version", "timeout": "5s",
+                                "max_events": 1,
+                                "continuation_token": None})
+    assert status == 200, resp
+    total += len(resp["data"])
+    while resp["next_continuation_token"] is not None:
+        status, resp = _post(
+            port, {"serve_id": "version", "timeout": "5s",
+                   "max_events": 4,
+                   "continuation_token": resp["next_continuation_token"]})
+        assert status == 200, resp
+        total += len(resp["data"])
+    assert total == 5
