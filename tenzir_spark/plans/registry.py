@@ -184,14 +184,20 @@ def show(spark: SparkSession, aspect: str) -> DataFrame:
     if aspect == "plugins":
         import tenzir_spark
         import pkgutil
-        mods = [(m.name, "builtin") for m in pkgutil.walk_packages(
-            tenzir_spark.__path__, prefix="tenzir_spark.")]
+
+        from tenzir_spark import __version__
+        # reference field set (aspects/plugins.cpp:31-40): name,
+        # version, kind, types — `show plugins | where name == ...` in
+        # the YAML integration suite binds on `name`
+        mods = [(m.name, __version__, "builtin") for m in
+                pkgutil.walk_packages(tenzir_spark.__path__,
+                                      prefix="tenzir_spark.")]
         # UDx registrations (tenzir_spark.plugin ≅ plugin.hpp kinds)
         from tenzir_spark.plugin import plugins as _udx
-        mods += [(name, kind) for kind, names in _udx().items()
-                 for name in names]
-        return spark.createDataFrame(sorted(mods),
-                                     "plugin string, kind string")
+        mods += [(name, __version__, kind)
+                 for kind, names in _udx().items() for name in names]
+        return spark.createDataFrame(
+            sorted(mods), "name string, version string, kind string")
     if aspect == "types":
         # the reference's type table (type.hpp:52-56) with our Spark mapping
         rows = [("null", "void"), ("bool", "boolean"), ("int64", "bigint"),

@@ -1101,7 +1101,14 @@ def read_yaml(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame({"json": docs})
 
     jdf = whole.mapInPandas(parse, "json string")
-    return jdf  # caller applies from_json with a schema, or keeps raw
+    # the reference's `read yaml` yields STRUCTURED events (yaml.cpp
+    # parses into the series builder), so infer a unified schema over
+    # the intermediate JSON docs. The RDD hop is the standard
+    # json-lines→DataFrame bridge and stays fully distributed; yaml is
+    # a config/printer edge format, never the bulk path.
+    if not jdf.take(1):
+        return spark.createDataFrame([], T.StructType([]))
+    return spark.read.json(jdf.rdd.map(lambda r: r[0]))
 
 
 def write_yaml(df: DataFrame, path: str) -> None:

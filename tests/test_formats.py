@@ -111,10 +111,11 @@ def test_yaml_roundtrip(spark, tmp_path):
     path = str(tmp_path / "out.yaml")
     write_yaml(df, path)
     back = read_yaml(spark, path)
-    docs = [json.loads(r["json"]) for r in back.collect()]
-    docs.sort(key=lambda d: d["id"])
+    docs = sorted((r.asDict() for r in back.collect()),
+                  key=lambda d: d["id"])
     assert docs[0] == {"id": 1, "s": "x", "v": 1.5}
-    assert docs[1] == {"id": 2, "s": "multi\nline"}  # nulls omitted
+    # nulls are omitted from the yaml document; inference backfills None
+    assert docs[1] == {"id": 2, "s": "multi\nline", "v": None}
 
 
 def test_assemble_parts_respects_fileio_seam(spark, tmp_path):

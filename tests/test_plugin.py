@@ -133,7 +133,7 @@ def test_builtin_shadowing_rejected(clean):
 def test_show_plugins_lists_registrations(spark, clean):
     clean("operator", "noop_op", lambda df: df)
     from tenzir_spark.plans.registry import show
-    rows = {(r.plugin, r.kind) for r in show(spark, "plugins").collect()}
+    rows = {(r.name, r.kind) for r in show(spark, "plugins").collect()}
     assert ("noop_op", "operators") in rows
     # builtins still listed
     assert any(k == "builtin" for _, k in rows)

@@ -2060,3 +2060,20 @@ def test_rebuild_undersized_partitions(spark, tmp_path):
         for b in by_bucket)
     after = sorted((r.k, r.imp, r.raw) for r in t.read().collect())
     assert after == before and len(after) == 16  # step_06.ref content
+
+
+# ----------------------------------------------------------- YAML suite
+# tests.yaml:1038 step 4 — `show plugins | where name == "yaml" |
+# repeat 10 | write yaml | read yaml`: aspect rows filter on the
+# reference's `name` field and survive a yaml print->parse round trip.
+
+def test_yaml_suite_show_plugins_roundtrip(spark, tmp_path_factory):
+    from tenzir_spark.plans.tql import exec_pipeline
+    out = str(tmp_path_factory.mktemp("yamlrt") / "plugins.yaml")
+    exec_pipeline('show plugins | where name == "tenzir_spark.serve"'
+                  f" | repeat 10 | write yaml | save {out}", spark=spark)
+    df = parse_pipeline(f"from {out} read yaml", spark=spark).df
+    rows = df.collect()
+    assert len(rows) == 10
+    assert all(r["name"] == "tenzir_spark.serve" for r in rows)
+    assert all(r["kind"] == "builtin" for r in rows)
