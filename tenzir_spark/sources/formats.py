@@ -1126,9 +1126,17 @@ def write_yaml(df: DataFrame, path: str) -> None:
         raise NotImplementedError("yaml format needs PyYAML (not installed)") from exc
     import pandas as pd
 
+    # mapInPandas resolves column names with df[name], which parses a
+    # dotted flat name (`id.orig_h` from the json reader's --unnest
+    # flattening) as struct access — rename to positional placeholders
+    # for the hop and restore the real names inside the render
+    names = list(df.columns)
+    safe = df.toDF(*[f"_c{i}" for i in range(len(names))])
+
     def render(batches):
         import yaml as _y
         for pdf in batches:
+            pdf.columns = names
             docs = [
                 # explicit '---' document start per row: the concatenated
                 # parts form one valid YAML document stream regardless of
@@ -1143,7 +1151,7 @@ def write_yaml(df: DataFrame, path: str) -> None:
             ]
             yield pd.DataFrame({"doc": docs})
 
-    _assemble_parts(df.mapInPandas(render, "doc string"), path)
+    _assemble_parts(safe.mapInPandas(render, "doc string"), path)
 
 
 # ------------------------------------------------------------------ ascii

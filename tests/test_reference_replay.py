@@ -2077,3 +2077,85 @@ def test_yaml_suite_show_plugins_roundtrip(spark, tmp_path_factory):
     assert len(rows) == 10
     assert all(r["name"] == "tenzir_spark.serve" for r in rows)
     assert all(r["kind"] == "builtin" for r in rows)
+
+
+# tests.yaml:1038 step 1 — `from file tests.yaml | put tags=..., steps=...`
+# reads the suite's OWN yaml definition and projects nested paths; the
+# golden (yaml/step_00.ref) pins both values exactly.
+
+def test_yaml_suite_self_read(spark):
+    ref = json.loads("".join(_ref_lines("yaml", 0)))
+    df = parse_pipeline(
+        f"from {os.path.join(REF, 'tests.yaml')} read yaml"
+        " | put tags=tests.YAML.tags, steps=tests.YAML.steps",
+        spark=spark).df
+    rows = df.collect()
+    assert len(rows) == 1
+    assert list(rows[0]["tags"]) == ref["tags"]
+    assert [s["command"] for s in rows[0]["steps"]] == \
+        [s["command"] for s in ref["steps"]]
+
+
+# tests.yaml:1038 step 3 — zeek-json head 5 through the yaml printer:
+# five '---' documents whose key fields match the golden (the golden
+# nests per-row schemas; our unified heterogeneous frame keeps conn's
+# id.* flat — documented divergence — so the check is semantic).
+
+def test_yaml_suite_zeek_json_print(spark, tmp_path_factory):
+    from tenzir_spark.plans.tql import exec_pipeline
+    import yaml as _y
+    out = str(tmp_path_factory.mktemp("yamlz") / "five.yaml")
+    exec_pipeline(
+        f"from {os.path.join(REF, 'data/zeek/zeek.json')} read zeek-json"
+        f" | head 5 | write yaml | save {out}", spark=spark)
+    ours = list(_y.safe_load_all(open(out).read()))
+    ref_path = os.path.join(REF, "reference", "yaml", "step_02.ref")
+    ref = list(_y.safe_load_all(open(ref_path).read()))
+    assert len(ours) == len(ref) == 5
+    def key(d):
+        return d.get("uid")
+    ref_by, ours_by = {key(d): d for d in ref}, {key(d): d for d in ours}
+    assert set(ref_by) == set(ours_by)
+
+    def flat(d, pre=""):
+        out = {}
+        for k, v in d.items():
+            if isinstance(v, dict):
+                out.update(flat(v, f"{pre}{k}."))
+            else:
+                out[f"{pre}{k}"] = v
+        return out
+
+    compared = 0
+    for uid, rd in ref_by.items():
+        od = flat(ours_by[uid])
+        for k, v in flat(rd).items():
+            if k not in od or v is None:
+                continue
+            o = od[k]
+            if isinstance(v, bool) or isinstance(o, bool):
+                assert o == v, (uid, k)
+            elif isinstance(v, (int, float)) and isinstance(o, (int, float)):
+                assert float(o) == pytest.approx(float(v)), (uid, k)
+            elif isinstance(v, str) and isinstance(o, str):
+                # rendering differs where the reference bound a declared
+                # schema (typed durations print adaptive: "3.42s");
+                # numeric-comparable values compare numerically
+                units = {"ns": 1e-9, "us": 1e-6, "ms": 1e-3, "s": 1.0,
+                         "m": 60.0, "h": 3600.0, "d": 86400.0}
+
+                def num(x):
+                    for u, f in sorted(units.items(), key=lambda t: -len(t[0])):
+                        if x.endswith(u):
+                            try:
+                                return float(x[:-len(u)]) * f
+                            except ValueError:
+                                pass
+                    return float(x)  # may raise
+
+                try:
+                    assert num(o) == pytest.approx(num(v), rel=0.01), (uid, k)
+                except ValueError:
+                    assert o.rstrip("Z") == v.rstrip("Z"), (uid, k)
+            compared += 1
+    assert compared > 40  # the five docs share a large scalar surface
