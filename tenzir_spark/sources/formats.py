@@ -1213,8 +1213,14 @@ def ascii_lines(df: DataFrame) -> DataFrame:
                 if isinstance(f.dataType, (T.ByteType, T.ShortType,
                                            T.IntegerType, T.LongType))}
 
+    # same dotted-name hazard as write_yaml: df[name] on a flat
+    # `id.orig_h` column parses as struct access — hop via positional
+    # placeholders and restore the real names per batch
+    safe = df.toDF(*[f"_c{i}" for i in range(len(names))])
+
     def render(batches):
         for pdf in batches:
+            pdf.columns = names
             out = []
             for row in pdf.to_dict(orient="records"):
                 vals = []
@@ -1231,7 +1237,7 @@ def ascii_lines(df: DataFrame) -> DataFrame:
                 out.append("<" + ", ".join(vals) + ">")
             yield pd.DataFrame({"value": out})
 
-    return df.mapInPandas(render, "value string")
+    return safe.mapInPandas(render, "value string")
 
 
 def write_ascii(df: DataFrame, path: str) -> None:
