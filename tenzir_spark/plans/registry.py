@@ -178,9 +178,32 @@ def show(spark: SparkSession, aspect: str) -> DataFrame:
                 pass
         return spark.createDataFrame(deps, "dependency string, version string")
     if aspect == "config":
-        rows = [(k, v) for k, v in spark.sparkContext.getConf().getAll()
-                if not k.startswith("spark.driver.extra")]
-        return spark.createDataFrame(sorted(rows), "key string, value string")
+        # ONE event holding the whole configuration as a nested record
+        # (aspects/config.cpp yields the loaded tenzir.yaml as one row;
+        # the YAML suite pipes it through `drop <section> | write yaml`)
+        import json as _json
+        root: dict = {}
+        for k, v in sorted(spark.sparkContext.getConf().getAll()):
+            if k.startswith("spark.driver.extra"):
+                continue
+            parts, cur, flat = k.split("."), root, False
+            for p in parts[:-1]:
+                nxt = cur.setdefault(p, {})
+                if not isinstance(nxt, dict):
+                    # a scalar already owns this prefix (spark.x vs
+                    # spark.x.y): keep the longer key flat beside it
+                    cur[".".join(parts[parts.index(p):])] = v
+                    flat = True
+                    break
+                cur = nxt
+            if not flat:
+                leaf = parts[-1]
+                if isinstance(cur.get(leaf), dict):
+                    cur[leaf][""] = v
+                else:
+                    cur[leaf] = v
+        return spark.read.json(
+            spark.sparkContext.parallelize([_json.dumps(root)]))
     if aspect == "plugins":
         import tenzir_spark
         import pkgutil

@@ -2159,3 +2159,20 @@ def test_yaml_suite_zeek_json_print(spark, tmp_path_factory):
                     assert o.rstrip("Z") == v.rstrip("Z"), (uid, k)
             compared += 1
     assert compared > 40  # the five docs share a large scalar surface
+
+
+# tests.yaml:1038 step 2 — `show config | drop tenzir.config | write
+# yaml`: ONE nested configuration record with the named section
+# removed (ours: the spark conf record, dropping spark.sql).
+
+def test_yaml_suite_show_config_drop(spark, tmp_path_factory):
+    import yaml as _y
+
+    from tenzir_spark.plans.tql import exec_pipeline
+    out = str(tmp_path_factory.mktemp("yamlc") / "config.yaml")
+    exec_pipeline(f"show config | drop spark.sql | write yaml | save {out}",
+                  spark=spark)
+    docs = list(_y.safe_load_all(open(out).read()))
+    assert len(docs) == 1
+    assert "sql" not in docs[0]["spark"]
+    assert "app" in docs[0]["spark"]  # the rest of the record survives
