@@ -701,6 +701,80 @@ class LakeTable:
         self.refresh()
         return {"snapshots_removed": len(expired), "files_removed": removed_files}
 
+    def verify(self, repair: bool = False) -> dict:
+        """Audit the snapshot's file inventory against the parquet
+        footers — the lake analog of the reference's partition
+        self-repair (tests.yaml 'Self Repair': on-disk state that
+        disagrees with its recorded metadata is rebuilt on the next
+        touch instead of trusted). For every listed file the rows and
+        per-column min/max are re-derived from the footer:
+
+        - a missing/unreadable file is reported under ``missing`` (data
+          loss is not repairable from metadata alone);
+        - drifted rows/stats are reported under ``mismatched``, and with
+          ``repair=True`` a corrected snapshot commits atomically
+          (refresh-and-retry under concurrent commits). Drifted stats
+          are not cosmetic: ``read(key_range=...)`` prunes on the
+          recorded min/max, so bad bounds silently drop rows.
+
+        Footer probes are metadata-only reads through the FileIO seam,
+        threaded like the write path's stats collection — O(files)
+        small reads on the driver, never a data scan; at very large
+        inventories audit bucket ranges incrementally."""
+        from concurrent.futures import ThreadPoolExecutor
+        if pq is None:  # pragma: no cover - pyarrow is baked in
+            return {"checked": 0, "missing": [], "mismatched": [],
+                    "repaired": False}
+        for _ in range(20):
+            snap = self.snapshot
+
+            def probe(f: DataFile):
+                cols = list(f.stats.keys()) or [snap.key_col]
+                try:
+                    return _footer_stats(
+                        self.io.join(self.root, f.path), cols, self.io)
+                except Exception as exc:
+                    return exc
+
+            with ThreadPoolExecutor(
+                    max_workers=min(16, max(len(snap.files), 1))) as ex:
+                probes = list(ex.map(probe, snap.files))
+            missing, mismatched, fixed = [], [], []
+            changed = False
+            for f, pr in zip(snap.files, probes):
+                if isinstance(pr, Exception):
+                    missing.append({"path": f.path, "error": str(pr)})
+                    fixed.append(f)
+                    continue
+                rows, stats = pr
+                if rows != f.rows or (f.stats and stats != f.stats):
+                    mismatched.append({
+                        "path": f.path, "recorded_rows": f.rows,
+                        "actual_rows": rows})
+                    fixed.append(DataFile(f.path, f.bucket, rows,
+                                          f.schema_epoch, stats, f.kind))
+                    changed = True
+                else:
+                    fixed.append(f)
+            out = {"checked": len(snap.files), "missing": missing,
+                   "mismatched": mismatched, "repaired": False}
+            if not (repair and changed):
+                return out
+            new_snap = Snapshot(
+                version=snap.version + 1, schema_json=snap.schema_json,
+                schema_log=snap.schema_log, files=fixed,
+                num_buckets=snap.num_buckets, key_col=snap.key_col,
+                ledger=snap.ledger, properties=snap.properties)
+            try:
+                write_snapshot_atomic(self.root, new_snap, self.io)
+            except CommitConflict:
+                self.refresh()
+                continue
+            self.snapshot = new_snap
+            out["repaired"] = True
+            return out
+        raise CommitConflict("exhausted verify retries")
+
     def purge_to_budget(self, high_bytes: int, low_bytes: int,
                         step: int = 1) -> dict:
         """Disk-monitor eviction (libtenzir/src/disk_monitor.cpp:170-250,

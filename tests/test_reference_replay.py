@@ -2176,3 +2176,62 @@ def test_yaml_suite_show_config_drop(spark, tmp_path_factory):
     assert len(docs) == 1
     assert "sql" not in docs[0]["spark"]
     assert "app" in docs[0]["spark"]  # the rest of the record survives
+
+
+# ------------------------------------------------------- Self Repair
+# tests.yaml:541 — break-sizelimit.sh corrupts a partition's on-disk
+# size so its metadata lies; the node repairs it on the next import and
+# the qualified count (step_03.ref: 2755 events with orig_h ==
+# 192.168.1.104) still answers correctly. Lake analog: recorded
+# per-file stats are damaged externally (key_range pruning then
+# silently drops every matching file), LakeTable.verify detects the
+# drift against the parquet footers, and verify(repair=True) restores
+# the exact golden count.
+
+def test_self_repair_recovers_golden_count(spark, conn_tsv, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from tenzir_spark.lake import LakeTable
+
+    target = "192.168.1.104"
+    golden = int(_ref_lines("self-repair", 3)[0])  # 2755
+    src = parse_pipeline(
+        f"from {conn_tsv} read zeek-tsv", spark=spark).df \
+        .select(F.col("uid"), F.col("`id.orig_h`").alias("orig_h"))
+    schema = T.StructType([T.StructField("uid", T.StringType(), True),
+                           T.StructField("orig_h", T.StringType(), True)])
+    t = LakeTable.create(spark, str(tmp_path / "sr"), schema, "orig_h",
+                         num_buckets=4)
+    t.append(src)
+    pruned = t.read(key_range=(target, target)) \
+        .filter(F.col("orig_h") == target)
+    assert pruned.count() == golden
+
+    # external damage: rewrite every file's recorded key stats so the
+    # pruning window can never match (the mdx-size-lie analog)
+    import glob as _glob
+    import json as _json
+    meta = sorted(_glob.glob(str(tmp_path / "sr" / "_meta" / "v*.json")))
+    snap = _json.loads(open(meta[-1]).read())
+    for f in snap["files"]:
+        f["stats"]["orig_h"] = {"min": "255.0.0.0", "max": "255.255.255.255",
+                                "nulls": 0}
+        f["rows"] = 1
+    open(meta[-1], "w").write(_json.dumps(snap))
+
+    t2 = LakeTable.load(spark, str(tmp_path / "sr"))
+    broken = t2.read(key_range=(target, target)) \
+        .filter(F.col("orig_h") == target)
+    assert broken.count() == 0  # the lie silently drops every row
+
+    report = t2.verify()
+    assert len(report["mismatched"]) == len(snap["files"])
+    assert not report["missing"] and report["repaired"] is False
+    report = t2.verify(repair=True)
+    assert report["repaired"] is True
+    healed = t2.read(key_range=(target, target)) \
+        .filter(F.col("orig_h") == target)
+    assert healed.count() == golden
+    assert t2.verify() == {"checked": len(snap["files"]), "missing": [],
+                           "mismatched": [], "repaired": False}
