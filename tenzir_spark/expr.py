@@ -105,6 +105,13 @@ class Negation:
     inner: Any
 
 
+# operator negation used by the reference's expression normalizer
+# (expression.cpp negate(relational_operator))
+_NEGATED_OP = {"==": "!=", "!=": "==", "<": ">=", ">=": "<",
+               ">": "<=", "<=": ">", "in": "!in", "!in": "in",
+               "ni": "!ni", "!ni": "ni"}
+
+
 # ---------------------------------------------------------------------------
 # Tokenizer
 # ---------------------------------------------------------------------------
@@ -453,8 +460,16 @@ class Binder:
         self.schema_name = schema_name
         # taxonomy concepts: one name -> many per-schema field extractors
         # (reference: catalog.cpp resolves expressions against taxonomies
-        # before partition lookup; web/docs/data-model/taxonomies.md)
-        self.concepts = concepts or {}
+        # before partition lookup; web/docs/data-model/taxonomies.md).
+        # Config-file taxonomies (the reference loads schema/concepts/*
+        # modules named by its tenzir.yaml) sit underneath explicit
+        # per-call concepts; same-named concepts merge their field lists.
+        merged: dict[str, list[str]] = {
+            k: list(v) for k, v in _CONFIGURED_CONCEPTS.items()}
+        for k, v in (concepts or {}).items():
+            merged.setdefault(k, []).extend(
+                f for f in v if f not in merged.get(k, ()))
+        self.concepts = merged
         # resolved path -> schema-name prefix consumed during qualified
         # resolution; on heterogeneous frames (a _schema column) the
         # predicate gates on it so `zeek.conn.id.resp_h` misses dns rows
@@ -578,9 +593,26 @@ class Binder:
                 col = col | self.compile(p)
             return col
         if isinstance(node, Negation):
-            # bitmap semantics: negation flips a definite bit — never null
-            # (reference: evaluate.cpp produces row-id bitmaps, not 3VL)
-            return ~F.coalesce(self.compile(node.inner), F.lit(False))
+            # The reference NORMALIZES negations away before evaluation
+            # (expression.cpp: De Morgan + operator negation), so a null
+            # cell — which never matches ANY relational operator
+            # (evaluate.cpp:229 `if (array.IsNull(row)) continue;`) —
+            # stays unmatched under !(x == v) too. Rewrite the same way;
+            # a residual non-predicate inner keeps the definite-bit
+            # coalesce.
+            inner = node.inner
+            if isinstance(inner, Negation):
+                return self.compile(inner.inner)
+            if isinstance(inner, Conjunction):
+                return self.compile(
+                    Disjunction([Negation(p) for p in inner.parts]))
+            if isinstance(inner, Disjunction):
+                return self.compile(
+                    Conjunction([Negation(p) for p in inner.parts]))
+            if isinstance(inner, Predicate) and inner.op in _NEGATED_OP:
+                return self.compile(Predicate(
+                    inner.lhs, _NEGATED_OP[inner.op], inner.rhs))
+            return ~F.coalesce(self.compile(inner), F.lit(False))
         if isinstance(node, Predicate):
             return self._predicate(node)
         raise TypeError(f"cannot compile {node!r}")
@@ -895,7 +927,7 @@ def _apply_relop(col: Column, op: str, rcol: Column, rlit: Literal | None) -> Co
             return col.isNotNull()
     if rlit is not None and rlit.type_name == "subnet" and op in ("in", "==", "!in", "!="):
         inside = ip_in_subnet(col, rlit.value)
-        return ~inside if op in ("!in", "!=") else inside
+        return (~inside & col.isNotNull()) if op in ("!in", "!=") else inside
     if rlit is not None and rlit.type_name == "pattern":
         # reference pattern semantics (pattern.cpp:41-51): `==` is a
         # FULL match, `in` is a partial search; /…/i flips RE2's
@@ -907,23 +939,28 @@ def _apply_relop(col: Column, op: str, rcol: Column, rlit: Literal | None) -> Co
         if op == "==":
             return full
         if op == "!=":
-            return ~F.coalesce(full, F.lit(False))
+            # null cells never match, even negated (evaluate.cpp:229)
+            return ~full & col.isNotNull()
         part = col.rlike(f"{flags}{body}")
         if op == "in":
             return part
         if op == "!in":
-            return ~F.coalesce(part, F.lit(False))
+            return ~part & col.isNotNull()
         raise ValueError(f"operator {op!r} unsupported for pattern literals")
-    # Value semantics, not SQL 3VL: the reference evaluates predicates to
-    # definite bitmap bits (null == v is false, null != v is true).
-    # Positive ordered comparisons stay PLAIN SQL so they push down to the
-    # parquet scan (a coalesce() wrapper defeats PushedFilters); in a WHERE
-    # context null results drop the row, which equals bitmap-false. The
-    # only places 3VL diverges — negation and != — coalesce explicitly.
+    # Reference null semantics, not SQL 3VL: a NULL CELL NEVER MATCHES
+    # any relational operator — negated ones included — because the
+    # column evaluator skips null rows before the cell evaluator runs
+    # (evaluate.cpp:229 `if (array.IsNull(row)) continue;`; the
+    # example-config-file golden pins it for `!in`). Positive ordered
+    # comparisons stay PLAIN SQL so they push down to the parquet scan
+    # (a coalesce() wrapper defeats PushedFilters; null drops the row
+    # either way). Negated forms conjoin isNotNull() — itself a pushable
+    # filter — so they yield a definite false on null, matching the
+    # bitmap, while Not(EqualTo)/Not(In) still reach the scan.
     if op == "==":
         return col.eqNullSafe(rcol)
     if op == "!=":
-        return ~col.eqNullSafe(rcol)
+        return (col != rcol) & col.isNotNull()
     if op == "<":
         return col < rcol
     if op == "<=":
@@ -938,11 +975,11 @@ def _apply_relop(col: Column, op: str, rcol: Column, rlit: Literal | None) -> Co
         else:
             # "x in y": x substring-of / element-of y
             out = rcol.contains(col)
-        return ~F.coalesce(out, F.lit(False)) if op == "!in" else out
+        return (~out & col.isNotNull()) if op == "!in" else out
     if op in ("ni", "!ni"):
         # "x ni y": x contains y
         out = col.contains(rcol)
-        return ~F.coalesce(out, F.lit(False)) if op == "!ni" else out
+        return (~out & col.isNotNull()) if op == "!ni" else out
     raise ValueError(f"unknown relational operator {op}")
 
 
@@ -974,6 +1011,39 @@ def ip_in_subnet(col: Column, cidr: str) -> Column:
     return col.rlike(r"^\d+\.\d+\.\d+\.\d+$") & (
         as_int.bitwiseAND(F.lit(mask)) == F.lit(int(net.network_address))
     )
+
+
+# Process-level taxonomy registry — the analog of the reference's
+# config-file model (tenzir.yaml `tenzir.schema-dirs` + shipped
+# schema/concepts/*.yaml modules; the example-config-file suite queries
+# `net.app` with no per-query concept argument). Every Binder folds
+# these in, so `where net.app !in [...]` works in plain TQL pipelines.
+_CONFIGURED_CONCEPTS: dict[str, list[str]] = {}
+
+
+def set_configured_concepts(concepts: dict[str, list[str]] | None) -> None:
+    """Replace the process-level taxonomy (None/{} clears it)."""
+    _CONFIGURED_CONCEPTS.clear()
+    for k, v in (concepts or {}).items():
+        _CONFIGURED_CONCEPTS[k] = list(v)
+
+
+def configured_concepts() -> dict[str, list[str]]:
+    return {k: list(v) for k, v in _CONFIGURED_CONCEPTS.items()}
+
+
+def load_taxonomy_dir(path: str) -> dict[str, list[str]]:
+    """Load and MERGE every ``*.yaml`` concept module under ``path``
+    into the process-level taxonomy (reference: module directories in
+    tenzir.yaml.example `schema-dirs`). Returns the merged mapping."""
+    import glob as _glob
+    import os as _os
+
+    for f in sorted(_glob.glob(_os.path.join(path, "*.yaml"))):
+        for name, fields in load_concepts(f).items():
+            cur = _CONFIGURED_CONCEPTS.setdefault(name, [])
+            cur.extend(x for x in fields if x not in cur)
+    return configured_concepts()
 
 
 def load_concepts(path: str) -> dict[str, list[str]]:

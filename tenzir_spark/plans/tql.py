@@ -804,15 +804,27 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
             # downstream filter — Catalyst pushes it into the scans).
             # BARE `export` reads the process-default node store, like
             # the reference node's implicit storage.
-            etoks = shlex.split(arg)
-            if etoks:
+            etoks = _split_eq_opts(shlex.split(arg))
+            # --max-events=N caps the export stream (export.cpp /
+            # tenzir.yaml.example `export.max-events`; the
+            # export-shutdown-behavior suite pins that a downstream
+            # `head K` and the cap compose as min(K, N)). A LIMIT is
+            # the exact Spark analog — the scan short-circuits.
+            max_events = _flag(etoks, "--max-events")
+            if max_events is not None:
+                i = etoks.index("--max-events")
+                del etoks[i:i + 2]
+            names = [t for t in etoks if not t.startswith("-")]
+            if names:
                 from tenzir_spark.plans.registry import get_table
-                p = Pipeline(get_table(etoks[0]).read())
+                p = Pipeline(get_table(names[0]).read())
             else:
                 from tenzir_spark.plans.registry import node_store
                 if spark is None:
                     raise ValueError("'export' requires a SparkSession")
                 p = Pipeline(node_store().read(spark))
+            if max_events is not None:
+                p = p.head(int(max_events))
             continue
         if op == "fluent-bit":
             # reference surface: `fluent-bit <plugin> [key=value...]`

@@ -336,8 +336,7 @@ def _render_durations(df: DataFrame) -> DataFrame:
         dt = out.schema[c].dataType
         if isinstance(dt, T.ArrayType):
             col = F.col(f"`{c}`")
-            out = out.withColumn(c, F.transform(
-                col, lambda x: _zeek_duration_text(x.cast("double"))))
+            out = out.withColumn(c, _zeek_duration_list_text(col))
         elif isinstance(dt, (T.DoubleType, T.FloatType)):
             out = out.withColumn(
                 c, _zeek_duration_text(F.col(f"`{c}`").cast("double")))
@@ -508,8 +507,7 @@ def write_xsv(df: DataFrame, path: str, sep: str = ",",
             inner = zt[7:-1]
             arr = col if isinstance(dt, T.ArrayType) else F.array(col)
             if inner == "interval":
-                items = F.transform(
-                    arr, lambda x: _zeek_duration_text(x.cast("double")))
+                items = _zeek_duration_list_text(arr)
             else:
                 items = F.transform(arr, lambda x: quote(x.cast("string")))
             # an empty list prints NOTHING (xsv.cpp visitor: no element,
@@ -850,21 +848,61 @@ _ZEEK_OUT_TYPE = {
 }
 
 
-def _zeek_duration_text(c: Column) -> Column:
+_DURATION_UNITS_NS = ((86400 * 10**9, "d"), (3600 * 10**9, "h"),
+                      (60 * 10**9, "m"), (10**9, "s"),
+                      (10**6, "ms"), (10**3, "us"))
+
+
+def _adaptive_duration_str(sec) -> str | None:
     """Adaptive duration rendering (reference chrono.hpp print_adaptive):
     largest unit with magnitude >= 1, '%.2f', then ONE trailing zero
-    stripped ('120.00' -> '120.0', '163.82' stays)."""
-    def _fmt(v: Column) -> Column:
-        return F.regexp_replace(F.format_string("%.2f", v), "0$", "")
-    a = F.abs(c)
-    return (F.when(c.isNull(), F.lit(None).cast("string"))
-            .when(a >= 86400, F.concat(_fmt(c / 86400), F.lit("d")))
-            .when(a >= 3600, F.concat(_fmt(c / 3600), F.lit("h")))
-            .when(a >= 60, F.concat(_fmt(c / 60), F.lit("m")))
-            .when(a >= 1, F.concat(_fmt(c), F.lit("s")))
-            .when(a >= 1e-3, F.concat(_fmt(c * 1e3), F.lit("ms")))
-            .when(a >= 1e-6, F.concat(_fmt(c * 1e6), F.lit("us")))
-            .otherwise(F.concat(_fmt(c * 1e9), F.lit("ns"))))
+    stripped ('120.00' -> '120.0', '163.82' stays).
+
+    The reference STORES durations as int64 nanoseconds (double seconds
+    pass through duration_cast<ns> on parse) and prints the DOUBLE that
+    integer division yields: 0.022985s is 22985000ns, whose double-ms
+    value is 22.98499... -> "22.98ms". Two C-printf subtleties force
+    this into Python (an Arrow-batched UDF on printer paths only):
+    Java's %.2f rounds the SHORTEST decimal repr ("22.985" -> "22.99"),
+    and a JVM x*100 re-round lands exactly on 2298.5. CPython's %-format
+    rounds the exact binary value like fmt/glibc do."""
+    if sec is None or sec != sec:
+        return None
+    ns = int(float(sec) * 1e9)
+    a = abs(ns)
+    for unit, suf in _DURATION_UNITS_NS:
+        if a >= unit:
+            s = "%.2f" % (ns / unit)
+            break
+    else:
+        s, suf = "%.2f" % float(ns), "ns"
+    if s.endswith("0"):
+        s = s[:-1]
+    return s + suf
+
+
+def _zeek_duration_text(c: Column) -> Column:
+    """Scalar duration seconds -> adaptive text, Arrow-batched."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def fmt(s):
+        return s.map(_adaptive_duration_str)
+
+    return fmt(c.cast("double"))
+
+
+def _zeek_duration_list_text(c: Column) -> Column:
+    """list<duration seconds> -> list<adaptive text>, Arrow-batched
+    (higher-order F.transform cannot call a UDF per element)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def fmt(s):
+        return s.map(lambda arr: None if arr is None else
+                     [_adaptive_duration_str(x) for x in arr])
+
+    return fmt(c.cast("array<double>"))
 
 
 def _declared_zeek_layout(name: str) -> list[tuple[str, str]] | None:
@@ -1010,8 +1048,7 @@ def write_zeek_tsv(df: DataFrame, path: str, log_path: str = "tenzir",
             inner = zt[7:-1]
             arr = col if isinstance(dt, T.ArrayType) else F.array(col)
             if inner == "interval":
-                items = F.transform(
-                    arr, lambda x: _zeek_duration_text(x.cast("double")))
+                items = _zeek_duration_list_text(arr)
             else:
                 items = arr.cast("array<string>")
             # zeek_tsv.cpp prints BOTH null and empty lists as the
@@ -1201,9 +1238,19 @@ def _ascii_value(v, is_map: bool = False) -> str:
 
 def ascii_lines(df: DataFrame) -> DataFrame:
     """Render rows as the reference's `<v1, v2, ...>` ascii format
-    (format/ascii.cpp) — one 'value' string column, distributed."""
+    (format/ascii.cpp) — one 'value' string column, distributed.
+    Type-hinted columns render as their DATA-MODEL types, not their
+    storage strings: ip/subnet bare (example-config-file golden
+    `192.168.1.103`), durations adaptive and bare (`2.65s`)."""
     import pandas as pd
 
+    hints = df.__dict__.get("_tenzir_type_hints") or {}
+    bare = {c for c, h in hints.items()
+            if h in ("ip", "subnet", "duration") and c in df.columns}
+    if any(h == "duration" for c, h in hints.items() if c in df.columns):
+        rendered = _render_durations(df)
+        rendered.__dict__["_tenzir_type_hints"] = hints
+        df = rendered
     names = df.columns
     struct_cols = {f.name for f in df.schema.fields
                    if isinstance(f.dataType, T.StructType)}
@@ -1232,6 +1279,8 @@ def ascii_lines(df: DataFrame) -> DataFrame:
                     elif n in int_cols and isinstance(v, float) and v == v:
                         # pandas widens nullable int columns to float
                         vals.append(str(int(v)))
+                    elif n in bare and isinstance(v, str):
+                        vals.append(v)  # ip/subnet/duration: unquoted
                     else:
                         vals.append(_ascii_value(v, is_map=n in map_cols))
                 out.append("<" + ", ".join(vals) + ">")

@@ -59,8 +59,14 @@ def test_null_compare(conn):
 
 
 def test_conjunction_disjunction_negation(conn):
+    # negation normalizes into the predicate (expression.cpp De Morgan +
+    # operator flip), so `!(service == "http")` ≡ `service != "http"` —
+    # and a NULL cell never matches any operator (evaluate.cpp:229),
+    # which drops C3 (null service) too
     out = conn.filter(compile_expression('proto == "tcp" && ! (service == "http")', conn))
-    assert [r.uid for r in out.collect()] == ["C3"]
+    assert [r.uid for r in out.collect()] == []
+    out_ne = conn.filter(compile_expression('! (service == "dns")', conn))
+    assert [r.uid for r in out_ne.collect()] == ["C1"]
     out2 = conn.filter(compile_expression('uid == "C1" || uid == "C2"', conn))
     assert sorted(r.uid for r in out2.collect()) == ["C1", "C2"]
 
@@ -221,11 +227,11 @@ def test_pattern_literal_full_match(spark):
     got_i = sorted(r.event_type for r in
                    where(df, "event_type == /.*FLOW$/i").collect())
     assert got_i == ["FLOW", "flow", "netflow"]
-    # != is the 3VL-coalesced negation: null rows are kept (null != p)
+    # != drops null cells like every other operator (evaluate.cpp:229
+    # skips null rows before the cell evaluator — negated ops included)
     got_ne = [r.event_type for r in
               where(df, "event_type != /.*flow$/").collect()]
-    assert sorted(x for x in got_ne if x is not None) == ["FLOW", "flowing"]
-    assert None in got_ne
+    assert sorted(got_ne) == ["FLOW", "flowing"]
     # `in` searches (PartialMatch): 'flowing' now matches
     got_in = sorted(r.event_type for r in
                     where(df, "event_type in /flow/").collect())

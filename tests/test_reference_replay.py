@@ -2235,3 +2235,80 @@ def test_self_repair_recovers_golden_count(spark, conn_tsv, tmp_path):
     assert healed.count() == golden
     assert t2.verify() == {"checked": len(snap["files"]), "missing": [],
                            "mismatched": [], "repaired": False}
+
+
+# ------------------------------------------------ Example config file
+# tests.yaml:? 'Example config file' — the ExampleConfigFileTester runs
+# with tenzir.yaml.example, whose module dirs load the SHIPPED taxonomy
+# concepts (schema/concepts/*.yaml). `export ascii 'where net.app !in
+# ["dns","ftp","http","ssl"]'` then resolves net.app through the
+# config-level taxonomy (zeek.conn.service here) with no per-query
+# concept argument. We mirror the config model with the process-level
+# registry (expr.load_taxonomy_dir) and compare the ascii output
+# byte-for-byte with step_01.
+
+def test_example_config_file_net_app(spark, conn_tsv):
+    from tenzir_spark.expr import load_taxonomy_dir, set_configured_concepts
+    from tenzir_spark.operators.cast import cast_to
+    from tenzir_spark.operators.transform import flatten, unflatten
+    from tenzir_spark.schema_lib import get_schema, load_schema_file
+    from tenzir_spark.sources import formats as fmt
+    set_configured_concepts(None)
+    load_taxonomy_dir("/root/reference/schema/concepts")
+    load_schema_file("/root/reference/schema/types/zeek.schema")
+    try:
+        p = parse_pipeline(
+            f"from {conn_tsv} read zeek-tsv"
+            ' | where net.app !in ["dns", "ftp", "http", "ssl"]',
+            spark=spark)
+        # `import zeek` binds the LIBRARY zeek.conn (typed import:
+        # declared-but-absent columns as typed nulls); the ascii writer
+        # renders flattened leaves
+        st, declared_hints = get_schema("zeek.conn")
+        df = flatten(cast_to(unflatten(p.df), st))
+        df.__dict__["_tenzir_type_hints"] = declared_hints
+        out = [r["value"] for r in fmt.ascii_lines(df).collect()]
+        ref = _ref_lines("example-config-file", 1)
+        assert sorted(out) == sorted(ref)
+    finally:
+        set_configured_concepts(None)
+
+
+# --------------------------------------------------- Malformed Query
+# tests.yaml 'Malformed Query' — both steps are error contracts: an
+# unparseable export expression and an unknown command each raise
+# (expected_result: error; the goldens are empty).
+
+def test_malformed_query_expression_error(spark):
+    from tenzir_spark.expr import compile_expression
+    df = spark.createDataFrame([(1,)], "x int")
+    with pytest.raises(Exception):
+        compile_expression("yo that is not a query", df)
+
+
+def test_malformed_query_unknown_command(spark):
+    with pytest.raises(ValueError):
+        parse_pipeline("and that is not a command", spark=spark)
+
+
+# ---------------------------------------------- Export shutdown behavior
+# tests.yaml 'Export shutdown behavior' — export over the node store
+# composes --max-events with a downstream head as min(K, N): step_00
+# empty store -> 0 rows, --max-events=2 'head 1' -> 1, 'head 1' -> 1,
+# --max-events=1 'head 0' -> 0, 'head 0' -> 0.
+
+def test_export_shutdown_behavior(spark):
+    from tenzir_spark.plans.registry import node_store
+    from tenzir_spark.plans.tql import exec_pipeline, parse_pipeline
+    node_store().__init__()
+    assert parse_pipeline("export", spark=spark).df.count() == 0  # step_00
+    exec_pipeline(
+        f"from {os.path.join(REF, 'data/suricata/eve.json')} read suricata"
+        " | import", spark=spark)
+    one = parse_pipeline("export --max-events=2 | head 1", spark=spark).df
+    assert one.count() == 1                                       # step_02
+    assert parse_pipeline("export | head 1", spark=spark).df.count() == 1
+    assert parse_pipeline("export --max-events=1 | head 0",
+                          spark=spark).df.count() == 0            # step_04
+    assert parse_pipeline("export | head 0", spark=spark).df.count() == 0
+    assert parse_pipeline("export --max-events=3", spark=spark).df.count() == 3
