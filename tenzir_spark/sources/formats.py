@@ -413,6 +413,7 @@ def read_xsv(spark: SparkSession, path: str, sep: str,
     header-driven fields, inference, null token)."""
     reader = spark.read
     opts = {"header": True, "sep": sep, "nullValue": null_value, **options}
+    ts_cols: list[str] = []
     if schema is not None:
         if opts.get("header"):
             # the reference's xsv parser binds columns BY HEADER NAME
@@ -429,10 +430,28 @@ def read_xsv(spark: SparkSession, path: str, sep: str,
                 schema = T.StructType(
                     [declared.get(n, T.StructField(n, T.StringType()))
                      for n in names])
+        # declared time fields parse through the reference's ymdhms
+        # expression, which accepts '+'|'T'|' ' as the date/time divider
+        # (time.hpp:174 — the space-separated argus ssv writes
+        # `2009-11-18+09:00:03.914398`) and reproduces its double-
+        # seconds truncation bit-for-bit. Spark's native csv timestamp
+        # parse would null the '+' form.
+        ts_cols = [f.name for f in schema.fields
+                   if isinstance(f.dataType,
+                                 (T.TimestampType, T.TimestampNTZType))]
+        if ts_cols:
+            schema = T.StructType(
+                [T.StructField(f.name, T.StringType(), f.nullable)
+                 if f.name in ts_cols else f for f in schema.fields])
         reader = reader.schema(schema)
     else:
         opts.setdefault("inferSchema", True)
-    return reader.csv(path, **opts)
+    out = reader.csv(path, **opts)
+    for c in ts_cols:
+        norm = F.regexp_replace(
+            F.col(f"`{c}`"), r"^(\d{4}-\d{2}-\d{2})\+", r"$1T")
+        out = out.withColumn(c, _ref_iso_to_timestamp(norm))
+    return out
 
 
 def read_csv(spark, path, **kw):
@@ -1236,12 +1255,13 @@ def _ascii_value(v, is_map: bool = False) -> str:
     return str(v)
 
 
-def ascii_lines(df: DataFrame) -> DataFrame:
-    """Render rows as the reference's `<v1, v2, ...>` ascii format
-    (format/ascii.cpp) — one 'value' string column, distributed.
-    Type-hinted columns render as their DATA-MODEL types, not their
-    storage strings: ip/subnet bare (example-config-file golden
-    `192.168.1.103`), durations adaptive and bare (`2.65s`)."""
+def _data_model_lines(df: DataFrame, row_fmt) -> DataFrame:
+    """Shared core of the data-model printers (ascii / legacy export
+    csv): render each leaf with the reference's data syntax, then let
+    ``row_fmt(list[str]) -> str`` assemble the line. Type-hinted columns
+    render as their DATA-MODEL types, not their storage strings:
+    ip/subnet bare (example-config-file golden `192.168.1.103`),
+    durations adaptive and bare (`2.65s`)."""
     import pandas as pd
 
     hints = df.__dict__.get("_tenzir_type_hints") or {}
@@ -1283,10 +1303,33 @@ def ascii_lines(df: DataFrame) -> DataFrame:
                         vals.append(v)  # ip/subnet/duration: unquoted
                     else:
                         vals.append(_ascii_value(v, is_map=n in map_cols))
-                out.append("<" + ", ".join(vals) + ">")
+                out.append(row_fmt(vals))
             yield pd.DataFrame({"value": out})
 
     return safe.mapInPandas(render, "value string")
+
+
+def ascii_lines(df: DataFrame) -> DataFrame:
+    """Render rows as the reference's `<v1, v2, ...>` ascii format
+    (format/ascii.cpp) — one 'value' string column, distributed."""
+    return _data_model_lines(
+        df, lambda vals: "<" + ", ".join(vals) + ">")
+
+
+def export_csv_lines(df: DataFrame, schema_name: str = "tenzir") -> DataFrame:
+    """The legacy `export csv` writer (src/format/csv.cpp:153-183): one
+    `type,<leaf keys>` header per schema, then rows
+    `<schema>,v1,v2,...` with data-model value rendering — quoted
+    strings, bare numbers/timestamps, adaptive durations — unlike the
+    modern xsv printer's quote-on-demand. Returns only the data rows;
+    the header belongs to the stream writer (one per schema change),
+    so callers emit `export_csv_header` themselves."""
+    return _data_model_lines(
+        df, lambda vals: ",".join([schema_name] + vals))
+
+
+def export_csv_header(df: DataFrame) -> str:
+    return ",".join(["type"] + list(df.columns))
 
 
 def write_ascii(df: DataFrame, path: str) -> None:

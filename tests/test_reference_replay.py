@@ -2312,3 +2312,31 @@ def test_export_shutdown_behavior(spark):
                           spark=spark).df.count() == 0            # step_04
     assert parse_pipeline("export | head 0", spark=spark).df.count() == 0
     assert parse_pipeline("export --max-events=3", spark=spark).df.count() == 3
+
+
+# ------------------------------------------ Optional Partition Indexes
+# tests.yaml 'Optional Partition Indexes' — the suite toggles a node
+# indexing config (catalog-internal; Catalyst/parquet stats are that
+# layer here), so the replayable contract is its I/O: the space-
+# separated argus csv imported under the declared argus.record schema
+# (extra column kept as string) and exported through the LEGACY csv
+# writer (format/csv.cpp:153-183: `type,<keys>` header + schema-name-
+# prefixed rows in data-model rendering), byte-equal to step_01. The
+# harness sorts output lines, so header position is order-insensitive.
+
+def test_optional_partition_indexes_export_csv(spark):
+    from tenzir_spark.schema_lib import load_schema_file
+    from tenzir_spark.sources import formats as fmt
+    load_schema_file("/root/reference/schema/types/argus.schema")
+    df = parse_pipeline(
+        f"from {os.path.join(REF, 'data/csv/argus-additional-fields.ssv')}"
+        " read ssv --schema argus.record", spark=spark).df
+    keep = [c for c in df.columns if c != "_schema"]
+    sub = df.select(*keep)
+    sub.__dict__["_tenzir_type_hints"] = \
+        df.__dict__.get("_tenzir_type_hints") or {}
+    lines = [r["value"]
+             for r in fmt.export_csv_lines(sub, "argus.record").collect()]
+    header = fmt.export_csv_header(sub)
+    ref = _ref_lines("optional-partition-indexes", 1)
+    assert sorted(lines + [header]) == sorted(ref)
