@@ -143,10 +143,12 @@ def test_syslog_line_parser_total(line):
 # ------------------------------------------------- predicate fuzz vs model
 #
 # Random boolean TQL expressions over a schema with NULLs, checked
-# against an independent Kleene-logic model of the documented semantics:
-# comparisons propagate null, `!` and `!=` are explicitly two-valued
-# (~coalesce(x, false), expr.py:841-843), a bare field means "exists and
-# is not null", and a WHERE keeps only rows that evaluate to TRUE.
+# against an independent model of the reference's DEFINITE-BITMAP
+# semantics: a null cell never matches any relational operator —
+# negated ones included (evaluate.cpp:229 skips null rows before the
+# cell evaluator) — negation distributes into predicates by De Morgan +
+# operator flipping (expression.cpp normalization), a bare field means
+# "exists and is not null", and a WHERE keeps rows whose bit is TRUE.
 
 _PRED_ROWS = [
     (0, None, None, None),
@@ -208,43 +210,48 @@ def _pred_text(node):
     return f"({_pred_text(node[1])}{joiner}{_pred_text(node[2])})"
 
 
-def _pred_eval(node, row):
-    """Kleene three-valued model; returns True/False/None."""
+_CMP_FN = {"==": lambda v, l: v == l, "!=": lambda v, l: v != l,
+           "<": lambda v, l: v < l, "<=": lambda v, l: v <= l,
+           ">": lambda v, l: v > l, ">=": lambda v, l: v >= l}
+
+
+def _pred_eval(node, row, negated=False):
+    """Definite-bitmap model; always returns True/False. ``negated``
+    threads a pending `!` down to the predicate level, exactly like the
+    reference's normalizer (De Morgan + operator flip) — so null cells
+    stay FALSE under negation too."""
     i, d, s = row[1], row[2], row[3]
     env = {"i": i, "d": d, "s": s}
     tag = node[0]
     if tag == "cmp":
         _, fld, op, lit = node
         v = env[fld]
-        if op == "!=":
-            eq = None if v is None else v == lit
-            return not (eq if eq is not None else False)
         if v is None:
-            return None
-        return {"==": v == lit, "<": v < lit, "<=": v <= lit,
-                ">": v > lit, ">=": v >= lit}[op]
+            return False  # evaluate.cpp:229 — null never matches
+        hit = _CMP_FN[op](v, lit)
+        return (not hit) if negated else hit
     if tag == "in":
         _, fld, lits = node
         v = env[fld]
-        return None if v is None else v in lits
-    if tag == "bare":
-        return env[node[1]] is not None
-    if tag == "not":
-        x = _pred_eval(node[1], row)
-        return not (x if x is not None else False)
-    a, b = _pred_eval(node[1], row), _pred_eval(node[2], row)
-    if tag == "and":
-        if a is False or b is False:
+        if v is None:
             return False
-        return None if (a is None or b is None) else True
-    if a is True or b is True:
-        return True
-    return None if (a is None or b is None) else False
+        return (v not in lits) if negated else (v in lits)
+    if tag == "bare":
+        # bare-field exists-predicate; its negation is the residual
+        # two-valued ~coalesce path (null -> True under `!`)
+        exists = env[node[1]] is not None
+        return (not exists) if negated else exists
+    if tag == "not":
+        return _pred_eval(node[1], row, negated=not negated)
+    a_and = (tag == "and") != negated  # De Morgan under a pending `!`
+    a = _pred_eval(node[1], row, negated=negated)
+    b = _pred_eval(node[2], row, negated=negated)
+    return (a and b) if a_and else (a or b)
 
 
 @_settings
 @given(predicate_ast())
-def test_random_predicates_match_kleene_model(spark, ast):
+def test_random_predicates_match_bitmap_model(spark, ast):
     from tenzir_spark.expr import compile_expression
 
     text = _pred_text(ast)
