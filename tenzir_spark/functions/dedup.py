@@ -582,6 +582,14 @@ def ngram_jaccard_pairs(
         base.select("__id", sh.alias("__arr"))
         .select("__id", F.size("__arr").alias("__n"),
                 F.explode("__arr").alias("__g"))
+        # the gram VALUE is never read downstream — only equality within
+        # a posting list matters — so shuffle its 64-bit hash instead of
+        # the string: ~3-10x fewer posting-shuffle bytes at corpus scale
+        # and long-vs-long sort comparisons in the flat scan. Collisions
+        # merge two posting lists (overcount |A∩B| by 1): expected
+        # colliding gram pairs ~ G^2/2^65, ~3e-2 even at G=1e9 distinct
+        # grams — below any near-dup threshold's sensitivity.
+        .select("__id", "__n", F.xxhash64("__g").alias("__g"))
     )
     id_type = df.schema[id_col].dataType.simpleString()
     flat = (ex.repartition(npart, "__g").sortWithinPartitions("__g"))
