@@ -685,6 +685,23 @@ def q_cube(spark, sf):
             .orderBy("l_returnflag", "l_linestatus"))
 
 
+def q_where_negated_nulls(spark, sf):
+    """Reference null semantics under NEGATED operators (evaluate.cpp:229
+    — a null cell never matches ANY relational operator, != and !in
+    included; negation normalizes into the predicate per expression.cpp).
+    The test tables carry no nulls, so one is derived with nullif; the
+    agreement with ANSI-SQL 3VL in a WHERE (null -> dropped either way)
+    is exactly what makes this oracle-checkable."""
+    ev = _t(spark, sf, "events")
+    ev = ev.withColumn(
+        "maybe_type", F.when(F.col("event_type") == "click",
+                             F.lit(None)).otherwise(F.col("event_type")))
+    out = ops.where(
+        ev, '!(maybe_type == "error") && maybe_type != "purchase"'
+            ' && maybe_type !in ["view"]')
+    return out.select("event_id", "maybe_type").orderBy("event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "where_select": q_where_select,
@@ -757,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube": q_cube,
         "flatten_json": q_flatten_json,
         "embed_near_dups": q_embed_near_dups,
+        "where_negated_nulls": q_where_negated_nulls,
     }
 
 
@@ -1402,5 +1420,17 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(
                 CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id ASC
             LIMIT 10
+        """,
+        # negated-operator null semantics: SQL 3VL drops null rows in a
+        # WHERE exactly like the reference's definite bitmap, so NOT(=),
+        # != and NOT IN agree with !(==), != and !in on the derived
+        # nullable column
+        "where_negated_nulls": """
+            SELECT event_id, NULLIF(event_type, 'click') AS maybe_type
+            FROM events
+            WHERE NOT (NULLIF(event_type, 'click') = 'error')
+              AND NULLIF(event_type, 'click') != 'purchase'
+              AND NULLIF(event_type, 'click') NOT IN ('view')
+            ORDER BY event_id
         """,
     }
