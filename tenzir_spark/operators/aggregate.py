@@ -61,7 +61,12 @@ def _agg_column(spec: str | tuple | Column, binder=None) -> Column:
         func = func.strip()
         field = rest.rsplit(")", 1)[0].strip()
         if out is None:
-            out = f"{func}_{field}".replace(".", "_").replace("*", "star")
+            # unaliased aggregates keep their spec text as the output
+            # column, exactly like the reference's json output
+            # (export-pipeline-operator-parsing-only-summarize golden:
+            # `summarize distinct(SourcePort) by SourceIp` emits a
+            # column literally named "distinct(SourcePort)")
+            out = f"{func}({field})"
     if field in (".", "*", "") and func not in ("count", "count_star"):
         # reference contract (summarize-dot golden): only count accepts
         # the whole-event `.` extractor
@@ -129,9 +134,12 @@ def summarize(
         # the option is never a silent no-op
         keys.append(F.window(F.col(time_col), resolution).start.alias(time_col))
     agg_cols = [_agg_column(a, binder) for a in aggs]
-    if keys:
-        return df.groupBy(*keys).agg(*agg_cols)
-    return df.agg(*agg_cols)
+    out = df.groupBy(*keys).agg(*agg_cols) if keys else df.agg(*agg_cols)
+    if any(isinstance(k, str) and k == "_schema" for k in by):
+        # grouping by `_schema` makes it DATA — block the implicit
+        # routing mark so printers keep the key column
+        out.__dict__["_tenzir_schema_carried"] = False
+    return out
 
 
 def sort(df: DataFrame, field: str | Column, ascending: bool = True,

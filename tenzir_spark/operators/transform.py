@@ -103,6 +103,17 @@ def select(df: DataFrame, *extractors: str) -> DataFrame:
     shape (tests.yaml:873)."""
     matched = _match_paths(df, extractors)
     keep = {p for p in matched if "\x00" not in p}
+    # _schema is our materialization of the reference's SLICE METADATA
+    # (the schema name rides on the batch, not in the record), so a
+    # projection carries it implicitly — `select x | where #schema == y`
+    # keeps resolving (after-expression suite step 11). The implicit
+    # carry is marked on the frame so printers strip it
+    # (formats._strip_meta) — but a user who selects `_schema`
+    # EXPLICITLY made it data, and it prints like any other column.
+    carried = False
+    if "_schema" in df.columns and "_schema" not in keep:
+        keep.add("_schema")
+        carried = True
     cols = _rebuild(df.schema, keep)
     map_hits: dict[str, list[str]] = {}
     for p in matched:
@@ -113,7 +124,10 @@ def select(df: DataFrame, *extractors: str) -> DataFrame:
         base = F.col(f"`{mp}`") if "." in mp else F.col(mp)
         cols.append(F.struct(*[base.getItem(k).alias(k) for k in keys])
                     .alias(mp))
-    return df.select(*cols)
+    out = df.select(*cols)
+    if carried:
+        out.__dict__["_tenzir_schema_carried"] = True
+    return out
 
 
 def drop(df: DataFrame, *extractors: str) -> DataFrame:

@@ -35,7 +35,7 @@ class Pipeline:
         the reference keeps the schema on every batch (table_slice.hpp),
         so `read cef | repeat 5 | measure` still reports `cef.event`."""
         for k in ("_tenzir_schema", "_tenzir_type_hints",
-                  "_tenzir_number_style"):
+                  "_tenzir_number_style", "_tenzir_schema_carried"):
             v = self._df.__dict__.get(k)
             if v is not None and k not in df.__dict__:
                 df.__dict__[k] = v

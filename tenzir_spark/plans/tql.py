@@ -887,7 +887,10 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
         elif op == "rename":
             p = p.rename(**_kv_pairs(arg))
         elif op == "summarize":
-            mres = re.search(r"\bresolution\s+(\S+)\s*$", arg)
+            # duration may be one token ('1min') or number + unit word
+            # ('1 minute', tests.yaml:472)
+            mres = re.search(
+                r"\bresolution\s+(\S+(?:\s+[a-z]+)?)\s*$", arg)
             resolution = None
             if mres:
                 resolution = mres.group(1)
@@ -1160,9 +1163,15 @@ def _tql_duration(d: str) -> str:
     if not m:
         return d  # already a Spark interval string
     n, unit = m.group(1), m.group(2)
-    unit_map = {"s": "seconds", "sec": "seconds", "min": "minutes", "mins": "minutes",
-                "h": "hours", "hrs": "hours", "d": "days", "day": "days", "days": "days",
-                "w": "weeks", "week": "weeks", "weeks": "weeks", "ms": "milliseconds"}
+    unit_map = {"s": "seconds", "sec": "seconds", "secs": "seconds",
+                "second": "seconds", "seconds": "seconds",
+                "min": "minutes", "mins": "minutes",
+                "minute": "minutes", "minutes": "minutes",
+                "h": "hours", "hr": "hours", "hrs": "hours",
+                "hour": "hours", "hours": "hours",
+                "d": "days", "day": "days", "days": "days",
+                "w": "weeks", "week": "weeks", "weeks": "weeks",
+                "ms": "milliseconds"}
     if unit not in unit_map:
         raise ValueError(f"unsupported duration unit {unit!r}")
     return f"{n} {unit_map[unit]}"

@@ -343,7 +343,27 @@ def _render_durations(df: DataFrame) -> DataFrame:
     return out
 
 
+def _strip_meta(df: DataFrame) -> DataFrame:
+    """Drop an IMPLICITLY CARRIED ``_schema`` routing column before
+    printing: select keeps it alive (marked `_tenzir_schema_carried`)
+    so `#schema` predicates keep resolving downstream, mirroring the
+    reference's SLICE METADATA (the schema name rides on the table
+    slice, not in the record). A `_schema` the user made data — read
+    output, a summarize group key, an explicit `select _schema` —
+    carries no mark and prints like any other column (the repo's own
+    goldens pin that: summarize_distinct_by_schema.txt)."""
+    if "_schema" not in df.columns or \
+            not df.__dict__.get("_tenzir_schema_carried"):
+        return df
+    out = df.select(*[F.col(f"`{c}`") for c in df.columns if c != "_schema"])
+    for k, v in df.__dict__.items():
+        if k.startswith("_tenzir_"):
+            out.__dict__.setdefault(k, v)
+    return out
+
+
 def write_json(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
+    df = _strip_meta(df)
     options.setdefault("timestampFormat", _JSON_TS_FMT)
     _render_durations(df).write.mode(mode).json(path, **options)
 
@@ -352,6 +372,7 @@ def ndjson_lines(df: DataFrame) -> DataFrame:
     """One NDJSON string column ('value') per row, rendered the way the
     reference's json printer does: null fields omitted, timestamps at
     µs precision without a zone suffix, typed durations adaptive."""
+    df = _strip_meta(df)
     if not df.schema.fields:
         return df.select(F.lit("{}").alias("value"))
     df = _render_durations(df)
@@ -371,6 +392,8 @@ def json_pruned_lines(df: DataFrame, omit_nulls: bool,
     record emptied by --omit-nulls then drops under
     --omit-empty-objects."""
     import json as _json
+
+    df = _strip_meta(df)
 
     from pyspark.sql.functions import pandas_udf
 
@@ -480,6 +503,7 @@ def write_xsv(df: DataFrame, path: str, sep: str = ",",
     makes the output conform to the declared layout. Row rendering is
     distributed; the single-file concat streams through the FileIO
     seam (the reference prints csv as one stream too)."""
+    df = _strip_meta(df)
     if list_sep is None:
         list_sep = ";" if sep == "," else ","
     if null_value is None:
@@ -1176,6 +1200,7 @@ def write_yaml(df: DataFrame, path: str) -> None:
     one YAML doc per row); the single-file assembly streams shared-
     storage part files through the FileIO seam — inherent to a one-stream
     text format, same as the zeek-tsv printer, cluster-safe."""
+    df = _strip_meta(df)
     try:
         import yaml  # noqa: F401
     except ImportError as exc:  # pragma: no cover
@@ -1264,6 +1289,7 @@ def _data_model_lines(df: DataFrame, row_fmt) -> DataFrame:
     durations adaptive and bare (`2.65s`)."""
     import pandas as pd
 
+    df = _strip_meta(df)
     hints = df.__dict__.get("_tenzir_type_hints") or {}
     bare = {c for c, h in hints.items()
             if h in ("ip", "subnet", "duration") and c in df.columns}

