@@ -163,3 +163,23 @@ def test_driver_contract_parity():
     import __spark_entry__ as e
     q, o = set(e.queries()), set(e.oracle_sql())
     assert q == o, f"missing oracles: {sorted(q - o)}; orphans: {sorted(o - q)}"
+
+
+def test_select_schema_carry_contract(spark):
+    """_schema rides through select implicitly (marked, so printers
+    strip it) — but selecting it EXPLICITLY makes it data: no mark, and
+    the ndjson printer keeps the column."""
+    from pyspark.sql import Row as R
+    from tenzir_spark.sources import formats as fmt
+    df = spark.createDataFrame(
+        [R(_schema="suricata.alert", x=1), R(_schema="suricata.flow", x=2)])
+    implicit = ops.select(df, "x")
+    assert sorted(implicit.columns) == ["_schema", "x"]
+    assert implicit.__dict__.get("_tenzir_schema_carried") is True
+    lines = sorted(r["value"] for r in fmt.ndjson_lines(implicit).collect())
+    assert lines == ['{"x":1}', '{"x":2}']
+    explicit = ops.select(df, "_schema", "x")
+    assert explicit.__dict__.get("_tenzir_schema_carried") is None
+    lines = sorted(r["value"] for r in fmt.ndjson_lines(explicit).collect())
+    assert lines == ['{"_schema":"suricata.alert","x":1}',
+                     '{"_schema":"suricata.flow","x":2}']
