@@ -2479,3 +2479,36 @@ def test_only_summarize_resolution_minute(spark):
               (o["DestinationPoint"], o["any(Initiated)"])
               for o in ref if o.get("SourceIp") is not None}
     assert ours == theirs
+
+
+# ------- Orphaned steps 09/10 of everything-but-summarize: goldens
+# without driving commands in today's tests.yaml. Their contracts are
+# reconstructible from the golden row sets over the 8-event eve.json:
+# step_09 (7 rows, every port-bearing event) = the rename pipeline with
+# a NEGATED schema-meta predicate excluding the stats event; step_10
+# (ports 1181+80 = alert+fileinfo) = the same selection as step_08 via
+# an `in`-list meta predicate. Pseudonymized ip columns check grouping
+# (documented algorithm divergence); ports compare exactly.
+
+_EBS_TAIL = ('pass | select timestamp, flow_id, src_ip, dest_ip, src_port'
+             ' | drop timestamp | hash --salt="abcdefghij12" flow_id'
+             ' | drop flow_id'
+             ' | pseudonymize -m "crypto-pan" -s "123456abcdef"'
+             ' src_ip, dest_ip | rename source_ip=src_ip')
+
+
+@pytest.mark.parametrize("step,tail", [
+    (9, ' | where #schema != "suricata.stats"'),
+    (10, ' | where #schema in ["suricata.alert", "suricata.fileinfo"]'),
+])
+def test_everything_but_summarize_orphan_steps(spark, step, tail):
+    df = _eve_rows(spark, _EBS_TAIL + tail)
+    ref = _ref_objs(
+        "export-pipeline-operator-parsing-everything-but-summarize", step)
+    assert df.columns == list(ref[0].keys())
+    rows = df.collect()
+    assert sorted(r.src_port for r in rows) == \
+        sorted(o["src_port"] for o in ref)
+    # pseudonymized/digest columns group identically
+    for c in ("flow_id_hashed", "source_ip", "dest_ip"):
+        assert len({r[c] for r in rows}) == len({o[c] for o in ref})
