@@ -1096,13 +1096,17 @@ def compile_operand(
     text: str,
     df_or_schema: DataFrame | T.StructType,
     type_hints: dict[str, str] | None = None,
+    schema_name: str | None = None,
 ) -> Column:
     """Compile an operand string to a Column bound against a schema
     (missing extractors become typed nulls, matching the reference's
-    ``put`` semantics: put_extend_replace.cpp:142-157)."""
+    ``put`` semantics: put_extend_replace.cpp:142-157). ``schema_name``
+    lets ``#schema`` resolve on single-schema frames that carry their
+    name only as slice metadata (`put schema=#schema`)."""
     schema = df_or_schema.schema if isinstance(df_or_schema, DataFrame) else df_or_schema
     node = parse_operand(text)
-    col = Binder(schema, type_hints=type_hints).value(node)
+    col = Binder(schema, type_hints=type_hints,
+                 schema_name=schema_name).value(node)
     return col if col is not None else F.lit(None)
 
 

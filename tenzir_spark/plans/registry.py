@@ -15,14 +15,37 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-OPERATORS = [
-    "where", "select", "drop", "put", "extend", "replace", "rename",
-    "summarize", "sort", "unique", "deduplicate", "head", "tail", "taste",
-    "top", "rare", "flatten", "unflatten", "enumerate", "batch", "repeat",
-    "measure", "hash", "pass", "discard", "sigma", "decapsulate",
-    "import (lake.merge/append)", "export (lake.read)", "compact",
-    "serve", "local/remote (accepted; placement is Spark's)",
+# (name, source, transformation, sink) — the reference's operator
+# aspect record (aspects/operators.cpp:23-25 pins exactly these four
+# columns; :45-47 fills them from each plugin's signature)
+OPERATOR_SIGNATURES = [
+    ("where", False, True, False), ("select", False, True, False),
+    ("drop", False, True, False), ("put", False, True, False),
+    ("extend", False, True, False), ("replace", False, True, False),
+    ("rename", False, True, False), ("summarize", False, True, False),
+    ("sort", False, True, False), ("unique", False, True, False),
+    ("deduplicate", False, True, False), ("head", False, True, False),
+    ("tail", False, True, False), ("taste", False, True, False),
+    ("top", False, True, False), ("rare", False, True, False),
+    ("flatten", False, True, False), ("unflatten", False, True, False),
+    ("enumerate", False, True, False), ("batch", False, True, False),
+    ("repeat", False, True, False), ("measure", False, True, False),
+    ("hash", False, True, False), ("pass", False, True, False),
+    ("pseudonymize", False, True, False), ("sigma", False, True, False),
+    ("decapsulate", False, True, False), ("compact", False, True, False),
+    ("from", True, False, False), ("load", True, False, False),
+    ("show", True, False, False), ("shell", True, True, False),
+    ("export", True, False, False), ("velociraptor", True, False, False),
+    ("nic", True, False, False),
+    ("fluent-bit", True, False, True), ("zmq", True, False, True),
+    ("kafka", True, False, True), ("serve", False, False, True),
+    ("to", False, False, True), ("write", False, False, True),
+    ("save", False, False, True), ("discard", False, False, True),
+    ("import", False, False, True),
+    ("local", False, True, False), ("remote", False, True, False),
 ]
+
+OPERATORS = [n for n, _, _, _ in OPERATOR_SIGNATURES]
 
 FORMATS = ["json", "suricata", "zeek-json", "csv", "tsv", "ssv", "zeek-tsv",
            "cef", "lines", "yaml", "parquet", "feather", "pcap", "netflow"]
@@ -239,6 +262,18 @@ def show(spark: SparkSession, aspect: str) -> DataFrame:
         from tenzir_spark.schema_lib import get_schema, schema_names
         rows = [(n, get_schema(n)[0].simpleString()) for n in schema_names()]
         return spark.createDataFrame(rows, "schema string, definition string")
+    if aspect == "operators":
+        # reference record shape: name + signature booleans
+        # (aspects/operators.cpp:23-25); UDx operator plugins appear as
+        # transformations, same as the reference's plugin scan
+        from tenzir_spark import plugin as _plugin
+        rows = list(OPERATOR_SIGNATURES) + [
+            (n, False, True, False)
+            for n in sorted(_plugin.plugins().get("operators", []))
+            if n not in OPERATORS]
+        return spark.createDataFrame(
+            rows, "name string, source boolean, transformation boolean,"
+                  " sink boolean")
     data = {
         "operators": OPERATORS,
         "formats": FORMATS,

@@ -837,26 +837,63 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
             ftoks = shlex.split(arg)
             plugin_name = ftoks.pop(0) if ftoks and "=" not in ftoks[0] \
                 else "forward"
-            if plugin_name != "forward":
-                raise NotImplementedError(
-                    f"fluent-bit plugin {plugin_name!r} needs the "
-                    f"fluent-bit library; only the spec-level 'forward' "
-                    f"network plugin is available here")
             fopts = dict(t.split("=", 1) for t in ftoks if "=" in t)
             port = fopts.get("port", "24224")
+            src_plugins = ("forward", "stdin", "random")
+            sink_plugins = ("forward", "stdout", "null", "counter")
+            known = p is None and plugin_name in src_plugins or \
+                p is not None and plugin_name in sink_plugins
+            if not known:
+                # any other Fluent Bit plugin needs the embedded
+                # libfluent-bit engine (plugin.cpp:548); its own suite
+                # pins that an unknown name errors without crashing
+                raise NotImplementedError(
+                    f"fluent-bit plugin {plugin_name!r} needs the "
+                    f"fluent-bit library; available here: sources "
+                    f"{src_plugins}, sinks {sink_plugins}")
             if p is None:
-                from tenzir_spark.sources.fluentbit import load_forward
-                ep = f"tcp://{fopts.get('listen', '127.0.0.1')}:{port}"
-                cnt = fopts.get("count")
-                spool = load_forward(
-                    ep, n_events=int(cnt) if cnt else None,
-                    timeout=float(fopts.get("timeout", "10")))
-                p = Pipeline(_read_fmt(spark, "json", spool, []))
+                from tenzir_spark.sources import fluentbit as _fb
+                if plugin_name == "forward":
+                    ep = f"tcp://{fopts.get('listen', '127.0.0.1')}:{port}"
+                    cnt = fopts.get("count")
+                    spool = _fb.load_forward(
+                        ep, n_events=int(cnt) if cnt else None,
+                        timeout=float(fopts.get("timeout", "10")))
+                    p = Pipeline(_read_fmt(spark, "json", spool, []))
+                else:
+                    # event rows per plugin.cpp:340-451: timestamp +
+                    # message (metadata only when the wire carries it)
+                    import json as _json
+                    import os as _os
+                    import tempfile as _tf
+                    import time as _time
+                    now = _time.time()
+                    if plugin_name == "random":
+                        recs = _fb.random_records(
+                            int(fopts.get("count", "16")),
+                            seed=int(fopts.get("seed", "0")))
+                    else:  # stdin: one JSON record per line
+                        import sys as _sys
+                        recs = [_json.loads(ln) for ln in _sys.stdin
+                                if ln.strip()]
+                    fd, spool = _tf.mkstemp(prefix="tenzir_flb_",
+                                            suffix=".json")
+                    with _os.fdopen(fd, "w") as out:
+                        for r in recs:
+                            out.write(_json.dumps(
+                                {"timestamp": now, "message": r}) + "\n")
+                    dfb = _read_fmt(spark, "json", spool, [])
+                    dfb.__dict__["_tenzir_schema"] = _fb.TABLE_SLICE_NAME
+                    p = Pipeline(dfb)
             else:
-                sink = _Sink(
-                    "fluent-bit",
-                    f"tcp://{fopts.get('host', '127.0.0.1')}:{port}")
-                sink.tag = fopts.get("tag", "tenzir")
+                if plugin_name == "forward":
+                    sink = _Sink(
+                        "fluent-bit",
+                        f"tcp://{fopts.get('host', '127.0.0.1')}:{port}")
+                    sink.tag = fopts.get("tag", "tenzir")
+                else:
+                    sink = _Sink(f"fluent-bit-{plugin_name}", None)
+                    sink.tag = fopts.get("tag", "tenzir")
             continue
 
         if p is None:
@@ -882,7 +919,9 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
         elif op == "drop":
             p = p.drop(*_names(arg))
         elif op in ("put", "extend", "replace"):
-            cols = {n: compile_operand(v, df) for n, v in _kv_pairs(arg).items()}
+            sname = df.__dict__.get("_tenzir_schema")
+            cols = {n: compile_operand(v, df, schema_name=sname)
+                    for n, v in _kv_pairs(arg).items()}
             p = getattr(p, op)(**cols)
         elif op == "rename":
             p = p.rename(**_kv_pairs(arg))
@@ -1124,7 +1163,9 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
         # 32-95); the stdout sink's NDJSON IS the json printer form
         sink = _Sink("stdout")
     if sink is not None and sink.path is None \
-            and sink.kind not in ("stdout", "discard", "ascii", "import"):
+            and sink.kind not in ("stdout", "discard", "ascii", "import",
+                                  "fluent-bit-stdout", "fluent-bit-null",
+                                  "fluent-bit-counter"):
         # bare `write <fmt>` with no following `save <path>` would
         # otherwise crash at run time (round-2 advice #5)
         raise ValueError(
@@ -1261,6 +1302,28 @@ def run_pipeline(p: Pipeline):
                           brokers=getattr(sink, "brokers", "127.0.0.1:9092"),
                           key=getattr(sink, "key", None),
                           timestamp_ms=ts_ms)
+    if sink.kind in ("fluent-bit-stdout", "fluent-bit-null",
+                     "fluent-bit-counter"):
+        # native stand-ins for Fluent Bit's stdout/null/counter outputs
+        # (its own integration suite drives them); one bounded pass —
+        # debug sinks, never the bulk path
+        import json as _json
+
+        from tenzir_spark.sources import fluentbit as _fb
+        vals = (_json.loads(r["value"])
+                for r in fmt.ndjson_lines(p.df).toLocalIterator())
+        if sink.kind == "fluent-bit-null":
+            for _ in vals:
+                pass
+        elif sink.kind == "fluent-bit-stdout":
+            for line in _fb.stdout_lines(
+                    vals, tag=getattr(sink, "tag", "tenzir")):
+                print(line)
+        else:
+            n = sum(1 for _ in vals)
+            for line in _fb.counter_lines(n):
+                print(line)
+        return None
     if sink.kind == "fluent-bit":
         import json as _json
 

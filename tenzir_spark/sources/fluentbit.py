@@ -434,3 +434,61 @@ def save_forward(rows, endpoint: str = DEFAULT_ENDPOINT,
                         f"forward ack mismatch: {resp!r}")
                 break
     return len(entries)
+
+
+# ---------------------------------------------------------------------------
+# Native in-process plugins. The reference embeds libfluent-bit and exposes
+# every Fluent Bit input/output by name (plugins/fluent-bit/src/plugin.cpp:548);
+# that library is absent here, so the handful its own integration suite
+# drives (random, stdin sources; stdout, null, counter sinks) are
+# implemented natively. Event shape matches plugin.cpp:340-451: rows of
+# (timestamp, message[, metadata]) under schema name `tenzir.fluentbit`.
+
+TABLE_SLICE_NAME = "tenzir.fluentbit"
+
+
+def random_records(n: int = 16, seed: int = 0) -> list[dict]:
+    """Fluent Bit's `random` input: one {"rand_value": uint64} record per
+    tick (its in_random plugin). Deterministic here (seeded) — the
+    reference suite only pins the SCHEMA of the stream, not the values."""
+    import random as _random
+    rng = _random.Random(seed)
+    return [{"rand_value": rng.getrandbits(63)} for _ in range(n)]
+
+
+def ruby_hash(v) -> str:
+    """Render a value the way Fluent Bit's msgpack object printer does
+    (the `stdout` output format): {"key"=>value, ...}, lowercase
+    booleans, nil for null, strings double-quoted."""
+    if v is None:
+        return "nil"
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
+    if isinstance(v, str):
+        return '"' + v.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, dict):
+        return "{" + ", ".join(f"{ruby_hash(k)}=>{ruby_hash(x)}"
+                               for k, x in v.items()) + "}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(ruby_hash(x) for x in v) + "]"
+    return ruby_hash(str(v))
+
+
+def stdout_lines(rows, tag: str = "tenzir", epoch: float = 0.0):
+    """Fluent Bit `stdout` output: `[i] tag: [[ts, {}], record]` per
+    event (v2.1+ event format with empty metadata). Yields strings."""
+    for i, rec in enumerate(rows):
+        yield f"[{i}] {tag}: [[{epoch:.9f}, {{}}], {ruby_hash(rec)}]"
+
+
+def counter_lines(n: int, epoch: float = 0.0):
+    """Fluent Bit `counter` output: one `ts,count (total = total)` line
+    per flush — a single flush here (the engine hands the result over
+    in one push)."""
+    return [f"{epoch:.9f},{n} (total = {n})"]

@@ -192,3 +192,73 @@ def test_tql_unsupported_plugin_raises(spark):
     from tenzir_spark.plans.tql import parse_pipeline
     with pytest.raises(NotImplementedError, match="fluent-bit"):
         parse_pipeline("fluent-bit splunk host=x | pass", spark=spark)
+
+
+# ---------------------------------------------------------------- natives
+# The reference embeds libfluent-bit and its integration suite
+# (plugins/fluent-bit/integration/tests.sh + reference/fluentbit/
+# step_00.ref) drives five plugins beyond `forward`: random + stdin
+# sources, stdout/null/counter sinks. Those are implemented natively
+# (sources/fluentbit.py); this replay pins our output against the
+# reference's recorded stdout, applying the same `cut` trims its
+# script does for determinism.
+
+import contextlib
+import io
+import os
+
+_REF_FLB = "/root/reference/plugins/fluent-bit/integration"
+
+
+@pytest.mark.skipif(not os.path.isdir(_REF_FLB),
+                    reason="reference tree not present")
+def test_reference_fluentbit_suite_replay(spark, monkeypatch):
+    from tenzir_spark.plans.tql import parse_pipeline, run_pipeline
+
+    golden = open(os.path.join(
+        _REF_FLB, "reference/fluentbit/step_00.ref")).read().splitlines()
+
+    # `fluent-bit please-do-not-crash` errors without crashing (the
+    # script runs it under `|| true`)
+    with pytest.raises(NotImplementedError, match="please-do-not-crash"):
+        parse_pipeline("fluent-bit please-do-not-crash", spark=spark)
+
+    # `fluent-bit random | head 1 | put schema=#schema`
+    p = parse_pipeline("fluent-bit random | head 1 | put schema=#schema",
+                       spark=spark)
+    rows = [r.asDict(recursive=True) for r in p.df.collect()]
+    assert rows == [json.loads("".join(golden[0:3]))] == \
+        [{"schema": "tenzir.fluentbit"}]
+
+    # `echo '{"foo": {"bar": 42}}' | tenzir 'fluent-bit stdin | drop
+    # timestamp'`
+    monkeypatch.setattr("sys.stdin", io.StringIO('{"foo": {"bar": 42}}\n'))
+    p = parse_pipeline("fluent-bit stdin | drop timestamp", spark=spark)
+    rows = [r.asDict(recursive=True) for r in p.df.collect()]
+    assert rows == [json.loads("".join(golden[3:10]))] == \
+        [{"message": {"foo": {"bar": 42}}}]
+
+    # `show operators | fluent-bit null` — no output
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        run_pipeline(parse_pipeline("show operators | fluent-bit null",
+                                    spark=spark))
+    assert buf.getvalue() == ""
+
+    # `show operators | where name == "unique" | fluent-bit stdout`,
+    # trimmed with `cut -d ' ' -f 5-`
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        run_pipeline(parse_pipeline(
+            'show operators | where name == "unique" | fluent-bit stdout',
+            spark=spark))
+    lines = buf.getvalue().splitlines()
+    assert [" ".join(ln.split(" ")[4:]) for ln in lines] == [golden[10]]
+
+    # `show operators | head | fluent-bit counter`, `cut -d , -f 2`
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        run_pipeline(parse_pipeline("show operators | head | fluent-bit "
+                                    "counter", spark=spark))
+    lines = buf.getvalue().splitlines()
+    assert [ln.split(",", 1)[1] for ln in lines] == [golden[11]]
