@@ -29,6 +29,11 @@ from pyspark.sql import functions as F
 _ICMP_DUAL = {8: 0, 0: 8, 13: 14, 14: 13, 15: 16, 16: 15,
               10: 9, 9: 10, 17: 18, 18: 17}
 
+#: ICMPv6 duals (libtenzir/src/icmp.cpp:42; types icmp.hpp:36-47).
+_ICMP6_DUAL = {128: 129, 129: 128, 130: 131, 131: 130, 133: 134,
+               134: 133, 135: 136, 136: 135, 139: 140, 140: 139,
+               144: 145, 145: 144}
+
 _FLAT_SCHEMA = (
     "ether_src string, ether_dst string, ether_type double, "
     "vlan_outer double, vlan_inner double, "
@@ -54,14 +59,17 @@ def _community_ids(v4src, v4dst, v6src, v6dst, is_v6, proto, sport, dport,
     sport = sport.astype(np.int64).copy()
     dport = dport.astype(np.int64).copy()
     one_way = np.zeros(n, dtype=bool)
-    icmp = proto == 1
-    if icmp.any():
-        # ICMP: src=message type, dst=message code; hash the dual type as
-        # the "destination port" when one exists, else one-way
+    # ICMP/ICMPv6: src=message type, dst=message code; hash the dual
+    # type as the "destination port" when one exists, else one-way
+    # (community_id.hpp:96-112 normalizes both protocols this way)
+    for pnum, table in ((1, _ICMP_DUAL), (58, _ICMP6_DUAL)):
+        icmp = proto == pnum
+        if not icmp.any():
+            continue
         duals = np.full(n, -1, dtype=np.int64)
-        for k, v in _ICMP_DUAL.items():
+        for k, v in table.items():
             duals[icmp & (sport == k)] = v
-        one_way = icmp & (duals < 0)
+        one_way |= icmp & (duals < 0)
         has_dual = icmp & (duals >= 0)
         dport[has_dual] = duals[has_dual]
     seed_b = struct.pack(">H", seed)

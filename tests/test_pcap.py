@@ -206,3 +206,72 @@ def test_decapsulate_unparsable_keeps_pcap(spark, tmp_path):
     r = rows[0]
     assert r["ether"] is None and r["ip"] is None and r["community_id"] is None
     assert r["pcap"]["captured_packet_length"] == 4
+
+
+def test_community_id_reference_unit_vectors():
+    """The reference's full community_id unit suite
+    (libtenzir/test/community_id.cpp:48-110 — ground truth from the
+    spec author's Python module): UDP/TCP over v4/v6, ICMPv4/ICMPv6
+    with and without a request/reply dual. Pins BOTH policies — the
+    base64 string our decapsulate emits and the ascii-hex digest
+    (community_id.hpp policy::ascii) recovered from it."""
+    import base64
+    import ipaddress
+    import socket
+
+    import numpy as np
+
+    from tenzir_spark.operators.packet import _community_ids
+
+    # (proto, src, dst, sport, dport, hex, b64)
+    vectors = [
+        (17, "192.168.1.102", "192.168.1.1", 68, 67,
+         "1:69665f2c8aae6250b1286b89eb67d01a5805cc02",
+         "1:aWZfLIquYlCxKGuJ62fQGlgFzAI="),
+        (17, "fe80::2c23:b96c:78d:e116", "ff02::c", 58544, 3702,
+         "1:662f40748c18bd99d8bee39b4cf806582052611b",
+         "1:Zi9AdIwYvZnYvuObTPgGWCBSYRs="),
+        (6, "192.168.1.102", "68.216.79.113", 1180, 37,
+         "1:f4bfed67579b1f395687307fa49c92f405495b2f",
+         "1:9L/tZ1ebHzlWhzB/pJyS9AVJWy8="),
+        (6, "fe80::219:e3ff:fee7:5d23", "ff02::fb", 5353, 53,
+         "1:03aaaffe2842910257a2fdf52f863395cb8a4769",
+         "1:A6qv/ihCkQJXov31L4YzlcuKR2k="),
+        (1, "1.2.3.4", "5.6.7.8", 0, 8,
+         "1:d6f36bf9c570edbcd9fad1ac8761fbbe807069a6",
+         "1:1vNr+cVw7bzZ+tGsh2H7voBwaaY="),
+        (1, "192.168.0.89", "192.168.0.1", 128, 129,
+         "1:86459c1ce1ea4c65aaffe7f01c48a6e5efa0d5f1",
+         "1:hkWcHOHqTGWq/+fwHEim5e+g1fE="),
+        (58, "fe80::200:86ff:fe05:80da", "fe80::260", 135, 136,
+         "1:ffb2d8321708804a883ac02fe6c76655499b3ff5",
+         "1:/7LYMhcIgEqIOsAv5sdmVUmbP/U="),
+        (58, "fe80::dead", "fe80::beef", 42, 84,
+         "1:118a3bbf175529a3d55dca55c4364ec47f1c4152",
+         "1:EYo7vxdVKaPVXcpVxDZOxH8cQVI="),
+    ]
+    n = len(vectors)
+    v4src = np.zeros(n, dtype=np.uint32)
+    v4dst = np.zeros(n, dtype=np.uint32)
+    v6src = np.empty(n, dtype=object)
+    v6dst = np.empty(n, dtype=object)
+    is_v6 = np.zeros(n, dtype=bool)
+    proto = np.zeros(n, dtype=np.int64)
+    sport = np.zeros(n, dtype=np.int64)
+    dport = np.zeros(n, dtype=np.int64)
+    for i, (pr, s, d, sp, dp, _, _) in enumerate(vectors):
+        proto[i], sport[i], dport[i] = pr, sp, dp
+        si, di = ipaddress.ip_address(s), ipaddress.ip_address(d)
+        if si.version == 6:
+            is_v6[i] = True
+            v6src[i], v6dst[i] = si.packed, di.packed
+        else:
+            v4src[i] = int(si)
+            v4dst[i] = int(di)
+            v6src[i] = v6dst[i] = b""
+    got = _community_ids(v4src, v4dst, v6src, v6dst, is_v6,
+                         proto, sport, dport)
+    for i, (_, _, _, _, _, hexs, b64s) in enumerate(vectors):
+        assert got[i] == b64s, vectors[i]
+        digest = base64.b64decode(got[i][2:])
+        assert "1:" + digest.hex() == hexs, vectors[i]
