@@ -197,3 +197,27 @@ def test_ns_truncation_round_trips_through_parquet(spark, tmp_path):
     back = spark.read.parquet(p)
     assert [str(r.ts) for r in back.collect()] == ["2024-06-01 12:00:00.123456"]
     assert back.schema["ts"].dataType.simpleString() == "timestamp"
+
+
+def test_subnet_reference_unit_vectors(spark):
+    """The reference subnet unit suite's containment vectors
+    (libtenzir/test/subnet.cpp:43-55) replayed through the expression
+    surface (`<ip> in <subnet>` predicates over ip-string columns):
+    v4 prefix membership at /8 and /24 and the v6 /64 case where the
+    literal's host bits (2001:db8::202:b3ff:fe1e:8329) must be masked
+    off before comparing."""
+    from tenzir_spark.expr import compile_expression
+
+    def contains(cidr, addr):
+        df = spark.createDataFrame([(addr,)], "h string")
+        return df.filter(compile_expression(f"h in {cidr}", df)).count() == 1
+
+    # TEST(containment) v4
+    assert contains("10.0.0.0/8", "10.0.0.1")
+    # TEST(subnets): 192.168.0.1/24 normalizes to network 192.168.0.0
+    assert contains("192.168.0.0/24", "192.168.0.73")
+    assert not contains("192.168.0.0/24", "192.168.244.73")
+    # TEST(containment) v6 — subnet literal carries host bits
+    v6 = "2001:db8:0000:0000:0202:b3ff:fe1e:8329/64"
+    assert contains(v6, "2001:db8::cafe:babe")
+    assert not contains(v6, "ff00::")

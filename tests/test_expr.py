@@ -293,3 +293,40 @@ def test_ipv6_subnet_containment(spark):
     got4 = [r.h for r in
             where(df, "h in 192.168.1.0/24", type_hints={"h": "ip"}).collect()]
     assert got4 == ["192.168.1.5"]
+
+
+def test_pattern_reference_unit_vectors(spark):
+    """The reference pattern unit suite (libtenzir/test/pattern.cpp:30-72)
+    replayed through the expression surface: `== /re/` is match(),
+    `in /re/` is search(), `/re/i` sets the case-insensitive option —
+    every vector of the `functionality` and `case insensitive` tests."""
+    from tenzir_spark.operators.transform import where
+
+    def match(pat, s):
+        df = spark.createDataFrame([(s,)], "v string")
+        return where(df, f"v == {pat}").count() == 1
+
+    def search(pat, s):
+        df = spark.createDataFrame([(s,)], "v string")
+        return where(df, f"v in {pat}").count() == 1
+
+    # TEST(functionality)
+    assert match("/[0-9]/", "1")
+    assert not match("/[^1]/", "1")
+    assert search("/bar/", "foobarbaz")
+    assert not search("/bar/", "FOOBARBAZ")
+    assert not search("/^bar$/", "foobarbaz")
+    assert match(r"/^\w{3}\w{3}\w{3}$/", "foobarbaz")
+    assert match(r"/\w+ die Waldfe{2}./", "Holla die Waldfee!")
+    assert search(r"/\w+ die Waldfe{2}./", "Holla die Waldfee!")
+    assert not match(r"/(\w+ )/", "Holla die Waldfee!")
+    assert search(r"/(\w+ )/", "Holla die Waldfee!")
+    # TEST(comparison with string): equality both ways is match()
+    assert match("/foo.*baz/", "foobarbaz")
+    # TEST(case insensitive): all seven case permutations of "bar"
+    for s in ("bar", "BAR", "Bar", "bAr", "baR", "BAr", "bAR"):
+        assert search("/bar/i", s), s
+        assert match("/bar/i", s), s
+    # TEST(to pattern): /test/ is case-sensitive, /test/i insensitive
+    assert match("/test/", "test") and not match("/test/", "TEST")
+    assert match("/test/i", "TEST")

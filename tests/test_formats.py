@@ -302,3 +302,50 @@ def test_read_zeek_tsv_multi_schema_stream(spark):
         {"WORKGROUP", "DOMEX"}
     # typed per block: conn duration is double-ish, dns trans_id numeric
     assert conn.schema["duration"].dataType.typeName() in ("double", "float")
+
+
+def test_syslog_reference_unit_suite(spark, tmp_path):
+    """The reference's syslog format unit tests
+    (libtenzir/test/format/syslog.cpp) over its own artifact
+    (libtenzir_test/artifacts/logs/syslog/syslog-test.txt): 5 events,
+    all schema syslog.rfc5424, facility/severity split of <34> -> 4/2,
+    structured-data escape handling (\\], \\", \\\\), two SD elements
+    on one line, nil timestamp, absent message, and the header-parser
+    case of a nil `-` hostname parsing to the empty string."""
+    import os
+
+    from tenzir_spark.sources.formats import read_syslog
+
+    art = ("/root/reference/libtenzir_test/artifacts/logs/syslog/"
+           "syslog-test.txt")
+    if not os.path.isfile(art):
+        pytest.skip("reference tree not present")
+    rows = sorted((r.asDict(recursive=True)
+                   for r in read_syslog(spark, art).collect()),
+                  key=lambda r: r["version"])
+    assert len(rows) == 5
+    assert {r["_schema"] for r in rows} == {"syslog.rfc5424"}
+    r1 = rows[0]
+    assert (r1["facility"], r1["severity"]) == (4, 2)  # <34>
+    assert (r1["hostname"], r1["app_name"], r1["process_id"],
+            r1["message_id"]) == ("mymachineexamplecom", "su", "asd",
+                                  "ID47")
+    # SD escapes: \] -> ], \" -> ", \\ -> backslash
+    assert r1["structured_data"]["exampleSDID@32473"]["eventSource"] \
+        == "App]lication"
+    assert rows[3]["structured_data"]["exampleSDID@32473"][
+        "eventSource"] == 'Applic"ation'
+    assert rows[4]["structured_data"]["exampleSDID@32473"][
+        "eventSource"] == "Applic\\ation"
+    # two SD elements on the last line; its message is absent
+    assert rows[4]["structured_data"]["examplePriority@32473"] == \
+        {"class": "high"}
+    assert rows[4]["message"] is None
+    # nil timestamp on line 3 (<165> -> facility 20 severity 5)
+    assert rows[2]["ts"] is None
+    assert (rows[2]["facility"], rows[2]["severity"]) == (20, 5)
+    # header-parser case: nil `-` hostname parses to empty string
+    p = tmp_path / "nilhost.log"
+    p.write_text("<34>1 2003-10-11T22:14:15.003Z - su asd ID47 - m\n")
+    r = read_syslog(spark, str(p)).collect()[0]
+    assert r["hostname"] == ""
