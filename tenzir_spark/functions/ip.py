@@ -8,12 +8,13 @@ engine's convention is canonical-string columns + these helpers:
 - IPv4 ops are pure Column arithmetic (JVM, codegen'd);
 - full IPv4+IPv6 ops go through Arrow-batched pandas UDFs on stdlib
   `ipaddress` (no per-row Python API calls from the driver);
-- `pseudonymize_prefix` is the reference's deprecated `pseudonymize`
-  operator (pseudonymize.cpp:50, Crypto-PAn): prefix-preserving
-  pseudonymization. The PRF here is keyed blake2b instead of AES-ECB
-  (no AES primitive in this container) — same structural guarantee
-  (two addresses sharing a k-bit prefix map to outputs sharing a k-bit
-  prefix), different keystream. Documented divergence.
+- `pseudonymize` is the reference's `pseudonymize` operator
+  (pseudonymize.cpp:50): real Crypto-PAn — AES-128-ECB one-time pad,
+  seed parsed as hex into 32 bytes exactly like parse_seed_string
+  (pseudonymize.cpp:141-152) — byte-identical to the reference's
+  outputs and to the public node-cryptopan vectors replayed by
+  libtenzir/test/ip.cpp (see functions/cryptopan.py and
+  tests/test_cast_ip.py).
 """
 
 from __future__ import annotations
@@ -120,38 +121,30 @@ def make_in_subnet_udf(cidr: str):
 
 # ------------------------------------------------- prefix-preserving pseudo
 
-def _pp_one(addr: str, key: bytes) -> str | None:
-    if addr is None:
-        return None
-    try:
-        a = ipaddress.ip_address(addr)
-    except ValueError:
-        return None
-    bits = a.max_prefixlen
-    x = int(a)
-    out = 0
-    for i in range(bits):
-        prefix = x >> (bits - i)  # the i high bits
-        # PRF bit from the key + the prefix (Crypto-PAn structure with a
-        # blake2b PRF; pseudonymize.cpp uses AES — divergence documented)
-        h = hashlib.blake2b(
-            prefix.to_bytes(17, "big") + bytes([i]), key=key, digest_size=1
-        ).digest()[0] & 1
-        orig_bit = (x >> (bits - 1 - i)) & 1
-        out = (out << 1) | (orig_bit ^ h)
-    return str(ipaddress.ip_address(out)) if bits == 128 else str(ipaddress.IPv4Address(out))
-
-
 def make_pseudonymize_udf(seed: str):
     """pseudonymize -m crypto-pan -s <seed> <fields> (reference:
-    pseudonymize.cpp:50). Deterministic per seed; prefix-preserving."""
-    key = hashlib.sha256(seed.encode()).digest()
+    pseudonymize.cpp:50). Real Crypto-PAn: the hex seed expands to 32
+    bytes (AES-128 key + pad source) and each Arrow batch is
+    pseudonymized with the vectorized AES pad in
+    functions/cryptopan.py — byte-identical to the reference. The
+    CryptoPan table setup runs once per executor (closure capture),
+    not per batch."""
+    from tenzir_spark.functions.cryptopan import CryptoPan, parse_seed
+
+    seed_bytes = parse_seed(seed)
 
     @F.pandas_udf(T.StringType())
     def _pp(s: pd.Series) -> pd.Series:
-        return s.map(lambda v: _pp_one(v, key))
+        cp = make_pseudonymize_udf._cache.get(seed_bytes)
+        if cp is None:
+            cp = CryptoPan(seed_bytes)
+            make_pseudonymize_udf._cache[seed_bytes] = cp
+        return pd.Series(cp.pseudonymize_batch(list(s)), index=s.index)
 
     return _pp
+
+
+make_pseudonymize_udf._cache = {}
 
 
 def pseudonymize(df, fields: list[str], seed: str):

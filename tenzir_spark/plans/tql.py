@@ -1002,10 +1002,9 @@ def parse_pipeline(text: str, spark: SparkSession | None = None,
             p = p.hash(toks[-1], salt=salt)
         elif op == "pseudonymize":
             # `pseudonymize -m "crypto-pan" -s <seed> f1, f2`
-            # (pseudonymize.cpp:50). Ours is prefix-preserving via a
-            # blake2b PRF — a DOCUMENTED divergence from Crypto-PAn's
-            # AES (functions/ip.py) — so values differ from the
-            # reference's goldens deterministically.
+            # (pseudonymize.cpp:50). Real Crypto-PAn (AES-128 one-time
+            # pad, functions/cryptopan.py) — byte-identical to the
+            # reference's goldens and the node-cryptopan vectors.
             ptoks = _split_eq_opts(shlex.split(arg))
             fields, i, seed = [], 0, ""
             while i < len(ptoks):

@@ -1633,10 +1633,11 @@ def test_arrow_export_roundtrip(spark, conn_tsv, tmp_path):
 # tests.yaml 'Export pipeline operator parsing ...' — multi-line
 # pipeline strings with interleaved /* */ comments, comma-separated
 # select operands, hash --salt, rename new=old, pseudonymize. Values
-# compare exactly except the digest columns: the reference hashes with
-# xxh3 over its internal serialization and pseudonymizes with
-# Crypto-PAn AES — ours are sha256/blake2b (documented divergences), so
-# digests check determinism + grouping, not byte equality.
+# compare exactly — including pseudonymized ips (real Crypto-PAn,
+# functions/cryptopan.py) — except hash's digest column: the reference
+# hashes with xxh3 over its internal serialization, ours is sha256
+# (documented divergence), so that digest checks determinism +
+# grouping, not byte equality.
 
 def _eve_rows(spark, tql):
     df = parse_pipeline(f"from {EVE} read suricata | {tql}",
@@ -1686,9 +1687,11 @@ def test_export_parsing_pseudonymize_rename(spark):
     assert df.columns == list(ref[0].keys())
     rows = df.collect()
     assert len(rows) == len(ref)
-    # pseudonymization is deterministic and collision-free on this set
-    assert len({r.source_ip for r in rows}) == \
-        len({o.get("source_ip") for o in ref})
+    # real Crypto-PAn: pseudonymized ips match the golden byte-exactly
+    # (the stats event carries no ips -> None; sort via repr)
+    assert sorted(((r.source_ip, r.dest_ip) for r in rows), key=repr) == \
+        sorted(((o.get("source_ip"), o.get("dest_ip")) for o in ref),
+               key=repr)
 
 
 def test_export_parsing_after_expression(spark):
@@ -2344,9 +2347,10 @@ def test_optional_partition_indexes_export_csv(spark):
 
 # ------------------- After-expression suite, every step (tests.yaml)
 # Progressive pipeline compositions over the suricata import; full-value
-# comparison through the pinned json printer, with the documented
-# digest divergences excluded (hash: sha256 vs xxh3; pseudonymize:
-# blake2b PRF vs Crypto-PAn) — their GROUPING is asserted instead.
+# comparison through the pinned json printer. Pseudonymized ip columns
+# compare BYTE-EXACTLY (real Crypto-PAn, functions/cryptopan.py); the
+# only excluded digest is hash's (sha256 vs xxh3, documented) — its
+# GROUPING is asserted instead.
 
 _AFTER_EXPR_BASE = ("where src_ip==147.32.84.165 &&"
                     " (src_port==1181 || src_port == 138)")
@@ -2373,11 +2377,11 @@ _AFTER_EXPR_STEPS[11] = _AFTER_EXPR_STEPS[9] + \
 # per-step digest columns whose VALUES diverge by documented algorithm
 _AFTER_EXPR_DIVERGENT = {
     5: {"flow_id_hashed"}, 6: {"flow_id_hashed"},
-    7: {"flow_id_hashed", "src_ip", "dest_ip"},
-    8: {"flow_id_hashed", "src_ip", "dest_ip"},
-    9: {"flow_id_hashed", "source_ip", "dest_ip"},
-    10: {"flow_id_hashed", "source_ip", "dest_ip"},
-    11: {"flow_id_hashed", "source_ip", "dest_ip"},
+    7: {"flow_id_hashed"},
+    8: {"flow_id_hashed"},
+    9: {"flow_id_hashed"},
+    10: {"flow_id_hashed"},
+    11: {"flow_id_hashed"},
 }
 
 
@@ -2487,8 +2491,8 @@ def test_only_summarize_resolution_minute(spark):
 # step_09 (7 rows, every port-bearing event) = the rename pipeline with
 # a NEGATED schema-meta predicate excluding the stats event; step_10
 # (ports 1181+80 = alert+fileinfo) = the same selection as step_08 via
-# an `in`-list meta predicate. Pseudonymized ip columns check grouping
-# (documented algorithm divergence); ports compare exactly.
+# an `in`-list meta predicate. Pseudonymized ip columns and ports
+# compare exactly (real Crypto-PAn); the hash digest checks grouping.
 
 _EBS_TAIL = ('pass | select timestamp, flow_id, src_ip, dest_ip, src_port'
              ' | drop timestamp | hash --salt="abcdefghij12" flow_id'
@@ -2507,8 +2511,8 @@ def test_everything_but_summarize_orphan_steps(spark, step, tail):
         "export-pipeline-operator-parsing-everything-but-summarize", step)
     assert df.columns == list(ref[0].keys())
     rows = df.collect()
-    assert sorted(r.src_port for r in rows) == \
-        sorted(o["src_port"] for o in ref)
-    # pseudonymized/digest columns group identically
-    for c in ("flow_id_hashed", "source_ip", "dest_ip"):
-        assert len({r[c] for r in rows}) == len({o[c] for o in ref})
+    assert sorted((r.src_port, r.source_ip, r.dest_ip) for r in rows) == \
+        sorted((o["src_port"], o["source_ip"], o["dest_ip"]) for o in ref)
+    # the hash digest column groups identically (sha256 vs xxh3)
+    assert len({r.flow_id_hashed for r in rows}) == \
+        len({o["flow_id_hashed"] for o in ref})
