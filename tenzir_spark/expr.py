@@ -116,6 +116,12 @@ _NEGATED_OP = {"==": "!=", "!=": "==", "<": ">=", ">=": "<",
 # Tokenizer
 # ---------------------------------------------------------------------------
 
+# the reference's full duration unit alternation (word + abbreviation
+# spellings, time.hpp:42-79), shared with the standalone parser
+from tenzir_spark.functions.timeparse import _UNIT_ALT as _DUR_UNITS_ALT
+from tenzir_spark.functions.timeparse import (parse_duration_ns,
+                                              parse_time_ns)
+
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
@@ -131,8 +137,8 @@ _TOKEN_RE = re.compile(
   | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<subnet>(?:\d{1,3}(?:\.\d{1,3}){3}|[0-9a-fA-F:]*::[0-9a-fA-F:.]*|(?:[0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4})/\d{1,3})
   | (?P<ip>\d{1,3}(?:\.\d{1,3}){3}|[0-9a-fA-F:]*::[0-9a-fA-F:.]*)
-  | (?P<time>\d{4}-\d{2}-\d{2}(?:[T ]\d{2}:\d{2}(?::\d{2}(?:\.\d+)?)?)?(?:Z|[+-]\d{2}:?\d{2})?)
-  | (?P<duration>\d+(?:\.\d+)?\s*(?:ns|us|ms|s|sec|min|mins|h|hrs|d|days?|w|weeks?)\b)
+  | (?P<time>\d{4}-\d{2}(?:-\d{2}(?:[T+ ]\d{2}(?::\d{2}(?::\d{2}(?:\.\d+)?)?(?:Z|[+-]\d{2}:?\d{2})?)?)?)?)
+  | (?P<duration>\d+(?:\.\d+)?\s*(?:__DUR_UNITS__)(?:(?:\d+\.\d*|\.\d+|\d+)\s*(?:__DUR_UNITS__))*\b)
   | (?P<si>(?:\d+\.\d*|\.\d+|\d+)(?:[kKMGTPE]i?)\b)
   | (?P<number>(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<typex>:[A-Za-z_][A-Za-z0-9_.]*)
@@ -140,27 +146,9 @@ _TOKEN_RE = re.compile(
   | (?P<ident>[A-Za-z_][A-Za-z0-9_.]*)
   | (?P<pattern>/(?=\S)(?:\\.|[^/\\])+/i?)
   | (?P<arith>[+\-*/%])
-    """,
+    """.replace("__DUR_UNITS__", _DUR_UNITS_ALT),
     re.VERBOSE,
 )
-
-_DUR_UNIT_NS = {
-    "ns": 1,
-    "us": 1_000,
-    "ms": 1_000_000,
-    "s": 1_000_000_000,
-    "sec": 1_000_000_000,
-    "min": 60_000_000_000,
-    "mins": 60_000_000_000,
-    "h": 3_600_000_000_000,
-    "hrs": 3_600_000_000_000,
-    "d": 86_400_000_000_000,
-    "day": 86_400_000_000_000,
-    "days": 86_400_000_000_000,
-    "w": 604_800_000_000_000,
-    "week": 604_800_000_000_000,
-    "weeks": 604_800_000_000_000,
-}
 
 _KEYWORDS = {"true": True, "false": False}
 
@@ -343,9 +331,9 @@ class _Parser:
                 return Literal(int(text), "int64")
             return Literal(float(text), "double")
         if kind == "duration":
-            m = re.fullmatch(r"(\d+(?:\.\d+)?)\s*([a-z]+)", text)
-            ns = float(m.group(1)) * _DUR_UNIT_NS[m.group(2)]
-            return Literal(int(ns), "duration")
+            # full reference grammar incl. compound components
+            # (functions/timeparse.py, replaying time.cpp)
+            return Literal(parse_duration_ns(text), "duration")
         if kind == "time":
             return Literal(text, "time")
         if kind == "subnet":
@@ -906,7 +894,19 @@ def _apply_func(call: FuncCall, binder: "Binder") -> Column | None:
 def _lit_col(lit: Literal, path: str, binder: Binder) -> Column:
     v, tn = lit.value, lit.type_name
     if tn == "time":
-        return F.to_timestamp(F.lit(v.replace("T", " ").rstrip("Z")))
+        # reference ymdhms semantics: '+'/'T'/' ' dividers, tz offsets,
+        # partial dates down to YYYY-MM (timeparse.py replays time.cpp)
+        try:
+            import datetime as _dt
+
+            ns = parse_time_ns(v)
+            # integer µs arithmetic (Spark timestamps are µs; float
+            # seconds would wobble at ns precision)
+            ts = (_dt.datetime(1970, 1, 1)
+                  + _dt.timedelta(microseconds=ns // 1000))
+            return F.lit(ts).cast(T.TimestampType())
+        except ValueError:
+            return F.to_timestamp(F.lit(v.replace("T", " ").rstrip("Z")))
     if tn == "duration":
         # durations compare against long-nanosecond columns in our model;
         # a column HINTED as duration but stored as double is declared

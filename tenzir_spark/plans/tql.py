@@ -338,18 +338,17 @@ def _kafka_x_options(toks: list[str]) -> dict[str, str]:
 
 
 def _duration_seconds(v: str) -> float:
-    """'2', '2s', '500ms', '3min', '1h' -> seconds (connector
-    --duration; the reference's full duration unit grammar). Multi-char
-    suffixes check first — 'ns'/'us'/'ms' also end in plain 's'."""
+    """'2', '2s', '500ms', '3min', '1h', '42 mins', '3m42s10ms' ->
+    seconds. Full reference duration grammar (word units, compound
+    components; functions/timeparse.py replays time.cpp); a bare
+    number means seconds, as the reference's option-level duration
+    defaults do."""
+    from tenzir_spark.functions.timeparse import parse_duration_ns
     v = v.strip()
-    for suffix, mult in (("ns", 1e-9), ("us", 1e-6), ("ms", 1e-3),
-                         ("min", 60.0), ("h", 3600.0), ("d", 86400.0),
-                         ("w", 604800.0), ("s", 1.0)):
-        if v.endswith(suffix):
-            try:
-                return float(v[: -len(suffix)]) * mult
-            except ValueError:
-                break
+    try:
+        return parse_duration_ns(v) / 1e9
+    except ValueError:
+        pass
     try:
         return float(v)
     except ValueError:
