@@ -125,6 +125,7 @@ from tenzir_spark.functions.timeparse import (parse_duration_ns,
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
+  | (?P<comment>/\*(?:[^*]|\*(?!/))*\*/)
   | (?P<lparen>\()
   | (?P<rparen>\))
   | (?P<lbrack>\[)
@@ -170,7 +171,10 @@ def tokenize(text: str) -> list[tuple[str, str]]:
             pos += 1
             continue
         pos = m.end()
-        if kind == "ws":
+        if kind in ("ws", "comment"):
+            # /* ... */ comments are whitespace inside expressions,
+            # non-nesting — the first */ closes
+            # (expression_parseable.cpp:214-242)
             continue
         if kind == "si":
             # SI magnitude literals (reference si_literal parser,

@@ -95,3 +95,64 @@ def test_bad_input_raises():
 def test_nested_dotted_suffix():
     p = parse_expression("id.orig_h == 10.0.0.1")
     assert p.lhs == FieldExtractor("id.orig_h")
+
+
+# --------------- expression_parseable.cpp behavioral replay
+# (libtenzir/test/expression_parseable.cpp) — the parse-tree checks
+# there are AST-shape assertions; here each contract is replayed
+# behaviorally through compile_expression over a live frame.
+
+def _count(spark, df, text):
+    from tenzir_spark.expr import compile_expression
+
+    return df.filter(compile_expression(text, df)).count()
+
+
+@pytest.fixture()
+def _frame(spark):
+    from pyspark.sql import Row
+
+    return spark.createDataFrame(
+        [Row(x=42, a=5, b=3, s=None), Row(x=1, a=1, b=9, s="v")])
+
+
+def test_ref_precedence_and_over_or(spark, _frame):
+    # expression_parseable.cpp:154-156: && binds tighter than ||
+    assert _count(spark, _frame, "x == 42 && a > b || a < b && x == 1") == 2
+    # with OR-first grouping it would be ((42||a<b) && x==1) -> 1 row
+    assert _count(spark, _frame, "(x == 42 && a > b) || (a < b && x == 1)") == 2
+
+
+def test_ref_negation_forms(spark, _frame):
+    # :143-146
+    assert _count(spark, _frame, "! x == 42") == 1
+    assert _count(spark, _frame, "!(x == 42 || a > b)") == 1
+    # :148-151 redundant parentheses
+    assert _count(spark, _frame, "((x == 42))") == 1
+
+
+def test_ref_value_only_predicate(spark, _frame):
+    # :164-175 — a bare value is sugar for `:uint64 == 42`
+    assert _count(spark, _frame, "42") == 1
+
+
+def test_ref_field_extractor_predicate(spark, _frame):
+    # :177-187 — a bare field is sugar for `field != null`
+    assert _count(spark, _frame, "s") == 1
+
+
+def test_ref_stray_dot_rejected(spark):
+    # :157-161 — leading-dot field must fail to parse
+    with pytest.raises(ValueError):
+        parse_expression('#schema == "suricata.http" && .community_id == "x"')
+
+
+def test_ref_comments_inside_expressions(spark, _frame):
+    # :214-230 — /* */ is whitespace anywhere between tokens,
+    # non-nesting (the first */ closes), incl. the pathological forms
+    assert _count(spark, _frame, "x == 42 /* c */ && a > b") == 1
+    assert _count(spark, _frame, "x/**/==/******/42") == 1
+    assert _count(spark, _frame,
+                  "x == 1 /*/*fo* /*/|| a > b") == 2
+    assert _count(spark, _frame,
+                  'x == 42/* && s != null */&& a > b') == 1
