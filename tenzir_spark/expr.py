@@ -480,11 +480,18 @@ class Binder:
             return F.col(f"`{path}`")
         return F.col(path)
 
-    def field_matches(self, suffix: str) -> list[str]:
+    def field_matches(self, suffix: str,
+                      _seen: frozenset[str] = frozenset()) -> list[str]:
         if suffix in self.concepts:
+            if suffix in _seen:
+                # concepts may reference each other cyclically; each
+                # concept expands at most once (taxonomies.cpp:59-81
+                # pins non-divergence and the flattened field order)
+                return []
+            _seen = _seen | {suffix}
             out: list[str] = []
             for ex in self.concepts[suffix]:
-                hits = self.field_matches(ex)
+                hits = self.field_matches(ex, _seen)
                 # the reference's shipped concept fields are
                 # SCHEMA-QUALIFIED ("suricata.flow.src_ip" = field
                 # src_ip of schema suricata.flow); a frame's columns
@@ -494,7 +501,7 @@ class Binder:
                 parts = ex.split(".")
                 while not hits and len(parts) > 1:
                     parts = parts[1:]
-                    hits = self.field_matches(".".join(parts))
+                    hits = self.field_matches(".".join(parts), _seen)
                 for p in hits:
                     if p not in out:
                         out.append(p)

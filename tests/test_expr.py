@@ -330,3 +330,24 @@ def test_pattern_reference_unit_vectors(spark):
     # TEST(to pattern): /test/ is case-sensitive, /test/i insensitive
     assert match("/test/", "test") and not match("/test/", "TEST")
     assert match("/test/i", "TEST")
+
+
+def test_taxonomy_cyclic_concepts(spark):
+    """taxonomies.cpp:59-81: concepts referencing each other must
+    resolve without divergence, flattening both field lists."""
+    from pyspark.sql import Row
+
+    from tenzir_spark.expr import compile_expression
+
+    df = spark.createDataFrame([Row(fo0=1, foM=2, foe=3, bar=4, bax=5),
+                                Row(fo0=9, foM=9, foe=9, bar=1, bax=9)])
+    concepts = {"foo": ["a.fo0", "b.foM", "x.foe", "bar"],
+                "bar": ["a.bar", "b.bax", "foo"]}
+    # `foo == 1` expands to the OR over foo's fields AND bar's fields
+    # (cycle back into foo expands to nothing); row2 matches only via
+    # the referenced concept's field
+    assert df.filter(
+        compile_expression("foo == 1", df, concepts=concepts)).count() == 2
+    # nested resolve also works from the inner concept
+    assert df.filter(
+        compile_expression("bar == 5", df, concepts=concepts)).count() == 1
