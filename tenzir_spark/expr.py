@@ -143,6 +143,10 @@ _TOKEN_RE = re.compile(
   | (?P<si>(?:\d+\.\d*|\.\d+|\d+)(?:[kKMGTPE]i?)\b)
   | (?P<number>(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<typex>:[A-Za-z_][A-Za-z0-9_.]*)
+  | (?P<colon>:)
+  | (?P<lbrace>\{)
+  | (?P<rbrace>\})
+  | (?P<arrow>->)
   | (?P<metax>\#[A-Za-z_][A-Za-z0-9_]*)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_.]*)
   | (?P<pattern>/(?=\S)(?:\\.|[^/\\])+/i?)
@@ -327,6 +331,53 @@ class _Parser:
                     self.next()
             self.expect("rbrack")
             return Literal(items, "list")
+        if kind == "relop" and text == "<":
+            # record literal <>, <foo: 1>, <_, /re/> — named or ordered
+            # fields (parse_data.cpp:61-74; ordered fields get "" names)
+            self.next()
+            fields: list[tuple[str, Any]] = []
+            while self.peek() and self.peek()[0] != "relop":
+                k, t = self.peek()
+                name = ""
+                if k == "ident" and self.toks[self.i + 1:self.i + 2] \
+                        and self.toks[self.i + 1][0] == "colon":
+                    name = t
+                    self.next()
+                    self.next()
+                if self.peek() and self.peek()[0] == "ident" \
+                        and self.peek()[1] == "_":
+                    self.next()
+                    val = None
+                else:
+                    item = self.operand()
+                    if not isinstance(item, Literal):
+                        raise ValueError(
+                            "record literals may only contain literals")
+                    val = item.value
+                fields.append((name, val))
+                if self.peek() and self.peek()[0] == "comma":
+                    self.next()
+            closing = self.peek()
+            if not closing or closing[1] != ">":
+                raise ValueError("expected '>' to close record literal")
+            self.next()
+            return Literal(fields, "record")
+        if kind == "lbrace":
+            # map literal {}, {+1->true, -2->false} (parse_data.cpp:55-60)
+            self.next()
+            entries: list[tuple[Any, Any]] = []
+            while self.peek() and self.peek()[0] != "rbrace":
+                key = self.operand()
+                self.expect("arrow")
+                val = self.operand()
+                if not (isinstance(key, Literal) and isinstance(val, Literal)):
+                    raise ValueError(
+                        "map literals may only contain literals")
+                entries.append((key.value, val.value))
+                if self.peek() and self.peek()[0] == "comma":
+                    self.next()
+            self.expect("rbrace")
+            return Literal(entries, "map")
         self.next()
         if kind == "string":
             return Literal(_unquote(text), "string")
@@ -515,6 +566,18 @@ class Binder:
         hits = [p for p, _ in self.leaves if _suffix_matches(p, suffix)]
         if hits:
             return hits
+        # struct roots: `x == <foo: 1>` compares a whole record column
+        # (the reference's record values are first-class data); roots
+        # are every strict prefix of a flattened leaf path
+        roots: list[str] = []
+        for p, _ in self.leaves:
+            parts = p.split(".")
+            for i in range(1, len(parts)):
+                r = ".".join(parts[:i])
+                if r not in roots and _suffix_matches(r, suffix):
+                    roots.append(r)
+        if roots:
+            return roots
         # map-key access: `extension.dvc` reaches key 'dvc' of a map
         # column matching 'extension' (the reference's cef extension bag
         # is a record, so `select extension.dvc` / `extend
@@ -835,7 +898,35 @@ class Binder:
                 return F.lit(False)
             rcol = self.col(rpaths[0])
             return _apply_relop(col, op, rcol, None)
+        guard = self._type_mismatch_guard(path, op, rhs, col)
+        if guard is not None:
+            return guard
         return _apply_relop(col, op, _lit_col(rhs, path, self), rhs)
+
+    _COMPLEX_LIT = {"list": T.ArrayType, "record": T.StructType,
+                    "map": T.MapType}
+
+    def _type_mismatch_guard(self, path: str, op: str, rhs: Literal,
+                             col: Column) -> Column | None:
+        """Reference data-comparison semantics for type-incompatible
+        operands (a scalar cell vs a list literal etc.): values of
+        different types are simply UNEQUAL — `==`/ordered ops false,
+        `!=` true for non-null cells (null cells never match any
+        operator, evaluate.cpp:229). Spark would instead raise
+        DATATYPE_MISMATCH at analysis."""
+        if op not in ("==", "!=", "<", "<=", ">", ">="):
+            return None
+        dtype = dict(self.leaves).get(path)
+        if dtype is None:
+            return None
+        want = self._COMPLEX_LIT.get(rhs.type_name)
+        complex_col = isinstance(
+            dtype, (T.ArrayType, T.StructType, T.MapType))
+        mismatch = (want is not None and not isinstance(dtype, want)) or \
+            (want is None and rhs.type_name != "null" and complex_col)
+        if not mismatch:
+            return None
+        return col.isNotNull() if op == "!=" else F.lit(False)
 
 
 # scalar function library: name -> (min_args, max_args, builder over
@@ -927,6 +1018,18 @@ def _lit_col(lit: Literal, path: str, binder: Binder) -> Column:
             if isinstance(dt, T.DoubleType):
                 return F.lit(v / 1e9)
         return F.lit(v)
+    if tn == "record":
+        # named record literals compare against struct columns
+        # (parse_data.cpp:61-66); ordered/unnamed fields have no Spark
+        # struct equivalent -> null literal (predicate stays null-safe)
+        if v and all(name for name, _ in v):
+            return F.struct(*[F.lit(val).alias(name) for name, val in v])
+        return F.lit(None)
+    if tn == "map":
+        if v:
+            return F.create_map(
+                *[F.lit(x) for kv in v for x in kv])
+        return F.lit(None)
     return F.lit(v)
 
 

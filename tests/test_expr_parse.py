@@ -156,3 +156,36 @@ def test_ref_comments_inside_expressions(spark, _frame):
                   "x == 1 /*/*fo* /*/|| a > b") == 2
     assert _count(spark, _frame,
                   'x == 42/* && s != null */&& a > b') == 1
+
+
+def test_ref_record_and_map_literals():
+    # parse_data.cpp:52-75 — record literals (named, ordered with ""
+    # names, nested) and map literals (k->v entries)
+    assert parse_expression("x == <>").rhs == Literal([], "record")
+    assert parse_expression("x == <foo: 1>").rhs == \
+        Literal([("foo", 1)], "record")
+    assert parse_expression("x == <foo: 1, bar: <baz: 3>>").rhs == \
+        Literal([("foo", 1), ("bar", [("baz", 3)])], "record")
+    assert parse_expression("baz != <_, 3.0>").rhs == \
+        Literal([("", None), ("", 3.0)], "record")
+    assert parse_expression("m == {}").rhs == Literal([], "map")
+    assert parse_expression("m == {+1->true,+2->false}").rhs == \
+        Literal([(1, True), (2, False)], "map")
+    assert parse_expression("m == {-1 -> true, -2 -> false}").rhs == \
+        Literal([(-1, True), (-2, False)], "map")
+
+
+def test_record_literal_compare_behavioral(spark):
+    from pyspark.sql import Row
+
+    from tenzir_spark.expr import compile_expression
+
+    df = spark.createDataFrame([Row(x=Row(foo=1, bar=2), y=1),
+                                Row(x=Row(foo=9, bar=9), y=2)])
+    assert df.filter(
+        compile_expression("x == <foo: 1, bar: 2>", df)).count() == 1
+    # the full comment-suite vector parses and compiles with a missing
+    # field (the reference drops unresolved extractors the same way)
+    assert df.filter(compile_expression(
+        '#schema == "foo" && (foo.bar != [1, 2, 3] || baz != <_, 3.0>)',
+        df)).count() == 0
