@@ -138,7 +138,7 @@ _TOKEN_RE = re.compile(
   | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<subnet>(?:\d{1,3}(?:\.\d{1,3}){3}|[0-9a-fA-F:]*::[0-9a-fA-F:.]*|(?:[0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4})/\d{1,3})
   | (?P<ip>\d{1,3}(?:\.\d{1,3}){3}|[0-9a-fA-F:]*::[0-9a-fA-F:.]*)
-  | (?P<time>\d{4}-\d{2}(?:-\d{2}(?:[T+ ]\d{2}(?::\d{2}(?::\d{2}(?:\.\d+)?)?(?:Z|[+-]\d{2}:?\d{2})?)?)?)?)
+  | (?P<time>\d{4}-\d{2}(?:-\d{2}(?:[T+ ]\d{2}(?::\d{2}(?::\d{2}(?:\.\d+)?)?(?:Z|[+-]\d{2}(?::?\d{2})?)?)?)?)?)
   | (?P<duration>\d+(?:\.\d+)?\s*(?:__DUR_UNITS__)(?:(?:\d+\.\d*|\.\d+|\d+)\s*(?:__DUR_UNITS__))*\b)
   | (?P<si>(?:\d+\.\d*|\.\d+|\d+)(?:[kKMGTPE]i?)\b)
   | (?P<number>(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
@@ -339,11 +339,18 @@ class _Parser:
             while self.peek() and self.peek()[0] != "relop":
                 k, t = self.peek()
                 name = ""
-                if k == "ident" and self.toks[self.i + 1:self.i + 2] \
-                        and self.toks[self.i + 1][0] == "colon":
+                nxt = self.toks[self.i + 1] \
+                    if self.i + 1 < len(self.toks) else None
+                if k == "ident" and nxt and nxt[0] == "colon":
                     name = t
                     self.next()
                     self.next()
+                elif k == "ident" and nxt and nxt[0] == "typex":
+                    # `<foo:true>` lexes the value as a typex token
+                    # (':true'); split it back into colon + value tokens
+                    name = t
+                    self.next()
+                    self.toks[self.i:self.i + 1] = tokenize(nxt[1][1:])
                 if self.peek() and self.peek()[0] == "ident" \
                         and self.peek()[1] == "_":
                     self.next()
@@ -532,7 +539,8 @@ class Binder:
         return F.col(path)
 
     def field_matches(self, suffix: str,
-                      _seen: frozenset[str] = frozenset()) -> list[str]:
+                      _seen: frozenset[str] = frozenset(),
+                      roots: bool = False) -> list[str]:
         if suffix in self.concepts:
             if suffix in _seen:
                 # concepts may reference each other cyclically; each
@@ -542,7 +550,7 @@ class Binder:
             _seen = _seen | {suffix}
             out: list[str] = []
             for ex in self.concepts[suffix]:
-                hits = self.field_matches(ex, _seen)
+                hits = self.field_matches(ex, _seen, roots)
                 # the reference's shipped concept fields are
                 # SCHEMA-QUALIFIED ("suricata.flow.src_ip" = field
                 # src_ip of schema suricata.flow); a frame's columns
@@ -552,7 +560,7 @@ class Binder:
                 parts = ex.split(".")
                 while not hits and len(parts) > 1:
                     parts = parts[1:]
-                    hits = self.field_matches(".".join(parts), _seen)
+                    hits = self.field_matches(".".join(parts), _seen, roots)
                 for p in hits:
                     if p not in out:
                         out.append(p)
@@ -568,16 +576,21 @@ class Binder:
             return hits
         # struct roots: `x == <foo: 1>` compares a whole record column
         # (the reference's record values are first-class data); roots
-        # are every strict prefix of a flattened leaf path
-        roots: list[str] = []
-        for p, _ in self.leaves:
-            parts = p.split(".")
-            for i in range(1, len(parts)):
-                r = ".".join(parts[:i])
-                if r not in roots and _suffix_matches(r, suffix):
-                    roots.append(r)
+        # are every strict prefix of a flattened leaf path. OPT-IN —
+        # only predicate binding passes roots=True; sigma field maps
+        # and summarize group keys keep leaf-only resolution (their
+        # evaluators compare scalars, where a record operand evaluates
+        # to no-match in the reference too).
         if roots:
-            return roots
+            root_hits: list[str] = []
+            for p, _ in self.leaves:
+                parts = p.split(".")
+                for i in range(1, len(parts)):
+                    r = ".".join(parts[:i])
+                    if r not in root_hits and _suffix_matches(r, suffix):
+                        root_hits.append(r)
+            if root_hits:
+                return root_hits
         # map-key access: `extension.dvc` reaches key 'dvc' of a map
         # column matching 'extension' (the reference's cef extension bag
         # is a record, so `select extension.dvc` / `extend
@@ -857,7 +870,7 @@ class Binder:
 
     def _resolve(self, operand) -> list[str]:
         if isinstance(operand, FieldExtractor):
-            return self.field_matches(operand.path)
+            return self.field_matches(operand.path, roots=True)
         if isinstance(operand, TypeExtractor):
             return self.type_matches(operand.type_name)
         if isinstance(operand, MetaExtractor):
@@ -898,35 +911,70 @@ class Binder:
                 return F.lit(False)
             rcol = self.col(rpaths[0])
             return _apply_relop(col, op, rcol, None)
-        guard = self._type_mismatch_guard(path, op, rhs, col)
+        guard = self._compare_complex(path, op, rhs, col)
         if guard is not None:
             return guard
         return _apply_relop(col, op, _lit_col(rhs, path, self), rhs)
 
-    _COMPLEX_LIT = {"list": T.ArrayType, "record": T.StructType,
-                    "map": T.MapType}
+    def _dtype_of(self, path: str) -> T.DataType | None:
+        """Spark type of a resolved path — a flattened leaf, or a
+        struct root reached by the roots=True resolution."""
+        dt = dict(self.leaves).get(path)
+        if dt is not None:
+            return dt
+        cur: T.DataType = self.schema
+        for part in path.split("."):
+            if not isinstance(cur, T.StructType):
+                return None
+            hit = next((f for f in cur.fields if f.name == part), None)
+            if hit is None:
+                return None
+            cur = hit.dataType
+        return cur
 
-    def _type_mismatch_guard(self, path: str, op: str, rhs: Literal,
-                             col: Column) -> Column | None:
-        """Reference data-comparison semantics for type-incompatible
-        operands (a scalar cell vs a list literal etc.): values of
-        different types are simply UNEQUAL — `==`/ordered ops false,
-        `!=` true for non-null cells (null cells never match any
-        operator, evaluate.cpp:229). Spark would instead raise
-        DATATYPE_MISMATCH at analysis."""
+    def _compare_complex(self, path: str, op: str, rhs: Literal,
+                         col: Column) -> Column | None:
+        """Reference data-comparison semantics for complex operands.
+        Record/map/list literals compare structurally against
+        struct/map/array columns; ANY type incompatibility — different
+        kind, field names, arity, or element type — makes the values
+        simply UNEQUAL (`==`/ordered false, `!=` true for non-null
+        cells; null cells never match any operator, evaluate.cpp:229).
+        Spark would instead raise DATATYPE_MISMATCH at analysis.
+        Returns None to fall through to the scalar path."""
         if op not in ("==", "!=", "<", "<=", ">", ">="):
             return None
-        dtype = dict(self.leaves).get(path)
-        if dtype is None:
-            return None
-        want = self._COMPLEX_LIT.get(rhs.type_name)
-        complex_col = isinstance(
-            dtype, (T.ArrayType, T.StructType, T.MapType))
-        mismatch = (want is not None and not isinstance(dtype, want)) or \
-            (want is None and rhs.type_name != "null" and complex_col)
-        if not mismatch:
-            return None
-        return col.isNotNull() if op == "!=" else F.lit(False)
+
+        def mismatch() -> Column:
+            return col.isNotNull() if op == "!=" else F.lit(False)
+
+        dtype = self._dtype_of(path)
+        if rhs.type_name == "record":
+            if not isinstance(dtype, T.StructType):
+                return mismatch()
+            lit = _struct_literal(rhs.value, dtype)
+            if lit is None:
+                return mismatch()
+            if op == "==":
+                return col.eqNullSafe(lit)
+            if op == "!=":
+                return ~col.eqNullSafe(lit) & col.isNotNull()
+            return F.lit(False)  # records are not ordered here
+        if rhs.type_name == "map":
+            if not isinstance(dtype, T.MapType):
+                return mismatch()
+            return _map_compare(col, dtype, op, rhs.value, mismatch)
+        if rhs.type_name == "list":
+            if not isinstance(dtype, T.ArrayType):
+                return mismatch() if dtype is not None else None
+            if any(_scalar_lit(v, dtype.elementType) is None
+                   for v in rhs.value if v is not None):
+                return mismatch()
+            return None  # compatible: scalar path handles array equality
+        if rhs.type_name != "null" and isinstance(
+                dtype, (T.ArrayType, T.StructType, T.MapType)):
+            return mismatch()
+        return None
 
 
 # scalar function library: name -> (min_args, max_args, builder over
@@ -1031,6 +1079,98 @@ def _lit_col(lit: Literal, path: str, binder: Binder) -> Column:
                 *[F.lit(x) for kv in v for x in kv])
         return F.lit(None)
     return F.lit(v)
+
+
+def _scalar_kind(dt: T.DataType) -> str:
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                       T.FloatType, T.DoubleType, T.DecimalType)):
+        return "num"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.StringType):
+        return "str"
+    return "other"
+
+
+def _scalar_lit(val, dt: T.DataType) -> Column | None:
+    """A scalar literal column for `val` if its kind is compatible with
+    the Spark type `dt`, else None (type mismatch)."""
+    if val is None:
+        return F.lit(None).cast(dt)
+    if isinstance(val, bool):
+        return F.lit(val) if _scalar_kind(dt) == "bool" else None
+    if isinstance(val, (int, float)):
+        return F.lit(val) if _scalar_kind(dt) == "num" else None
+    if isinstance(val, str):
+        return F.lit(val) if _scalar_kind(dt) == "str" else None
+    return None
+
+
+def _is_record_value(val) -> bool:
+    return isinstance(val, list) and all(
+        isinstance(e, tuple) and len(e) == 2 and isinstance(e[0], str)
+        for e in val)
+
+
+def _struct_literal(fields: list, dtype: T.StructType) -> Column | None:
+    """Build a struct literal matching `dtype` from record-literal
+    fields [(name, value), ...]; ordered fields ("" names) take the
+    column's field names positionally. None on any arity, name, or
+    type incompatibility."""
+    if len(fields) != len(dtype.fields):
+        return None
+    cols = []
+    for (name, val), f in zip(fields, dtype.fields):
+        if name and name != f.name:
+            return None
+        if isinstance(f.dataType, T.StructType):
+            if val is None:
+                c = F.lit(None).cast(f.dataType)
+            elif _is_record_value(val):
+                c = _struct_literal(val, f.dataType)
+            else:
+                return None
+        elif isinstance(f.dataType, T.ArrayType):
+            if val is None:
+                c = F.lit(None).cast(f.dataType)
+            elif isinstance(val, list) and not _is_record_value(val):
+                elems = [_scalar_lit(v, f.dataType.elementType)
+                         for v in val]
+                if any(e is None for e in elems):
+                    return None
+                c = F.array(*elems) if elems else \
+                    F.lit([]).cast(f.dataType)
+            else:
+                return None
+        else:
+            c = _scalar_lit(val, f.dataType)
+        if c is None:
+            return None
+        cols.append(c.alias(f.name))
+    return F.struct(*cols)
+
+
+def _map_compare(col: Column, dtype: T.MapType, op: str,
+                 entries: list, mismatch) -> Column:
+    """Map equality against a {k->v} literal. Spark cannot order or
+    <=> MapType, so compare sorted entry arrays instead."""
+    if op not in ("==", "!="):
+        return F.lit(False)  # maps are not ordered
+    if not entries:
+        eq = F.size(col) == 0
+    else:
+        lits = []
+        for k, v in entries:
+            kc = _scalar_lit(k, dtype.keyType)
+            vc = _scalar_lit(v, dtype.valueType)
+            if kc is None or vc is None:
+                return mismatch()
+            lits.append(F.struct(kc.alias("key"), vc.alias("value")))
+        eq = (F.array_sort(F.map_entries(col))
+              == F.array_sort(F.array(*lits)))
+    if op == "==":
+        return eq & col.isNotNull()
+    return ~eq & col.isNotNull()
 
 
 def _apply_relop(col: Column, op: str, rcol: Column, rlit: Literal | None) -> Column:

@@ -19,7 +19,6 @@ engine's convention is canonical-string columns + these helpers:
 
 from __future__ import annotations
 
-import hashlib
 import ipaddress
 
 import pandas as pd

@@ -51,7 +51,9 @@ _UNIT_NS = [
 ]
 
 _UNIT_ALT = "|".join(u for u, _ in _UNIT_NS)
-_REAL = r"[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?"
+# fast_float/std::from_chars semantics (real.cpp:22): '-' allowed, a
+# leading '+' is NOT — so '+42ms' and '10m+8ms' are parse errors
+_REAL = r"-?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?"
 _COMPONENT = re.compile(rf"({_REAL})\s*({_UNIT_ALT})")
 
 #: a regex fragment matching one-or-more duration components (no sign

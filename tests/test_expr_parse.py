@@ -189,3 +189,71 @@ def test_record_literal_compare_behavioral(spark):
     assert df.filter(compile_expression(
         '#schema == "foo" && (foo.bar != [1, 2, 3] || baz != <_, 3.0>)',
         df)).count() == 0
+
+
+def test_complex_literal_comparison_semantics(spark):
+    """Type-incompatible complex comparisons follow the reference's
+    data semantics (unequal, never an analysis error), null cells never
+    match, and compatible struct/map literals compare structurally."""
+    from pyspark.sql import types as T
+
+    from tenzir_spark.expr import compile_expression
+
+    schema = T.StructType([
+        T.StructField("x", T.StructType([
+            T.StructField("foo", T.LongType()),
+            T.StructField("bar", T.LongType())])),
+        T.StructField("m", T.MapType(T.LongType(), T.BooleanType())),
+        T.StructField("y", T.LongType()),
+    ])
+    df = spark.createDataFrame(
+        [({"foo": 1, "bar": 2}, {1: True, 2: False}, 1),
+         (None, None, 2)], schema)
+
+    def count(text):
+        return df.filter(compile_expression(text, df)).count()
+
+    # scalar vs struct column: unequal, not a crash
+    assert count('x == "GET"') == 0
+    # same-kind incompatibility (wrong field name): unequal
+    assert count("x == <zap: 1>") == 0
+    assert count("x != <zap: 1>") == 1  # only the non-null cell
+    # null cells never match, even <> / empty-map equality
+    assert count("x == <>") == 0
+    assert count("m == {}") == 0
+    # structural equality: named, ordered-positional, nested-mismatch
+    assert count("x == <foo: 1, bar: 2>") == 1
+    assert count("x == <1, 2>") == 1
+    assert count("x == <_, 2>") == 0
+    assert count("x == <foo: 1, bar: <baz: 3>>") == 0
+    assert count("x != <foo: 1, bar: <baz: 3>>") == 1
+    # map literals compare against real map columns (sorted entries)
+    assert count("m == {+1->true,+2->false}") == 1
+    assert count("m != {+1->true}") == 1
+    # no-space colon before a letter value
+    assert count("y == 1 && x != <foo:true, bar:2>") == 1
+
+
+def test_sigma_and_summarize_keep_leaf_resolution(spark):
+    """Struct-root resolution is predicate-only: a sigma field or
+    summarize key naming a struct root must not resolve to the whole
+    struct column (the reference evaluates record operands in those
+    positions to no-match)."""
+    from pyspark.sql import types as T
+
+    from tenzir_spark.expr import Binder
+
+    schema = T.StructType([
+        T.StructField("http", T.StructType([
+            T.StructField("host", T.StringType())])),
+    ])
+    b = Binder(schema)
+    assert b.field_matches("http") == []            # leaf-only default
+    assert b.field_matches("http", roots=True) == ["http"]
+    assert b.field_matches("http.host") == ["http.host"]
+
+
+def test_hour_only_timezone_in_time_literal():
+    # the exact time.cpp vector form previously split as arithmetic
+    p = parse_expression("ts < 2012-08-12+23:55:04.001234-01")
+    assert p.rhs == Literal("2012-08-12+23:55:04.001234-01", "time")

@@ -151,3 +151,11 @@ def test_expression_time_and_duration_literals(spark):
     assert df.filter(compile_expression("ts < 2012-08", df)).count() == 0
     assert df.filter(compile_expression("dur_ns < 3m50s10ms", df)).count() == 1
     assert df.filter(compile_expression("dur_ns > 229 seconds", df)).count() == 1
+
+
+def test_plus_signed_components_rejected():
+    # fast_float/std::from_chars semantics: no leading '+' on reals, so
+    # '+'-signed durations are parse errors everywhere
+    for bad in ("+42ms", "10m+8ms", "+1h"):
+        with pytest.raises(ValueError):
+            parse_duration_ns(bad)
