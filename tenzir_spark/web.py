@@ -2,7 +2,7 @@
 
 Reference: ``web/openapi/openapi.yaml:270-560`` (paths /ping,
 /pipeline/create, /pipeline/list, /pipeline/update, /pipeline/delete,
-/pipeline/reset-ttl, /pipeline/launch, /serve) and
+/pipeline/reset-ttl, /pipeline/launch, /serve, /status) and
 ``plugins/web/src/restinio_server.cpp`` (token auth via the
 ``X-Tenzir-Token`` header). This module serves the same contract from
 stdlib ``ThreadingHTTPServer`` — managed TQL pipelines with the
@@ -292,6 +292,55 @@ class PipelineManager:
         self.start(pid)
         return {"id": pid}
 
+    def status(self, component: str | None = None,
+               verbosity: str = "info") -> dict:
+        """/status (openapi.yaml:656-698): current status of the whole
+        node — catalog (the process-default node store), version, and
+        this manager's pipelines; `component` filters to one key,
+        `verbosity` detailed/debug adds per-state pipeline counts and
+        the store root. The reference proxies its node status command;
+        here the node IS the Spark session + node store + managers."""
+        import glob
+        import os
+
+        from tenzir_spark import __version__
+        from tenzir_spark.plans.registry import node_store
+
+        store = node_store()
+        num_parts = 0
+        mem = 0
+        if "://" not in store.root and os.path.isdir(store.root):
+            for f in glob.glob(os.path.join(store.root, "**", "*.parquet"),
+                               recursive=True) + \
+                    glob.glob(os.path.join(store.root, "**", "part-*"),
+                              recursive=True):
+                if os.path.isfile(f):
+                    num_parts += 1
+                    mem += os.path.getsize(f)
+        with self._lock:
+            infos = [p.info() for p in self._pipelines.values()]
+        status: dict = {
+            "catalog": {"num-partitions": num_parts, "memory-usage": mem},
+            "version": {"Tenzir": __version__},
+            "pipeline-manager": {"num-pipelines": len(infos)},
+        }
+        if verbosity in ("detailed", "debug"):
+            by_state: dict[str, int] = {}
+            for i in infos:
+                by_state[i["state"]] = by_state.get(i["state"], 0) + 1
+            status["pipeline-manager"]["pipelines-by-state"] = by_state
+            status["catalog"]["store-root"] = store.root
+        if verbosity == "debug":
+            status["system"] = {
+                "spark-master": self.spark.sparkContext.master,
+                "spark-version": self.spark.version,
+            }
+        if component is not None:
+            if component not in status:
+                raise ValueError(f"unknown component {component!r}")
+            return {component: status[component]}
+        return status
+
     def _arm_ttl(self, p: ManagedPipeline) -> None:
         if p._ttl_timer:
             p._ttl_timer.cancel()
@@ -394,6 +443,10 @@ class PipelineManager:
                         if "labels" in req:
                             p.labels = req["labels"]
                         return self._reply(200, {"pipeline": p.info()})
+                    if path == "/status":
+                        return self._reply(200, mgr.status(
+                            req.get("component"),
+                            req.get("verbosity", "info")))
                     if path == "/serve":
                         # delegate to the serve buffers (serve.py owns
                         # the contract; reuse its handler logic)

@@ -220,3 +220,26 @@ def test_create_returns_promptly_for_long_running_pipeline(mgr):
     _post(mgr.port, "/api/v0/pipeline/update",
           {"id": body["id"], "action": "stop"})
     _post(mgr.port, "/api/v0/pipeline/delete", {"id": body["id"]})
+
+
+def test_status_endpoint(mgr, sf_dir):
+    """/status (openapi.yaml:656-698): whole-node status with component
+    filter and verbosity levels."""
+    port = mgr.port
+    code, body = _post(port, "/api/v0/status")
+    assert code == 200
+    assert set(body) >= {"catalog", "version", "pipeline-manager"}
+    assert "num-partitions" in body["catalog"]
+    assert "memory-usage" in body["catalog"]
+    assert "Tenzir" in body["version"]
+    # component filter mirrors the reference's ?component=index form
+    code, body = _post(port, "/api/v0/status", {"component": "catalog"})
+    assert code == 200 and set(body) == {"catalog"}
+    code, body = _post(port, "/api/v0/status", {"component": "nope"})
+    assert code == 400
+    # detailed adds per-state pipeline counts
+    code, body = _post(port, "/api/v0/status",
+                       {"verbosity": "detailed"})
+    assert code == 200
+    assert "pipelines-by-state" in body["pipeline-manager"]
+    assert "store-root" in body["catalog"]
