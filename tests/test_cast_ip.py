@@ -301,3 +301,50 @@ def test_pseudonymize_tql_golden_values(spark):
     out = ipf.pseudonymize(df, ["ip"], seed="123456abcdef")
     assert [r.ip for r in out.collect()] == \
         ["83.16.53.68", "185.200.66.246"]
+
+
+def test_cryptopan_prefix_preservation_property():
+    """The defining Crypto-PAn invariant: two addresses sharing exactly
+    k prefix bits map to outputs sharing exactly k prefix bits (strict,
+    both directions), for v4 and v6, across random seeds."""
+    import ipaddress as ipa
+    import random
+
+    from tenzir_spark.functions.cryptopan import CryptoPan
+
+    rng = random.Random(0xC0FFEE)
+
+    def shared_bits(a, b, width):
+        x = int(a) ^ int(b)
+        return width - x.bit_length()
+
+    for trial in range(5):
+        seed = bytes(rng.randrange(256) for _ in range(32))
+        cp = CryptoPan(seed)
+        v4 = [ipa.IPv4Address(rng.getrandbits(32)) for _ in range(40)]
+        out = [ipa.IPv4Address(o)
+               for o in cp.pseudonymize_batch([str(a) for a in v4])]
+        for i in range(0, 40, 2):
+            a, b = v4[i], v4[i + 1]
+            assert shared_bits(a, b, 32) == shared_bits(out[i], out[i + 1], 32)
+        v6 = [ipa.IPv6Address(rng.getrandbits(128)) for _ in range(10)]
+        out6 = [ipa.IPv6Address(o)
+                for o in cp.pseudonymize_batch([str(a) for a in v6])]
+        for i in range(0, 10, 2):
+            a, b = v6[i], v6[i + 1]
+            assert shared_bits(a, b, 128) == \
+                shared_bits(out6[i], out6[i + 1], 128)
+
+
+def test_cryptopan_batch_matches_singletons():
+    """Batched encryption is element-independent: a mixed v4/v6/invalid
+    batch yields exactly the per-element results."""
+    from tenzir_spark.functions.cryptopan import CryptoPan, parse_seed
+
+    cp = CryptoPan(parse_seed("123456abcdef"))
+    addrs = ["147.32.84.165", "2001:db8::1", "not-an-ip", None,
+             "8.8.8.8", "::1"]
+    batch = cp.pseudonymize_batch(addrs)
+    singles = [cp.pseudonymize_batch([a])[0] for a in addrs]
+    assert batch == singles
+    assert batch[2] is None and batch[3] is None
