@@ -290,7 +290,10 @@ def q_minhash_near_dups(spark, sf):
 
 def q_simhash(spark, sf):
     d = _t(spark, sf, "documents")
-    pairs = dedup.simhash_near_dups(d, "doc_id", "text", band_bits=16)
+    # max_hamming pushes the <=8 cutoff into the bucket scan (pure filter
+    # pushdown — identical result, ~10x fewer pairs through the dedup)
+    pairs = dedup.simhash_near_dups(d, "doc_id", "text", band_bits=16,
+                                    max_hamming=8)
     return pairs.filter(F.col("hamming") <= 8) \
         .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming")) \
         .orderBy("id_a", "id_b")

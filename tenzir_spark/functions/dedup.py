@@ -24,6 +24,44 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+# ---------------------------------------------------------------- helpers
+
+
+def _needs_fanout(df: DataFrame, par: int) -> bool:
+    """True when the source would feed fewer than ``par`` non-empty scan
+    tasks. ``getNumPartitions`` alone lies for small parquet sources:
+    ``spark.sql.files.minPartitionNum`` slices a one-row-group file into
+    ``par`` byte ranges, but the parquet reader assigns each ROW GROUP to
+    exactly one slice, so every row still lands in a single task (measured:
+    a 50k-row single-row-group corpus reports 32 partitions, 1 non-empty —
+    serializing the whole signature/shingle stage on one core). Counting
+    row groups in the scan's files (driver-side footer read, only done for
+    sources with fewer files than cores) detects that case; at scale the
+    source has >= par files and this never reads a footer."""
+    if df.rdd.getNumPartitions() < par:
+        return True
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return False
+    if not files or len(files) >= par:
+        return False
+    try:
+        import pyarrow.parquet as pq
+        from urllib.parse import unquote, urlparse
+        total = 0
+        for f in files:
+            if not f.endswith(".parquet"):
+                return False
+            path = unquote(urlparse(f).path) if f.startswith("file:") else f
+            total += pq.ParquetFile(path).metadata.num_row_groups
+            if total >= par:
+                return False
+        return True
+    except Exception:
+        return False
+
+
 # ---------------------------------------------------------------- exact
 
 
@@ -230,9 +268,12 @@ def minhash_lsh_candidates(
     # parquet split would hash everything on one core); at scale the
     # source is already wide and this full-text shuffle is skipped —
     # map-side partial aggregation makes the signature groupBy carry one
-    # row per doc per input partition either way (round-2 verdict #8)
+    # row per doc per input partition either way (round-2 verdict #8).
+    # _needs_fanout also catches the few-row-group file whose byte-range
+    # slices are mostly empty (r6: the sf1.0 single-row-group corpus ran
+    # the whole 14.5M-shingle md5 stage on one core).
     par = df.sparkSession.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < par:
+    if _needs_fanout(base, par):
         base = base.repartition(par, F.col("__id"))
     ex = base.select(
         "__id", F.explode(char_shingles(text_col, shingle_k)).alias("__g"))
@@ -323,56 +364,138 @@ def minhash_lsh_candidates(
             .sortWithinPartitions("__band", "__bh"))
 
     def bucket_pairs(batches):
-        ia, ib, ests, jacs = [], [], [], []
+        # fully vectorized bucket scan (r6; same shape as the simhash and
+        # ngram scans): bucket boundaries fall out of one array compare
+        # over the sorted partition, same-size buckets emit their pair
+        # triangles through one fancy-index gather per distinct size, and
+        # the pairwise signature agreement is one batched equals/mean.
+        # With exact_verify the per-pair set intersections are ONE batch
+        # posting scan: explode every kept bucket's (member, shingle-hash)
+        # rows, lexsort by (bucket, hash, member), emit the per-hash
+        # member triangles, and np.unique-count them into sparse
+        # |A∩B| — all C loops; the previous per-row append + per-pair
+        # Python set-intersect was the stage's dominant cost (3.7M
+        # candidate pairs at the sf1.0 bench corpus).
+        c_band = c_bh = None
+        c_ids = c_sigm = c_sets = None
 
-        def flush(ids, sigs, esets):
-            m = len(ids)
-            if m < 2 or m > cap:
-                return
-            s = np.stack(sigs)
-            # all pairwise signature agreements in one broadcast compare
-            est = (s[:, None, :] == s[None, :, :]).mean(axis=2)
-            for i in range(m - 1):
-                si = esets[i] if do_verify else None
-                for j in range(i + 1, m):
-                    if do_verify:
-                        inter = len(si & esets[j])
-                        union = len(si) + len(esets[j]) - inter
-                        jac = inter / union if union else 0.0
-                        if jac < thr:
-                            continue
-                        jacs.append(jac)
-                    a, b = ids[i], ids[j]
-                    if b < a:
-                        a, b = b, a
-                    ia.append(a)
-                    ib.append(b)
-                    ests.append(float(est[i, j]))
+        def emit(idv, sigm, sets, starts, sizes):
+            ia_l, ib_l = [], []
+            for m in np.unique(sizes):
+                st = starts[sizes == m]
+                iu, ju = np.triu_indices(int(m), 1)
+                ia_l.append((st[:, None] + iu[None, :]).ravel())
+                ib_l.append((st[:, None] + ju[None, :]).ravel())
+            if not ia_l:
+                return None
+            ia = np.concatenate(ia_l)
+            ib = np.concatenate(ib_l)
+            est = (sigm[ia] == sigm[ib]).mean(axis=1)
+            data: dict = {}
+            if do_verify:
+                n_rows = len(idv)
+                # rows belonging to kept buckets, with their bucket ord
+                total = int(sizes.sum())
+                sel = (np.repeat(starts, sizes)
+                       + np.arange(total)
+                       - np.repeat(np.cumsum(sizes) - sizes, sizes))
+                lens_all = np.fromiter((len(s) for s in sets),
+                                       dtype=np.int64, count=n_rows)
+                bucket_of = np.repeat(np.arange(len(starts)), sizes)
+                owners = np.repeat(sel, lens_all[sel])
+                owner_bucket = np.repeat(bucket_of, lens_all[sel])
+                elems = (np.concatenate([np.asarray(s) for s in sets[sel]])
+                         if total else np.empty(0, dtype=np.int64))
+                order = np.lexsort((owners, elems, owner_bucket))
+                oe, oo = elems[order], owners[order]
+                ob = owner_bucket[order]
+                chg = np.flatnonzero((oe[1:] != oe[:-1])
+                                     | (ob[1:] != ob[:-1])) + 1
+                gst = np.concatenate([[0], chg]).astype(np.int64)
+                gsz = np.diff(np.concatenate([gst, [len(oe)]]))
+                pk_l = []
+                for g in np.unique(gsz):
+                    if g < 2:
+                        continue
+                    s2 = gst[gsz == g]
+                    iu, ju = np.triu_indices(int(g), 1)
+                    oa = oo[(s2[:, None] + iu[None, :]).ravel()]
+                    obv = oo[(s2[:, None] + ju[None, :]).ravel()]
+                    pk_l.append(oa * n_rows + obv)
+                pk = ia * n_rows + ib
+                inter = np.zeros(len(pk), dtype=np.int64)
+                if pk_l:
+                    allpk = np.concatenate(pk_l)
+                    uniq, cnt = np.unique(allpk, return_counts=True)
+                    pos = np.searchsorted(uniq, pk)
+                    pos_c = np.minimum(pos, len(uniq) - 1)
+                    found = uniq[pos_c] == pk
+                    inter = np.where(found, cnt[pos_c], 0)
+                union = lens_all[ia] + lens_all[ib] - inter
+                jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+                keep = jac >= thr
+                if not keep.any():
+                    return None
+                ia, ib, est, jac = ia[keep], ib[keep], est[keep], jac[keep]
+                data["jaccard"] = jac
+            ai, bj = idv[ia], idv[ib]
+            swap = bj < ai
+            out = {"id_a": np.where(swap, bj, ai),
+                   "id_b": np.where(swap, ai, bj),
+                   "est_jaccard": est}
+            out.update(data)
+            return pd.DataFrame(out)
 
-        key = None
-        ids: list = []
-        sigs: list = []
-        esets: list = []
         for pdf in batches:
-            bands_ = pdf["__band"].to_numpy()
-            bhs = pdf["__bh"].to_numpy()
+            if not len(pdf):
+                continue
+            bandv = pdf["__band"].to_numpy()
+            bhv = pdf["__bh"].to_numpy()
             idv = pdf["__id"].to_numpy()
-            sigv = pdf["__sig"].to_numpy()
-            shsv = pdf["__shs"].to_numpy() if do_verify else None
-            for r in range(len(pdf)):
-                k = (bands_[r], bhs[r])
-                if k != key:
-                    flush(ids, sigs, esets)
-                    key, ids, sigs, esets = k, [], [], []
-                ids.append(idv[r])
-                sigs.append(np.asarray(sigv[r]))
-                if do_verify:
-                    esets.append(set(np.asarray(shsv[r]).tolist()))
-        flush(ids, sigs, esets)
-        data = {"id_a": ia, "id_b": ib, "est_jaccard": ests}
-        if do_verify:
-            data["jaccard"] = jacs
-        yield pd.DataFrame(data)
+            sigm = np.stack(pdf["__sig"].to_numpy())
+            sets = pdf["__shs"].to_numpy() if do_verify else None
+            if c_band is not None:
+                if bandv[0] == c_band and bhv[0] == c_bh:
+                    # carry bucket continues into this batch
+                    bandv = np.concatenate(
+                        [np.full(len(c_ids), c_band, dtype=bandv.dtype),
+                         bandv])
+                    bhv = np.concatenate(
+                        [np.full(len(c_ids), c_bh, dtype=bhv.dtype), bhv])
+                    idv = np.concatenate([c_ids, idv])
+                    sigm = np.vstack([c_sigm, sigm])
+                    if do_verify:
+                        sets = np.concatenate([c_sets, sets])
+                elif 2 <= len(c_ids) <= cap:
+                    out = emit(c_ids, c_sigm, c_sets, np.array([0]),
+                               np.array([len(c_ids)]))
+                    if out is not None:
+                        yield out
+            bh_codes = pd.factorize(bhv)[0] if bhv.dtype == object else bhv
+            bnd = np.flatnonzero((bandv[1:] != bandv[:-1])
+                                 | (bh_codes[1:] != bh_codes[:-1])) + 1
+            starts = np.concatenate([[0], bnd]).astype(np.int64)
+            ends = np.concatenate([bnd, [len(bandv)]]).astype(np.int64)
+            # last bucket may continue into the next Arrow batch -> carry
+            c_band, c_bh = bandv[-1], bhv[-1]
+            c_ids, c_sigm = idv[starts[-1]:], sigm[starts[-1]:]
+            c_sets = sets[starts[-1]:] if do_verify else None
+            starts, ends = starts[:-1], ends[:-1]
+            sizes = ends - starts
+            keep_b = (sizes >= 2) & (sizes <= cap)
+            if keep_b.any():
+                out = emit(idv, sigm, sets, starts[keep_b], sizes[keep_b])
+                if out is not None:
+                    yield out
+        if c_band is not None and 2 <= len(c_ids) <= cap:
+            out = emit(c_ids, c_sigm, c_sets, np.array([0]),
+                       np.array([len(c_ids)]))
+            if out is not None:
+                yield out
+        # empty frame so Arrow sees the declared columns even when a
+        # partition emits nothing (ids stay object-dtyped: the declared
+        # id type may be string or numeric)
+        yield pd.DataFrame({c: [] for c in cols})
 
     return (flat.mapInPandas(bucket_pairs, out_schema)
             .dropDuplicates(["id_a", "id_b"]))
@@ -574,7 +697,7 @@ def ngram_jaccard_pairs(
     # one-split sf-test parquet would shingle+explode on a single core);
     # at scale the source is already wide and this full-corpus text
     # shuffle must not happen (same gate as minhash, round-2 verdict #8)
-    if base.rdd.getNumPartitions() < npart:
+    if _needs_fanout(base, npart):
         base = base.repartition(npart, F.col("__id"))
     sh = word_shingles_udf(k)(F.col("__t")) if use_words \
         else char_shingles("__t", k)
@@ -721,11 +844,24 @@ def simhash_udf(text: pd.Series) -> pd.Series:
         shifts = np.arange(_SIMHASH_BITS, dtype=np.uint64)
         ubits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
         n_docs = int(nonempty_local.sum())
-        sums = np.zeros((n_docs, _SIMHASH_BITS), dtype=np.int64)
-        # chunked accumulate: bounds the n_tokens x 64 transient
-        for s in range(0, len(codes), 262144):
-            e = s + 262144
-            np.add.at(sums, doc_idx[s:e], ubits[codes[s:e]])
+        # per-doc per-bit vote accumulation. np.add.at is an UNBUFFERED
+        # scatter (one C call per element-add: tokens x 64 — measured
+        # ~20 s/2.7M tokens); both paths below stay in contiguous C:
+        # - small vocab: per-doc unique-token count matrix @ bit matrix,
+        #   one BLAS call (exact: counts < 2^53 in float64);
+        # - general: one bincount pass per bit (weights are 0/1 floats).
+        nu = len(uniques)
+        if nu * n_docs <= (1 << 24):
+            cmat = np.bincount(doc_idx * nu + codes,
+                               minlength=n_docs * nu).reshape(n_docs, nu)
+            sums = (cmat.astype(np.float64)
+                    @ ubits.astype(np.float64)).astype(np.int64)
+        else:
+            sums = np.empty((n_docs, _SIMHASH_BITS), dtype=np.int64)
+            for b in range(_SIMHASH_BITS):
+                sums[:, b] = np.bincount(
+                    doc_idx, weights=ubits[codes, b].astype(np.float64),
+                    minlength=n_docs).astype(np.int64)
         tokcnt = counts[nonempty_local][:, None]
         sig_bits = (2 * sums >= tokcnt).astype(np.uint64)
         sigs = (sig_bits << shifts).sum(axis=1, dtype=np.uint64).astype(np.int64)
@@ -739,7 +875,8 @@ def simhash_udf(text: pd.Series) -> pd.Series:
 
 def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
                       band_bits: int = 16,
-                      max_bucket: int = 4096) -> DataFrame:
+                      max_bucket: int = 4096,
+                      max_hamming: int | None = None) -> DataFrame:
     """Near-dup candidate pairs whose simhash agrees on at least one of
     the 64/band_bits bands (standard Hamming-LSH: any pair within
     ~(64/band_bits - 1) bit flips shares a band w.h.p.). Returns pairs
@@ -751,6 +888,15 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
     rationale as minhash_lsh_candidates' cap: a bucket that size is one
     giant duplicate class better handled by exact_dedup on the band key.
 
+    ``max_hamming`` (optional) pushes a Hamming-distance cutoff INTO the
+    bucket scan: pairs above it are dropped before the cross-band pair
+    dedup instead of after, which is a pure filter pushdown (hamming is a
+    function of the pair, so filter-then-dedup == dedup-then-filter).
+    On correlated-text corpora the candidate set dwarfs the survivors —
+    at the sf1.0 bench corpus 19.5M candidates vs 1.8M at hamming<=8 —
+    so the pushdown removes ~90% of the pair-dedup shuffle. ``None``
+    keeps every candidate pair (unchanged default).
+
     Shape: signature UDF runs EXACTLY ONCE (a band self-join would
     re-evaluate the whole UDF lineage on both sides — Catalyst does not
     reuse exchanges across differently-aliased subplans). Instead the
@@ -760,11 +906,12 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
     O(sum bucket²) like the join form, minus one full UDF pass."""
     n_bands = _SIMHASH_BITS // band_bits
     src = df.select(F.col(id_col).alias("__id"), F.col(text_col))
-    # few-partition source (one parquet split): fan out so the signature
-    # UDF uses every core; at scale the source is already wide and the
-    # shuffle is skipped
+    # few-partition source (one parquet split, or a few-row-group file
+    # whose byte-range slices are mostly empty — _needs_fanout): fan out
+    # so the signature UDF uses every core; at scale the source is
+    # already wide and the shuffle is skipped
     par = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
+    if _needs_fanout(src, par):
         src = src.repartition(par)
     with_sh = src.select("__id", simhash_udf(F.col(text_col)).alias("__sh"))
     bandcol = F.explode(
@@ -788,47 +935,94 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
 
     id_type = df.schema[id_col].dataType.simpleString()
     npart = df.sparkSession.sparkContext.defaultParallelism
+    # one packed bucket key (band << band_bits | bhash): fewer shuffle
+    # bytes than two columns and a single int64 compare in the scan
     flat = (banded
-            .select(F.col("__b.band").alias("__band"),
-                    F.col("__b.bhash").alias("__bh"), "__id", "__sh")
-            .repartition(npart, "__band", "__bh")
-            .sortWithinPartitions("__band", "__bh"))
-    _POP = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+            .select((F.shiftleft(F.col("__b.band").cast("long"), band_bits)
+                     .bitwiseOR(F.col("__b.bhash"))).alias("__k"),
+                    "__id", "__sh")
+            .repartition(npart, "__k")
+            .sortWithinPartitions("__k"))
+    # 16-bit popcount table: 4 gathers per xor vs 8 with a byte table
+    _POP16 = np.array([bin(i).count("1") for i in range(65536)],
+                      dtype=np.uint16)
+    ham_cut = max_hamming
 
     def bucket_pairs(batches):
-        out_a, out_b, out_h = [], [], []
+        # fully vectorized bucket scan (same shape as the ngram posting
+        # scan): the partition arrives sorted by bucket key, so group
+        # boundaries fall out of one array compare, and all same-size
+        # groups emit their pair triangles through ONE fancy-index gather
+        # per distinct size — no per-row Python. The previous per-row
+        # append/flush loop was the stage's only O(rows) Python and,
+        # with a multi-million-pair degenerate bucket, its per-element
+        # .tolist()/extend dominated the stage.
+        c_ids = c_shs = None  # rows of a bucket spanning a batch boundary
+        c_k = None
 
-        def flush(ids, shs):
-            m = len(ids)
-            if m < 2 or m > max_bucket:
-                return
-            sh = np.asarray(shs, dtype=np.int64)
-            iu, ju = np.triu_indices(m, 1)
-            x = (sh[iu] ^ sh[ju]).view(np.uint8).reshape(-1, 8)
-            ham = _POP[x].sum(axis=1)
-            ids_arr = np.asarray(ids, dtype=object)
-            ai, bj = ids_arr[iu], ids_arr[ju]
-            swap = bj < ai
-            out_a.extend(np.where(swap, bj, ai).tolist())
-            out_b.extend(np.where(swap, ai, bj).tolist())
-            out_h.extend(ham.tolist())
+        def triangles(idv, shv, starts, sizes):
+            outs = []
+            for m in np.unique(sizes):
+                st = starts[sizes == m]
+                iu, ju = np.triu_indices(int(m), 1)
+                ia = (st[:, None] + iu[None, :]).ravel()
+                ib = (st[:, None] + ju[None, :]).ravel()
+                x = (shv[ia] ^ shv[ib]).astype(np.uint64)
+                ham = (_POP16[(x & np.uint64(0xFFFF)).astype(np.int64)]
+                       + _POP16[((x >> np.uint64(16)) & np.uint64(0xFFFF)).astype(np.int64)]
+                       + _POP16[((x >> np.uint64(32)) & np.uint64(0xFFFF)).astype(np.int64)]
+                       + _POP16[(x >> np.uint64(48)).astype(np.int64)]
+                       ).astype(np.int64)
+                if ham_cut is not None:
+                    keep = ham <= ham_cut
+                    if not keep.any():
+                        continue
+                    ia, ib, ham = ia[keep], ib[keep], ham[keep]
+                ai, bj = idv[ia], idv[ib]
+                swap = bj < ai
+                outs.append((np.where(swap, bj, ai), np.where(swap, ai, bj),
+                             ham))
+            if not outs:
+                return None
+            return pd.DataFrame(
+                {"id_a": np.concatenate([o[0] for o in outs]),
+                 "id_b": np.concatenate([o[1] for o in outs]),
+                 "hamming": np.concatenate([o[2] for o in outs])})
 
-        key, ids, shs = None, [], []
         for pdf in batches:
-            bandv = pdf["__band"].to_numpy()
-            bhv = pdf["__bh"].to_numpy()
+            if not len(pdf):
+                continue
+            kv = pdf["__k"].to_numpy()
             idv = pdf["__id"].to_numpy()
-            shv = pdf["__sh"].to_numpy()
-            for r in range(len(pdf)):
-                k = (bandv[r], bhv[r])
-                if k != key:
-                    flush(ids, shs)
-                    key, ids, shs = k, [], []
-                ids.append(idv[r])
-                shs.append(shv[r])
-        flush(ids, shs)
-        yield pd.DataFrame({"id_a": out_a, "id_b": out_b,
-                            "hamming": out_h})
+            shv = pdf["__sh"].to_numpy().astype(np.int64)
+            if c_k is not None:
+                if kv[0] == c_k:  # carry bucket continues into this batch
+                    idv = np.concatenate([c_ids, idv])
+                    shv = np.concatenate([c_shs, shv])
+                    kv = np.concatenate(
+                        [np.full(len(c_ids), c_k, dtype=kv.dtype), kv])
+                elif 2 <= len(c_ids) <= max_bucket:
+                    out = triangles(c_ids, c_shs, np.array([0]),
+                                    np.array([len(c_ids)]))
+                    if out is not None:
+                        yield out
+            bnd = np.flatnonzero(kv[1:] != kv[:-1]) + 1
+            starts = np.concatenate([[0], bnd]).astype(np.int64)
+            ends = np.concatenate([bnd, [len(kv)]]).astype(np.int64)
+            # last bucket may continue into the next Arrow batch -> carry
+            c_k, c_ids, c_shs = kv[-1], idv[starts[-1]:], shv[starts[-1]:]
+            starts, ends = starts[:-1], ends[:-1]
+            sizes = ends - starts
+            keep = (sizes >= 2) & (sizes <= max_bucket)
+            if keep.any():
+                out = triangles(idv, shv, starts[keep], sizes[keep])
+                if out is not None:
+                    yield out
+        if c_k is not None and 2 <= len(c_ids) <= max_bucket:
+            out = triangles(c_ids, c_shs, np.array([0]),
+                            np.array([len(c_ids)]))
+            if out is not None:
+                yield out
 
     return (flat.mapInPandas(
                 bucket_pairs,
