@@ -652,6 +652,7 @@ def ngram_jaccard_pairs(
     use_words: bool = True,
     max_gram_docs: int | None = 4096,
     candidates: DataFrame | None = None,
+    index_broadcast_bytes: int = 1 << 30,
 ) -> DataFrame:
     """EXACT Jaccard similarity over k-gram sets. With ``candidates``
     (id_a, id_b) given, verifies ONLY those pairs (delegates to
@@ -664,7 +665,25 @@ def ngram_jaccard_pairs(
     by more than that many docs (stopword boilerplate) is dropped from the
     index, bounding the worst bucket at O(cap^2) instead of O(n^2). Pairs
     whose entire overlap is capped grams are missed — the standard
-    df-cutoff tradeoff; pass None for exact behavior."""
+    df-cutoff tradeoff; pass None for exact behavior.
+
+    Standalone execution picks one of two physically different plans for
+    the same answer (guide §8: move the lightweight proxy, not the
+    quadratic pair set):
+
+    - broadcast index (corpora whose posting UPPER BOUND — total chars,
+      an overestimate of distinct grams — fits
+      ``index_broadcast_bytes``): the (doc, gram-hash) postings are
+      factorized on the driver into two CSR arrays (~8 bytes/posting),
+      broadcast once, and each task computes its doc block's full
+      intersection counts with one gather + sort + unique-count, emitting
+      ONLY pairs that pass ``threshold``. Nothing quadratic is ever
+      shuffled: at the sf1.0 bench corpus the posting-scan plan shuffled
+      127M (id_a, id_b, n_a, n_b) rows into a 70M-group aggregate for a
+      final answer of a few thousand pairs.
+    - posting scan (everything larger): the original two-shuffle
+      inverted-index plan below — the 100 TB shape, whose worst bucket
+      is bounded by the cap."""
     if candidates is not None:
         out = verify_jaccard_pairs(df, id_col, text_col, candidates,
                                    k=k, use_words=use_words,
@@ -715,8 +734,23 @@ def ngram_jaccard_pairs(
         .select("__id", "__n", F.xxhash64("__g").alias("__g"))
     )
     id_type = df.schema[id_col].dataType.simpleString()
-    flat = (ex.repartition(npart, "__g").sortWithinPartitions("__g"))
     cap = max_gram_docs
+
+    # ---- plan choice: broadcast index vs posting scan ----------------
+    # one cheap O(docs) aggregate; total chars upper-bounds the distinct
+    # gram count (word mode: every gram consumes >= 2 chars), and the
+    # CSR index costs ~8 bytes/posting on each side, padded 2x for the
+    # factorize/sort transients
+    est = base.select(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.length("__t")), F.lit(0)).alias("chars"),
+    ).collect()[0]
+    est_postings = int(est["chars"]) // (2 if use_words else 1)
+    if est_postings * 16 <= index_broadcast_bytes and int(est["n"]) > 0:
+        return _ngram_jaccard_broadcast(
+            df.sparkSession, base, ex, id_type, threshold, cap, npart)
+
+    flat = (ex.repartition(npart, "__g").sortWithinPartitions("__g"))
 
     def gram_pairs(batches):
         # fully vectorized posting-list scan: the partition arrives
@@ -802,6 +836,118 @@ def ngram_jaccard_pairs(
         inter.select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def _ngram_jaccard_broadcast(spark, base: DataFrame, ex: DataFrame,
+                             id_type: str, thr: float, cap: int | None,
+                             npart: int) -> DataFrame:
+    """Broadcast-index execution of standalone ngram_jaccard_pairs (see
+    its docstring for the plan-choice rationale).
+
+    The (doc, gram-hash) postings collect to the driver once (bounded by
+    the caller's gate), factorize into two CSR views — doc->codes and
+    code->docs, capped grams dropped from BOTH (identical df-cutoff
+    semantics: candidacy and |A∩B| count only uncapped grams) — and
+    broadcast. Tasks own contiguous doc-index blocks: for each block one
+    vectorized gather pulls every posting list its docs touch, keeps
+    partners with a larger doc index (each pair counted exactly once;
+    index order == id order because np.unique sorts), and one
+    unique-count yields |A∩B| for every sharing pair. Only pairs passing
+    ``threshold`` are emitted — the executors exchange doc ids and final
+    pairs, never pair candidates."""
+    pdf = ex.toPandas()
+    out_schema = f"id_a {id_type}, id_b {id_type}, jaccard double"
+    if not len(pdf):
+        return spark.createDataFrame([], out_schema)
+    ids_raw = pdf["__id"].to_numpy()
+    doc_ids, doc_inv = np.unique(ids_raw, return_inverse=True)
+    nd = len(doc_ids)
+    n_arr = np.zeros(nd, dtype=np.int64)
+    n_arr[doc_inv] = pdf["__n"].to_numpy()
+    codes, uniq = pd.factorize(pdf["__g"].to_numpy())
+    dfreq = np.bincount(codes, minlength=len(uniq))
+    if cap is not None:
+        keep = dfreq[codes] <= cap
+        codes_k, docs_k = codes[keep], doc_inv[keep]
+    else:
+        codes_k, docs_k = codes, doc_inv
+    order = np.argsort(docs_k, kind="stable")
+    doc_codes = codes_k[order].astype(np.int64)
+    doc_indptr = np.concatenate(
+        [[0], np.cumsum(np.bincount(docs_k, minlength=nd))]).astype(np.int64)
+    order = np.lexsort((docs_k, codes_k))
+    code_docs = docs_k[order].astype(np.int64)
+    code_indptr = np.concatenate(
+        [[0], np.cumsum(np.bincount(codes_k, minlength=len(uniq)))]
+    ).astype(np.int64)
+    bc = spark.sparkContext.broadcast(
+        (doc_ids, n_arr, doc_indptr, doc_codes, code_indptr, code_docs))
+    n_blocks = npart * 4  # finer blocks smooth density skew across tasks
+
+    def block_pairs(batches):
+        (b_ids, b_n, d_ptr, d_codes, c_ptr, c_docs) = bc.value
+        ndv = len(b_ids)
+
+        def run(d0, d1):
+            s, e = d_ptr[d0], d_ptr[d1]
+            if s == e:
+                return None
+            cat = d_codes[s:e]
+            owner = np.repeat(np.arange(d0, d1),
+                              np.diff(d_ptr[d0:d1 + 1]))
+            seg_start = c_ptr[cat]
+            seg_len = c_ptr[cat + 1] - seg_start
+            tot = int(seg_len.sum())
+            if tot == 0:
+                return None
+            pos = (np.repeat(seg_start, seg_len)
+                   + np.arange(tot)
+                   - np.repeat(np.cumsum(seg_len) - seg_len, seg_len))
+            others = c_docs[pos]
+            mine = np.repeat(owner, seg_len)
+            m = others > mine
+            if not m.any():
+                return None
+            keys = mine[m] * ndv + others[m]
+            uk, cnt = np.unique(keys, return_counts=True)
+            da, db = uk // ndv, uk % ndv
+            union = b_n[da] + b_n[db] - cnt
+            jac = cnt / union
+            kp = jac >= thr
+            if not kp.any():
+                return None
+            return pd.DataFrame({"id_a": b_ids[da[kp]],
+                                 "id_b": b_ids[db[kp]],
+                                 "jaccard": jac[kp]})
+
+        for bdf in batches:
+            for blk in bdf["id"].to_numpy():
+                lo = int(blk) * ndv // n_blocks
+                hi = (int(blk) + 1) * ndv // n_blocks
+                if lo >= hi:
+                    continue
+                # per-doc gather totals once, then chunk the block so one
+                # gather stays ~8M entries
+                s_blk = d_ptr[lo]
+                glen = (c_ptr[d_codes[s_blk:d_ptr[hi]] + 1]
+                        - c_ptr[d_codes[s_blk:d_ptr[hi]]])
+                doc_of = np.repeat(np.arange(lo, hi),
+                                   np.diff(d_ptr[lo:hi + 1])) - lo
+                dcum = np.cumsum(np.bincount(doc_of, weights=glen,
+                                             minlength=hi - lo))
+                d0 = lo
+                while d0 < hi:
+                    spent = dcum[d0 - lo - 1] if d0 > lo else 0.0
+                    d1 = lo + int(np.searchsorted(
+                        dcum, spent + 8_000_000, side="left")) + 1
+                    d1 = max(min(d1, hi), d0 + 1)
+                    out = run(d0, d1)
+                    if out is not None:
+                        yield out
+                    d0 = d1
+
+    blocks_df = spark.range(n_blocks).repartition(npart)
+    return blocks_df.mapInPandas(block_pairs, out_schema)
 
 
 # ---------------------------------------------------------------- simhash

@@ -83,6 +83,9 @@ def get_spark(
         .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
+        # bounded driver collects (e.g. the ngram broadcast-index build
+        # gates on ~1 GB of estimated postings) can exceed the 1g default
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     local_dir = os.environ.get("TENZIR_SPARK_LOCAL_DIR")

@@ -98,6 +98,23 @@ def test_ngram_jaccard_exact(docs):
     assert (0, 3) not in got
 
 
+def test_ngram_jaccard_broadcast_equals_posting_scan(spark, sf_dir):
+    """The r6 broadcast-index plan and the posting-scan fallback are two
+    physical executions of the same answer — pin their equality (pairs
+    AND jaccard values) on the real fixture corpus, including the
+    df-cutoff cap semantics on both paths."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kw = dict(k=3, threshold=0.5, max_gram_docs=64)
+    fast = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", **kw)
+    slow = dedup.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                     index_broadcast_bytes=0, **kw)
+    got_f = sorted((r.id_a, r.id_b, round(r.jaccard, 9))
+                   for r in fast.collect())
+    got_s = sorted((r.id_a, r.id_b, round(r.jaccard, 9))
+                   for r in slow.collect())
+    assert got_f and got_f == got_s
+
+
 def test_simhash_near_dups(docs):
     # band_bits=4 -> 16 bands: pigeonhole guarantees any pair with
     # hamming <= 15 shares at least one band, so the near-dup (hamming
