@@ -213,9 +213,17 @@ def minhash_lsh_candidates(
     cache_signatures: bool = True,
     exact_verify: bool = False,
     threshold: float = 0.5,
+    min_est: float | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) with their estimated
     Jaccard (fraction of agreeing minhashes).
+
+    ``min_est`` (optional) pushes an estimate cutoff INTO the bucket
+    scan: pairs below it are dropped before the cross-band pair dedup
+    instead of after — a pure filter pushdown (the estimate is a function
+    of the pair), same trick as simhash's ``max_hamming``. ``None``
+    keeps every candidate pair (unchanged default; the composed
+    pipeline's inline verify must see all candidates).
 
     ``exact_verify=True`` FUSES exact-Jaccard verification into the
     pipeline: each doc's distinct shingle set rides the two shuffles that
@@ -303,30 +311,27 @@ def minhash_lsh_candidates(
         hcol = F.col("__h60") if hash_family == "md5" \
             else F.xxhash64(F.col("__g"))
         elems = elems + [F.collect_set(hcol).alias("__shs")]
-    sig_cols = ["__id", F.array(*[F.col(f"__h{i}")
-                                  for i in range(n_hashes)]).alias("__sig")]
-    if exact_verify:
-        sig_cols.append(F.col("__shs"))
-    with_sig = ex.groupBy("__id").agg(*elems).select(*sig_cols)
+    with_sig = ex.groupBy("__id").agg(*elems)
+    hcols = [f"__h{i}" for i in range(n_hashes)]
 
-    def band_hash(sl: Column) -> Column:
-        if hash_family == "md5":
-            return F.md5(F.concat_ws("|", F.transform(sl, lambda x: x.cast("string"))))
-        return F.xxhash64(sl)
-
-    band = F.explode(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.struct(
-                b.alias("band"),
-                band_hash(F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band))
-                 .alias("bhash"),
-            ),
-        )
-    )
-    banded = with_sig.select("__id", "__sig",
-                             *(["__shs"] if exact_verify else []),
-                             band.alias("__b"))
+    # bucket key per band: ONE xxhash64 over (band index, band's minhash
+    # columns). Grouping-equivalent to any injective band digest (pairs
+    # bucket together iff their band slices are equal; a 64-bit collision
+    # merging two buckets is the same ~2^-64 tail already accepted for
+    # the gram-hash shuffle) — replaces the md5(concat_ws(cast-to-string
+    # array)) digest, which allocated a ~40-char string per (doc, band)
+    # and showed up as ~1s of the banding stage at sf1.0. The signature
+    # itself stays 32 flat long COLUMNS end-to-end: no array assembly in
+    # the plan, and the scan reads them as one (rows, n_hashes) C matrix
+    # instead of np.stack over 400k object arrays.
+    band_keys = [
+        F.xxhash64(F.lit(b), *[F.col(c) for c in
+                               hcols[b * rows_per_band:(b + 1) * rows_per_band]])
+        for b in range(bands)
+    ]
+    banded = with_sig.select(
+        "__id", *hcols, *(["__shs"] if exact_verify else []),
+        F.explode(F.array(*band_keys)).alias("__k"))
     # Pair generation (and, with exact_verify, Jaccard verification) in
     # ONE batched pandas stage over flat rows. Three prior shapes were
     # slower here:
@@ -355,13 +360,11 @@ def minhash_lsh_candidates(
     thr = threshold
     cap = max_bucket
     do_verify = exact_verify
+    est_cut = min_est
     npart = df.sparkSession.sparkContext.defaultParallelism
     flat = (banded
-            .select(F.col("__b.band").alias("__band"),
-                    F.col("__b.bhash").alias("__bh"), "__id", "__sig",
-                    *(["__shs"] if exact_verify else []))
-            .repartition(npart, "__band", "__bh")
-            .sortWithinPartitions("__band", "__bh"))
+            .repartition(npart, "__k")
+            .sortWithinPartitions("__k"))
 
     def bucket_pairs(batches):
         # fully vectorized bucket scan (r6; same shape as the simhash and
@@ -376,7 +379,7 @@ def minhash_lsh_candidates(
         # |A∩B| — all C loops; the previous per-row append + per-pair
         # Python set-intersect was the stage's dominant cost (3.7M
         # candidate pairs at the sf1.0 bench corpus).
-        c_band = c_bh = None
+        c_k = None
         c_ids = c_sigm = c_sets = None
 
         def emit(idv, sigm, sets, starts, sizes):
@@ -391,6 +394,11 @@ def minhash_lsh_candidates(
             ia = np.concatenate(ia_l)
             ib = np.concatenate(ib_l)
             est = (sigm[ia] == sigm[ib]).mean(axis=1)
+            if est_cut is not None:
+                keep_e = est >= est_cut
+                if not keep_e.any():
+                    return None
+                ia, ib, est = ia[keep_e], ib[keep_e], est[keep_e]
             data: dict = {}
             if do_verify:
                 n_rows = len(idv)
@@ -449,19 +457,15 @@ def minhash_lsh_candidates(
         for pdf in batches:
             if not len(pdf):
                 continue
-            bandv = pdf["__band"].to_numpy()
-            bhv = pdf["__bh"].to_numpy()
+            kv = pdf["__k"].to_numpy()
             idv = pdf["__id"].to_numpy()
-            sigm = np.stack(pdf["__sig"].to_numpy())
+            sigm = pdf[hcols].to_numpy()
             sets = pdf["__shs"].to_numpy() if do_verify else None
-            if c_band is not None:
-                if bandv[0] == c_band and bhv[0] == c_bh:
+            if c_k is not None:
+                if kv[0] == c_k:
                     # carry bucket continues into this batch
-                    bandv = np.concatenate(
-                        [np.full(len(c_ids), c_band, dtype=bandv.dtype),
-                         bandv])
-                    bhv = np.concatenate(
-                        [np.full(len(c_ids), c_bh, dtype=bhv.dtype), bhv])
+                    kv = np.concatenate(
+                        [np.full(len(c_ids), c_k, dtype=kv.dtype), kv])
                     idv = np.concatenate([c_ids, idv])
                     sigm = np.vstack([c_sigm, sigm])
                     if do_verify:
@@ -471,13 +475,11 @@ def minhash_lsh_candidates(
                                np.array([len(c_ids)]))
                     if out is not None:
                         yield out
-            bh_codes = pd.factorize(bhv)[0] if bhv.dtype == object else bhv
-            bnd = np.flatnonzero((bandv[1:] != bandv[:-1])
-                                 | (bh_codes[1:] != bh_codes[:-1])) + 1
+            bnd = np.flatnonzero(kv[1:] != kv[:-1]) + 1
             starts = np.concatenate([[0], bnd]).astype(np.int64)
-            ends = np.concatenate([bnd, [len(bandv)]]).astype(np.int64)
+            ends = np.concatenate([bnd, [len(kv)]]).astype(np.int64)
             # last bucket may continue into the next Arrow batch -> carry
-            c_band, c_bh = bandv[-1], bhv[-1]
+            c_k = kv[-1]
             c_ids, c_sigm = idv[starts[-1]:], sigm[starts[-1]:]
             c_sets = sets[starts[-1]:] if do_verify else None
             starts, ends = starts[:-1], ends[:-1]
@@ -487,7 +489,7 @@ def minhash_lsh_candidates(
                 out = emit(idv, sigm, sets, starts[keep_b], sizes[keep_b])
                 if out is not None:
                     yield out
-        if c_band is not None and 2 <= len(c_ids) <= cap:
+        if c_k is not None and 2 <= len(c_ids) <= cap:
             out = emit(c_ids, c_sigm, c_sets, np.array([0]),
                        np.array([len(c_ids)]))
             if out is not None:
