@@ -21,6 +21,35 @@ from tenzir_spark.cdc.extract import extract_text_udf
 from tenzir_spark.lake.table import LakeTable
 
 
+def _epoch_rows_from_footers(change_log: DataFrame) -> dict[int, int] | None:
+    """Per-epoch row counts read from the parquet footers of an
+    epoch-partitioned file-backed log — a driver-side metadata read that
+    replaces a full-scan discovery aggregate (r6). Returns None when the
+    log is not a local epoch-partitioned parquet directory (streaming
+    micro-batch frames, filtered views, remote filesystems) or has too
+    many files for a cheap footer sweep — callers then fall back to the
+    scan-based discovery."""
+    try:
+        files = change_log.inputFiles()
+    except Exception:
+        return None
+    if not files or len(files) > 4096:
+        return None
+    try:
+        import pyarrow.parquet as pq
+        from urllib.parse import unquote, urlparse
+        out: dict[int, int] = {}
+        for f in files:
+            if "epoch=" not in f or not f.endswith(".parquet"):
+                return None
+            epoch = int(f.split("epoch=")[1].split("/")[0])
+            path = unquote(urlparse(f).path) if f.startswith("file:") else f
+            out[epoch] = out.get(epoch, 0) + pq.ParquetFile(path).metadata.num_rows
+        return out
+    except Exception:
+        return None
+
+
 def salted_deduplicate(df: DataFrame, key: str, lsn_col: str, n_salts: int = 16) -> DataFrame:
     """Two-phase max-lsn dedup with an explicit salt.
 
@@ -202,21 +231,34 @@ class CdcEngine:
         epoch N+1's merge reads the state epoch N wrote.
         """
         kest: dict[int, int] = {}
+        rest: dict[int, int] | None = None
         if epochs is None:
-            # the same single discovery pass also estimates each epoch's
-            # distinct-key count (approx_count_distinct rides the scan for
-            # ~free) — _prepare_mor uses the sum per batch to pick the
-            # broadcast two-pass dedup when the survivor key set is small
-            # enough to broadcast, and the at-scale struct fallback when not
-            keyc = self.table.snapshot.key_col
-            rows = (change_log.groupBy("epoch").agg(
-                F.collect_list(F.when(F.col("op") == "schema",
-                                      F.col("schema_descriptor"))).alias("ds"),
-                F.approx_count_distinct(keyc).alias("ks"))
-                .collect())
-            epochs = sorted(r["epoch"] for r in rows)
-            desc = {r["epoch"]: [d for d in r["ds"] if d] for r in rows}
-            kest = {r["epoch"]: int(r["ks"]) for r in rows}
+            # discovery, cheapest first: when the log is file-backed and
+            # epoch-partitioned, per-epoch ROW counts come straight from
+            # the parquet footers (driver metadata read, no job) and the
+            # only scan is the op=='schema' descriptor filter — pruned to
+            # three narrow columns. _prepare_mor turns the row bound into
+            # an EXACT key count via its checkpointed pass-1 aggregate.
+            # Non-file logs keep the r5 single-pass discovery whose
+            # approx_count_distinct rides the scan; its per-batch sum
+            # gates the broadcast two-pass dedup the same way.
+            rest = _epoch_rows_from_footers(change_log)
+            if rest is not None:
+                epochs = sorted(rest)
+                desc = {e: [] for e in epochs}
+                for r in (change_log.filter(F.col("op") == "schema")
+                          .select("epoch", "schema_descriptor").collect()):
+                    desc.setdefault(r[0], []).append(r[1])
+            else:
+                keyc = self.table.snapshot.key_col
+                rows = (change_log.groupBy("epoch").agg(
+                    F.collect_list(F.when(F.col("op") == "schema",
+                                          F.col("schema_descriptor"))).alias("ds"),
+                    F.approx_count_distinct(keyc).alias("ks"))
+                    .collect())
+                epochs = sorted(r["epoch"] for r in rows)
+                desc = {r["epoch"]: [d for d in r["ds"] if d] for r in rows}
+                kest = {r["epoch"]: int(r["ks"]) for r in rows}
         else:
             desc = {}
             for r in (change_log.filter(F.col("op") == "schema")
@@ -231,7 +273,7 @@ class CdcEngine:
                     for e in epochs]
         return self._run_batched(change_log, epochs, desc,
                                  max(max_inflight, 1), max(max_coalesce, 1),
-                                 kest=kest)
+                                 kest=kest, rest=rest)
 
     def _batches(self, epochs: list[int], desc: dict,
                  max_coalesce: int) -> list[list[int]]:
@@ -267,7 +309,8 @@ class CdcEngine:
     def _run_batched(self, change_log: DataFrame, epochs: list[int],
                      desc: dict, max_inflight: int,
                      max_coalesce: int,
-                     kest: dict[int, int] | None = None) -> list[dict]:
+                     kest: dict[int, int] | None = None,
+                     rest: dict[int, int] | None = None) -> list[dict]:
         from concurrent.futures import ThreadPoolExecutor
 
         self.table.refresh()
@@ -318,9 +361,13 @@ class CdcEngine:
                     batch_est = (sum(kest.get(e, 0) for e in batch)
                                  if kest and all(e in kest for e in batch)
                                  else None)
+                    batch_rows = (sum(rest.get(e, 0) for e in batch)
+                                  if rest and all(e in rest for e in batch)
+                                  else None)
                     submitted.append((batch, ex.submit(
                         self.table._prepare_mor, shaped, "op", "lsn",
-                        False, post, fields, sepoch, batch_est)))
+                        False, post, fields, sepoch, batch_est,
+                        batch_rows)))
                 for batch, fut in submitted:
                     new_files, entry = fut.result()
                     got = self.table.merge_commit_batch(
