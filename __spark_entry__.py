@@ -27,6 +27,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Like _t, but fans a CONCENTRATED scan out to all cores first.
+
+    A single-row-group parquet file feeds every row to one task no
+    matter how many byte-range splits the scan plans (rows follow row
+    groups), so per-row expression work (regex, hashing, tokenization)
+    serializes on one core. The guard is row-group-aware and never fires
+    for sources that are already wide, and the round-robin repartition
+    changes no query result (every user below either ends in an explicit
+    orderBy or is aggregated)."""
+    from tenzir_spark.functions.dedup import _needs_fanout
+    df = _t(spark, sf_dir, name)
+    par = spark.sparkContext.defaultParallelism
+    if _needs_fanout(df, par):
+        df = df.repartition(par)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -236,7 +254,7 @@ def q_exact_dedup(spark, sf):
 
 
 def q_text_stats(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _t_wide(spark, sf, "documents")
     return d.select(
         "doc_id",
         text.token_count("text").alias("n_tokens"),
@@ -246,7 +264,7 @@ def q_text_stats(spark, sf):
 
 
 def q_token_by_lang(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _t_wide(spark, sf, "documents")
     # explicit BIGINT on the sum: DuckDB sum(int) yields HUGEINT (int128),
     # which hashes differently from Spark's long — cast both sides.
     return (
@@ -259,12 +277,12 @@ def q_token_by_lang(spark, sf):
 
 
 def q_fingerprint(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _t_wide(spark, sf, "documents")
     return d.select("doc_id", text.fingerprint("text").alias("fp")).orderBy("doc_id")
 
 
 def q_quality(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _t_wide(spark, sf, "documents")
     return d.select(
         "doc_id",
         F.round(text.quality_score("text"), 6).alias("quality"),
