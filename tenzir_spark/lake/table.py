@@ -530,10 +530,12 @@ class LakeTable:
                       .agg(F.max("__lsn").alias("__mx"))
                       .limit(max_bcast + 1)
                       .localCheckpoint(eager=True))
-                if mx.count() > max_bcast:
+                stats = mx.agg(F.count(F.lit(1)).alias("n"),
+                               F.min("__mx").alias("m")).collect()[0]
+                if stats["n"] > max_bcast:
                     mx = None  # key set too large: at-scale fallback
             if mx is not None:
-                lo = mx.agg(F.min("__mx").alias("m")).collect()[0]["m"]
+                lo = stats["m"]
                 if lo is not None:
                     delta = delta.filter(F.col("__lsn") >= F.lit(lo))
                 delta = delta.join(
