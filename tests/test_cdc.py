@@ -250,6 +250,36 @@ def test_mor_final_state_matches_replay(spark, change_log, tmp_path_factory):
     assert {r["url"] for r in table.read().collect()} == set(expected)
 
 
+def test_footer_and_scan_discovery_identical(spark, change_log,
+                                             tmp_path_factory, monkeypatch):
+    """r6: run() discovers epochs/row-bounds from parquet footers when
+    the log is file-backed (no discovery job, exact checkpointed pass-1
+    with the lsn watermark prefilter); non-file logs keep the scan+HLL
+    discovery. Both must leave byte-identical final state on the same
+    log."""
+    import tenzir_spark.cdc.engine as eng_mod
+    log_dir = str(tmp_path_factory.mktemp("cdclog") / "log")
+    change_log.write.mode("overwrite").partitionBy("epoch").parquet(log_dir)
+    plog = spark.read.parquet(log_dir)
+    assert eng_mod._epoch_rows_from_footers(plog), "footer path must engage"
+    states = []
+    for force_scan in (False, True):
+        if force_scan:
+            monkeypatch.setattr(eng_mod, "_epoch_rows_from_footers",
+                                lambda df: None)
+        root = str(tmp_path_factory.mktemp(f"lake_f{force_scan}") / "pages")
+        table = LakeTable.create(spark, root, pages_schema(), "url",
+                                 num_buckets=8, write_mode="mor")
+        CdcEngine(spark, table, n_salts=4).run(plog)
+        rows = {}
+        for r in table.read().collect():
+            d = r.asDict()
+            rows[d["url"]] = {k: (bytes(v) if isinstance(v, bytearray) else v)
+                              for k, v in d.items()}
+        states.append(rows)
+    assert states[0] and states[0] == states[1]
+
+
 def test_dedup_bcast_and_fallback_paths_identical(spark, change_log,
                                                   tmp_path_factory,
                                                   monkeypatch):
