@@ -412,9 +412,13 @@ def minhash_lsh_candidates(
                 bucket_of = np.repeat(np.arange(len(starts)), sizes)
                 owners = np.repeat(sel, lens_all[sel])
                 owner_bucket = np.repeat(bucket_of, lens_all[sel])
-                elems = (np.concatenate([np.asarray(s) for s in sets[sel]])
+                elems = (np.concatenate(list(sets[sel]))
                          if total else np.empty(0, dtype=np.int64))
-                order = np.lexsort((owners, elems, owner_bucket))
+                # two sort keys suffice: owners arrive ascending within
+                # each bucket (postings are emitted in sel order) and
+                # lexsort is stable, so owners stay ascending within
+                # every (bucket, elem) group without a third pass
+                order = np.lexsort((elems, owner_bucket))
                 oe, oo = elems[order], owners[order]
                 ob = owner_bucket[order]
                 chg = np.flatnonzero((oe[1:] != oe[:-1])
