@@ -62,6 +62,24 @@ def _needs_fanout(df: DataFrame, par: int) -> bool:
         return False
 
 
+def _pair_bounded_slices(starts, sizes, max_pairs: int = 16_000_000):
+    """Yield (starts, sizes) slices of a bucket list whose summed pair
+    triangles stay under ``max_pairs``, bounding one emission's transient
+    arrays no matter how many near-cap buckets a partition holds (a
+    single bucket is already bounded by the caller's cap). Guards the
+    vectorized bucket scans at scale factors where bucket sizes approach
+    their caps."""
+    pairs = sizes.astype(np.int64) * (sizes.astype(np.int64) - 1) // 2
+    cum = np.cumsum(pairs)
+    s = 0
+    while s < len(sizes):
+        base = int(cum[s - 1]) if s else 0
+        e = int(np.searchsorted(cum, base + max_pairs, side="left")) + 1
+        e = max(e, s + 1)
+        yield starts[s:e], sizes[s:e]
+        s = e
+
+
 # ---------------------------------------------------------------- exact
 
 
@@ -490,9 +508,11 @@ def minhash_lsh_candidates(
             sizes = ends - starts
             keep_b = (sizes >= 2) & (sizes <= cap)
             if keep_b.any():
-                out = emit(idv, sigm, sets, starts[keep_b], sizes[keep_b])
-                if out is not None:
-                    yield out
+                for st_sl, sz_sl in _pair_bounded_slices(starts[keep_b],
+                                                         sizes[keep_b]):
+                    out = emit(idv, sigm, sets, st_sl, sz_sl)
+                    if out is not None:
+                        yield out
         if c_k is not None and 2 <= len(c_ids) <= cap:
             out = emit(c_ids, c_sigm, c_sets, np.array([0]),
                        np.array([len(c_ids)]))
@@ -822,9 +842,11 @@ def ngram_jaccard_pairs(
             if cap is not None:
                 keep &= sizes <= cap
             if keep.any():
-                tri = triangles(idv, nv, starts[keep], sizes[keep])
-                if tri is not None:
-                    yield frame(tri)
+                for st_sl, sz_sl in _pair_bounded_slices(starts[keep],
+                                                         sizes[keep]):
+                    tri = triangles(idv, nv, st_sl, sz_sl)
+                    if tri is not None:
+                        yield frame(tri)
         if c_g is not None and len(c_ids) >= 2 and \
                 (cap is None or len(c_ids) <= cap):
             tri = triangles(c_ids, c_ns, np.array([0]),
@@ -1173,9 +1195,11 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
             sizes = ends - starts
             keep = (sizes >= 2) & (sizes <= max_bucket)
             if keep.any():
-                out = triangles(idv, shv, starts[keep], sizes[keep])
-                if out is not None:
-                    yield out
+                for st_sl, sz_sl in _pair_bounded_slices(starts[keep],
+                                                         sizes[keep]):
+                    out = triangles(idv, shv, st_sl, sz_sl)
+                    if out is not None:
+                        yield out
         if c_k is not None and 2 <= len(c_ids) <= max_bucket:
             out = triangles(c_ids, c_shs, np.array([0]),
                             np.array([len(c_ids)]))
