@@ -30,6 +30,13 @@ def _epoch_rows_from_footers(change_log: DataFrame) -> dict[int, int] | None:
     many files for a cheap footer sweep — callers then fall back to the
     scan-based discovery."""
     try:
+        # bare-scan check: inputFiles() ignores row filters, so a
+        # filtered view could "discover" epochs whose surviving row set
+        # is empty and wrongly ledger them as applied — only trust the
+        # footers when the frame is the unmodified file relation
+        plan = change_log._jdf.queryExecution().analyzed().toString()
+        if not plan.lstrip().startswith("Relation"):
+            return None
         files = change_log.inputFiles()
     except Exception:
         return None

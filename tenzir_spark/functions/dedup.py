@@ -37,7 +37,23 @@ def _needs_fanout(df: DataFrame, par: int) -> bool:
     serializing the whole signature/shingle stage on one core). Counting
     row groups in the scan's files (driver-side footer read, only done for
     sources with fewer files than cores) detects that case; at scale the
-    source has >= par files and this never reads a footer."""
+    source has >= par files and this never reads a footer.
+
+    Only narrow plans are probed: ``df.rdd`` on an AQE plan containing
+    exchanges EXECUTES the upstream shuffle stages just to finalize the
+    physical plan (and a post-shuffle frame is already wide anyway), so
+    any plan with a stage-producing node skips the fanout entirely."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    allowed = ("Project", "Filter", "Relation", "LogicalRDD",
+               "SubqueryAlias", "Range", "GlobalLimit", "LocalLimit",
+               "View", "LocalRelation")
+    for line in plan.splitlines():
+        node = line.lstrip(" :+-")
+        if node and not node.startswith(allowed):
+            return False
     if df.rdd.getNumPartitions() < par:
         return True
     try:
@@ -508,8 +524,12 @@ def minhash_lsh_candidates(
             sizes = ends - starts
             keep_b = (sizes >= 2) & (sizes <= cap)
             if keep_b.any():
-                for st_sl, sz_sl in _pair_bounded_slices(starts[keep_b],
-                                                         sizes[keep_b]):
+                # bound scaled by signature width: each pair gathers two
+                # n_hashes-wide int64 signature rows for the est compare
+                for st_sl, sz_sl in _pair_bounded_slices(
+                        starts[keep_b], sizes[keep_b],
+                        max_pairs=max(1_000_000,
+                                      16_000_000 // max(n_hashes, 1))):
                     out = emit(idv, sigm, sets, st_sl, sz_sl)
                     if out is not None:
                         yield out
@@ -738,6 +758,14 @@ def ngram_jaccard_pairs(
                   (F.col(text_col) if isinstance(text_col, str) else text_col).alias("__t"))
         .filter(F.length(F.trim("__t")) > 0)
     )
+    # plan-choice probe BEFORE the fanout branch attaches: the aggregate
+    # is repartition-invariant, and running it on the pre-fanout frame
+    # keeps the probe a bare scan+agg instead of paying the full-corpus
+    # text shuffle for two numbers
+    est = base.select(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.length("__t")), F.lit(0)).alias("chars"),
+    ).collect()[0]
     # fan the raw text out BEFORE tokenizing ONLY for narrow sources (a
     # one-split sf-test parquet would shingle+explode on a single core);
     # at scale the source is already wide and this full-corpus text
@@ -763,14 +791,10 @@ def ngram_jaccard_pairs(
     cap = max_gram_docs
 
     # ---- plan choice: broadcast index vs posting scan ----------------
-    # one cheap O(docs) aggregate; total chars upper-bounds the distinct
-    # gram count (word mode: every gram consumes >= 2 chars), and the
-    # CSR index costs ~8 bytes/posting on each side, padded 2x for the
+    # total chars (from the probe above) upper-bounds the distinct gram
+    # count (word mode: every gram consumes >= 2 chars), and the CSR
+    # index costs ~8 bytes/posting on each side, padded 2x for the
     # factorize/sort transients
-    est = base.select(
-        F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum(F.length("__t")), F.lit(0)).alias("chars"),
-    ).collect()[0]
     est_postings = int(est["chars"]) // (2 if use_words else 1)
     if est_postings * 16 <= index_broadcast_bytes and int(est["n"]) > 0:
         return _ngram_jaccard_broadcast(
@@ -1093,7 +1117,13 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
     par = df.sparkSession.sparkContext.defaultParallelism
     if _needs_fanout(src, par):
         src = src.repartition(par)
-    with_sh = src.select("__id", simhash_udf(F.col(text_col)).alias("__sh"))
+    # drop null signatures (null text) BEFORE banding: they can never
+    # form a meaningful pair, and a single nullable row makes Arrow hand
+    # the whole batch's __sh column to the scan as float64 — silently
+    # rounding 64-bit signatures beyond 2^53 (the old per-row scan
+    # crashed on the same input)
+    with_sh = (src.select("__id", simhash_udf(F.col(text_col)).alias("__sh"))
+               .filter(F.col("__sh").isNotNull()))
     bandcol = F.explode(
         F.array(*[
             F.struct(F.lit(i).alias("band"),
