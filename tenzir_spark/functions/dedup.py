@@ -17,6 +17,8 @@ and identical across runs/cluster sizes.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -76,6 +78,17 @@ def _needs_fanout(df: DataFrame, par: int) -> bool:
         return True
     except Exception:
         return False
+
+
+def _dense_verify_bytes() -> int:
+    """Per-task byte bound for the dense-incidence exact-verify matrix
+    (kept rows x distinct shingle hashes, uint8). Above it the bucket
+    scan falls back to the posting-triangle plan, whose memory is
+    O(postings) regardless of universe size — the at-scale shape for
+    real text, where the universe grows with the corpus. Parameterised
+    for production tasks with different memory headroom."""
+    return int(os.environ.get("TENZIR_SPARK_DENSE_VERIFY_BYTES",
+                              str(64_000_000)))
 
 
 def _pair_bounded_slices(starts, sizes, max_pairs: int = 16_000_000):
@@ -395,6 +408,11 @@ def minhash_lsh_candidates(
     cap = max_bucket
     do_verify = exact_verify
     est_cut = min_est
+    # resolved at plan-build time on the driver (a closed-over value):
+    # executor python workers snapshot their environment at JVM launch,
+    # so a worker-side os.environ read would ignore later driver-side
+    # configuration changes
+    dense_bytes = _dense_verify_bytes()
     npart = df.sparkSession.sparkContext.defaultParallelism
     flat = (banded
             .repartition(npart, "__k")
@@ -406,13 +424,23 @@ def minhash_lsh_candidates(
         # over the sorted partition, same-size buckets emit their pair
         # triangles through one fancy-index gather per distinct size, and
         # the pairwise signature agreement is one batched equals/mean.
-        # With exact_verify the per-pair set intersections are ONE batch
-        # posting scan: explode every kept bucket's (member, shingle-hash)
-        # rows, lexsort by (bucket, hash, member), emit the per-hash
-        # member triangles, and np.unique-count them into sparse
-        # |A∩B| — all C loops; the previous per-row append + per-pair
-        # Python set-intersect was the stage's dominant cost (3.7M
-        # candidate pairs at the sf1.0 bench corpus).
+        # With exact_verify the per-pair set intersections pick one of
+        # two exact plans per emit slice:
+        # * DENSE INCIDENCE (small shingle universe): factorize the
+        #   slice's postings (pd.factorize — hash table, no sort), build
+        #   a (kept-rows x universe) uint8 incidence matrix by one fancy
+        #   assignment, and |A∩B| is a chunked AND-sum over pair rows.
+        #   Measured 0.32 s vs 3.0 s for the posting-triangle scan on
+        #   one sf1.0 bench partition (12.3k rows, U=2059, 88.5k pairs),
+        #   identical counts. Gated by rows*U <= TENZIR_SPARK_DENSE_
+        #   VERIFY_BYTES (default 64 MB per task).
+        # * POSTING TRIANGLES (at-scale universe, e.g. real text where
+        #   U ~ total postings): explode every kept bucket's (member,
+        #   shingle-hash) rows, lexsort by (bucket, hash, member), emit
+        #   the per-hash member triangles, and np.unique-count them into
+        #   sparse |A∩B| — all C loops; the previous per-row append +
+        #   per-pair Python set-intersect was the stage's dominant cost
+        #   (3.7M candidate pairs at the sf1.0 bench corpus).
         c_k = None
         c_ids = c_sigm = c_sets = None
 
@@ -443,40 +471,65 @@ def minhash_lsh_candidates(
                        - np.repeat(np.cumsum(sizes) - sizes, sizes))
                 lens_all = np.fromiter((len(s) for s in sets),
                                        dtype=np.int64, count=n_rows)
-                bucket_of = np.repeat(np.arange(len(starts)), sizes)
-                owners = np.repeat(sel, lens_all[sel])
-                owner_bucket = np.repeat(bucket_of, lens_all[sel])
                 elems = (np.concatenate(list(sets[sel]))
                          if total else np.empty(0, dtype=np.int64))
-                # two sort keys suffice: owners arrive ascending within
-                # each bucket (postings are emitted in sel order) and
-                # lexsort is stable, so owners stay ascending within
-                # every (bucket, elem) group without a third pass
-                order = np.lexsort((elems, owner_bucket))
-                oe, oo = elems[order], owners[order]
-                ob = owner_bucket[order]
-                chg = np.flatnonzero((oe[1:] != oe[:-1])
-                                     | (ob[1:] != ob[:-1])) + 1
-                gst = np.concatenate([[0], chg]).astype(np.int64)
-                gsz = np.diff(np.concatenate([gst, [len(oe)]]))
-                pk_l = []
-                for g in np.unique(gsz):
-                    if g < 2:
-                        continue
-                    s2 = gst[gsz == g]
-                    iu, ju = np.triu_indices(int(g), 1)
-                    oa = oo[(s2[:, None] + iu[None, :]).ravel()]
-                    obv = oo[(s2[:, None] + ju[None, :]).ravel()]
-                    pk_l.append(oa * n_rows + obv)
-                pk = ia * n_rows + ib
-                inter = np.zeros(len(pk), dtype=np.int64)
-                if pk_l:
-                    allpk = np.concatenate(pk_l)
-                    uniq, cnt = np.unique(allpk, return_counts=True)
-                    pos = np.searchsorted(uniq, pk)
-                    pos_c = np.minimum(pos, len(uniq) - 1)
-                    found = uniq[pos_c] == pk
-                    inter = np.where(found, cnt[pos_c], 0)
+                inter = None
+                if len(elems):
+                    # dense-incidence attempt: factorize is a hash
+                    # table (no sort), so probing the universe size
+                    # costs ~a third of the fallback's lexsort even
+                    # when the gate then rejects the dense plan
+                    codes, uu = pd.factorize(elems)
+                    nu = len(uu)
+                    if len(sel) * nu <= dense_bytes:
+                        rowmap = np.full(n_rows, -1, dtype=np.int64)
+                        rowmap[sel] = np.arange(len(sel))
+                        m = np.zeros((len(sel), nu), dtype=np.uint8)
+                        m[np.repeat(np.arange(len(sel)),
+                                    lens_all[sel]), codes] = 1
+                        ra, rb = rowmap[ia], rowmap[ib]
+                        inter = np.empty(len(ia), dtype=np.int64)
+                        step = max(1, 16_000_000 // max(nu, 1))
+                        for s0 in range(0, len(ia), step):
+                            s1 = min(s0 + step, len(ia))
+                            inter[s0:s1] = (m[ra[s0:s1]] & m[rb[s0:s1]]
+                                            ).sum(axis=1, dtype=np.int64)
+                if inter is None and len(elems):
+                    bucket_of = np.repeat(np.arange(len(starts)), sizes)
+                    owners = np.repeat(sel, lens_all[sel])
+                    owner_bucket = np.repeat(bucket_of, lens_all[sel])
+                    # two sort keys suffice: owners arrive ascending
+                    # within each bucket (postings are emitted in sel
+                    # order) and lexsort is stable, so owners stay
+                    # ascending within every (bucket, elem) group
+                    # without a third pass
+                    order = np.lexsort((elems, owner_bucket))
+                    oe, oo = elems[order], owners[order]
+                    ob = owner_bucket[order]
+                    chg = np.flatnonzero((oe[1:] != oe[:-1])
+                                         | (ob[1:] != ob[:-1])) + 1
+                    gst = np.concatenate([[0], chg]).astype(np.int64)
+                    gsz = np.diff(np.concatenate([gst, [len(oe)]]))
+                    pk_l = []
+                    for g in np.unique(gsz):
+                        if g < 2:
+                            continue
+                        s2 = gst[gsz == g]
+                        iu, ju = np.triu_indices(int(g), 1)
+                        oa = oo[(s2[:, None] + iu[None, :]).ravel()]
+                        obv = oo[(s2[:, None] + ju[None, :]).ravel()]
+                        pk_l.append(oa * n_rows + obv)
+                    pk = ia * n_rows + ib
+                    inter = np.zeros(len(pk), dtype=np.int64)
+                    if pk_l:
+                        allpk = np.concatenate(pk_l)
+                        uniq, cnt = np.unique(allpk, return_counts=True)
+                        pos = np.searchsorted(uniq, pk)
+                        pos_c = np.minimum(pos, len(uniq) - 1)
+                        found = uniq[pos_c] == pk
+                        inter = np.where(found, cnt[pos_c], 0)
+                elif inter is None:
+                    inter = np.zeros(len(ia), dtype=np.int64)
                 union = lens_all[ia] + lens_all[ib] - inter
                 jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
                 keep = jac >= thr

@@ -115,6 +115,26 @@ def test_ngram_jaccard_broadcast_equals_posting_scan(spark, sf_dir):
     assert got_f and got_f == got_s
 
 
+def test_near_dup_dense_verify_equals_posting_scan(spark, sf_dir,
+                                                   monkeypatch):
+    """The r6 dense-incidence exact-verify plan and the posting-triangle
+    fallback are two physical executions of the same |A∩B| — pin their
+    equality (pairs AND jaccard values) on the real fixture corpus.
+    The gate is resolved at plan-build time on the driver, so the env
+    override below genuinely switches the executed plan."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kw = dict(n_hashes=32, bands=8, shingle_k=5, threshold=0.5,
+              hash_family="md5", verify="inline")
+
+    def rows(p):
+        return sorted((r.id_a, r.id_b, round(r.est_jaccard, 9),
+                       round(r.jaccard, 9)) for r in p.collect())
+    dense = rows(dedup.near_dup_pairs(docs, "doc_id", "text", **kw))
+    monkeypatch.setenv("TENZIR_SPARK_DENSE_VERIFY_BYTES", "0")
+    posting = rows(dedup.near_dup_pairs(docs, "doc_id", "text", **kw))
+    assert dense and dense == posting
+
+
 def test_simhash_near_dups(docs):
     # band_bits=4 -> 16 bands: pigeonhole guarantees any pair with
     # hamming <= 15 shares at least one band, so the near-dup (hamming
