@@ -304,8 +304,15 @@ def q_minhash_near_dups(spark, sf):
     # pushdown — identical result, far fewer pairs through the dedup)
     pairs = dedup.minhash_lsh_candidates(d, "doc_id", "text", n_hashes=32, bands=8,
                                          hash_family="md5", min_est=0.5)
+    # lazy checkpoint: the final orderBy's range partitioner SAMPLES its
+    # child to pick bounds, and with no exchange between the bucket scan
+    # and the sort (the r6 first-band emission removed the dedup
+    # exchange) that sampling pass would re-execute the whole scan. The
+    # checkpoint materializes once INSIDE the timed action (eager=False:
+    # nothing computes at construction), and the sort samples the
+    # materialized partitions. Same result, one scan instead of two.
     return pairs.filter(F.col("est_jaccard") >= 0.5).select("id_a", "id_b") \
-        .orderBy("id_a", "id_b")
+        .localCheckpoint(eager=False).orderBy("id_a", "id_b")
 
 
 def q_simhash(spark, sf):
@@ -314,16 +321,19 @@ def q_simhash(spark, sf):
     # pushdown — identical result, ~10x fewer pairs through the dedup)
     pairs = dedup.simhash_near_dups(d, "doc_id", "text", band_bits=16,
                                     max_hamming=8)
+    # lazy checkpoint before orderBy: see q_minhash_near_dups
     return pairs.filter(F.col("hamming") <= 8) \
         .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming")) \
-        .orderBy("id_a", "id_b")
+        .localCheckpoint(eager=False).orderBy("id_a", "id_b")
 
 
 def q_ngram_jaccard(spark, sf):
     d = _t(spark, sf, "documents")
     pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.6)
+    # lazy checkpoint before orderBy: see q_minhash_near_dups (the
+    # broadcast-index plan's block scan would otherwise run twice)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")) \
-        .orderBy("id_a", "id_b")
+        .localCheckpoint(eager=False).orderBy("id_a", "id_b")
 
 
 def q_near_dup_composed(spark, sf):
@@ -335,8 +345,9 @@ def q_near_dup_composed(spark, sf):
     pairs = dedup.near_dup_pairs(d, "doc_id", "text", n_hashes=32, bands=8,
                                  shingle_k=5, threshold=0.5,
                                  hash_family="md5")
+    # lazy checkpoint before orderBy: see q_minhash_near_dups
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")) \
-        .orderBy("id_a", "id_b")
+        .localCheckpoint(eager=False).orderBy("id_a", "id_b")
 
 
 def q_ann_lsh(spark, sf):

@@ -286,11 +286,19 @@ def minhash_lsh_candidates(
     ``near_dup_pairs(verify="join")``, which re-tokenizes only candidate
     docs instead.
 
-    Pipeline: signature -> band hashes -> group by band bucket
-    (collecting the members' (id, signature) structs) -> intra-bucket
-    pair combos with the Jaccard estimate computed INLINE -> distinct
-    pairs. Three shuffles total (signature groupBy, bucket groupBy, pair
-    dedup), each carrying O(docs) or O(pairs) rows.
+    Pipeline: signature -> band hashes -> group by band bucket ->
+    intra-bucket pair combos with the Jaccard estimate computed INLINE.
+    TWO shuffles total (signature groupBy, bucket groupBy), each
+    carrying O(docs) rows: pairs leave the scan distinct by
+    construction — a pair is emitted only from its FIRST truly-matching
+    band (the scan compares the slices themselves, so a 2^-64
+    bucket-key collision can no longer admit a candidate the oracle's
+    slice-equality join would reject) — so the old cross-band
+    dropDuplicates exchange is gone. Cap corner under this rule: a pair
+    whose first matching band falls in an over-``max_bucket`` bucket is
+    dropped even if a later band's bucket is small — consistent with
+    the cap's intent (an oversized bucket is one degenerate duplicate
+    class, handled by exact_dedup, not pair enumeration).
 
     Scale design:
     - signatures are evaluated exactly once — the earlier band SELF-JOIN
@@ -378,7 +386,7 @@ def minhash_lsh_candidates(
     ]
     banded = with_sig.select(
         "__id", *hcols, *(["__shs"] if exact_verify else []),
-        F.explode(F.array(*band_keys)).alias("__k"))
+        F.posexplode(F.array(*band_keys)).alias("__band", "__k"))
     # Pair generation (and, with exact_verify, Jaccard verification) in
     # ONE batched pandas stage over flat rows. Three prior shapes were
     # slower here:
@@ -442,9 +450,9 @@ def minhash_lsh_candidates(
         #   per-pair Python set-intersect was the stage's dominant cost
         #   (3.7M candidate pairs at the sf1.0 bench corpus).
         c_k = None
-        c_ids = c_sigm = c_sets = None
+        c_ids = c_sigm = c_sets = c_band = None
 
-        def emit(idv, sigm, sets, starts, sizes):
+        def emit(idv, sigm, sets, bandv, starts, sizes):
             ia_l, ib_l = [], []
             for m in np.unique(sizes):
                 st = starts[sizes == m]
@@ -455,7 +463,21 @@ def minhash_lsh_candidates(
                 return None
             ia = np.concatenate(ia_l)
             ib = np.concatenate(ib_l)
-            est = (sigm[ia] == sigm[ib]).mean(axis=1)
+            eq = sigm[ia] == sigm[ib]
+            est = eq.mean(axis=1)
+            # FIRST-COLLIDING-BAND emission: each pair leaves the scan
+            # exactly once — from the lowest band whose signature slices
+            # truly match — so the result is distinct by construction and
+            # the cross-band dropDuplicates exchange is gone (guide §2.4).
+            # This also requires a REAL slice match: a pair thrown
+            # together only by a 2^-64 xxhash64 bucket-key collision is
+            # dropped, which is exactly the oracle's candidate definition
+            # (its banded join compares the slices themselves).
+            eqb = eq.reshape(len(ia), bands, rows_per_band).all(axis=2)
+            once = eqb.any(axis=1) & (eqb.argmax(axis=1) == bandv[ia])
+            if not once.any():
+                return None
+            ia, ib, est = ia[once], ib[once], est[once]
             if est_cut is not None:
                 keep_e = est >= est_cut
                 if not keep_e.any():
@@ -551,6 +573,7 @@ def minhash_lsh_candidates(
             kv = pdf["__k"].to_numpy()
             idv = pdf["__id"].to_numpy()
             sigm = pdf[hcols].to_numpy()
+            bandv = pdf["__band"].to_numpy()
             sets = pdf["__shs"].to_numpy() if do_verify else None
             if c_k is not None:
                 if kv[0] == c_k:
@@ -559,10 +582,11 @@ def minhash_lsh_candidates(
                         [np.full(len(c_ids), c_k, dtype=kv.dtype), kv])
                     idv = np.concatenate([c_ids, idv])
                     sigm = np.vstack([c_sigm, sigm])
+                    bandv = np.concatenate([c_band, bandv])
                     if do_verify:
                         sets = np.concatenate([c_sets, sets])
                 elif 2 <= len(c_ids) <= cap:
-                    out = emit(c_ids, c_sigm, c_sets, np.array([0]),
+                    out = emit(c_ids, c_sigm, c_sets, c_band, np.array([0]),
                                np.array([len(c_ids)]))
                     if out is not None:
                         yield out
@@ -572,6 +596,7 @@ def minhash_lsh_candidates(
             # last bucket may continue into the next Arrow batch -> carry
             c_k = kv[-1]
             c_ids, c_sigm = idv[starts[-1]:], sigm[starts[-1]:]
+            c_band = bandv[starts[-1]:]
             c_sets = sets[starts[-1]:] if do_verify else None
             starts, ends = starts[:-1], ends[:-1]
             sizes = ends - starts
@@ -583,11 +608,11 @@ def minhash_lsh_candidates(
                         starts[keep_b], sizes[keep_b],
                         max_pairs=max(1_000_000,
                                       16_000_000 // max(n_hashes, 1))):
-                    out = emit(idv, sigm, sets, st_sl, sz_sl)
+                    out = emit(idv, sigm, sets, bandv, st_sl, sz_sl)
                     if out is not None:
                         yield out
         if c_k is not None and 2 <= len(c_ids) <= cap:
-            out = emit(c_ids, c_sigm, c_sets, np.array([0]),
+            out = emit(c_ids, c_sigm, c_sets, c_band, np.array([0]),
                        np.array([len(c_ids)]))
             if out is not None:
                 yield out
@@ -596,8 +621,9 @@ def minhash_lsh_candidates(
         # id type may be string or numeric)
         yield pd.DataFrame({c: [] for c in cols})
 
-    return (flat.mapInPandas(bucket_pairs, out_schema)
-            .dropDuplicates(["id_a", "id_b"]))
+    # distinct by construction (first-colliding-band emission) — no
+    # cross-band dropDuplicates exchange
+    return flat.mapInPandas(bucket_pairs, out_schema)
 
 
 # ---------------------------------------------------------------- jaccard
@@ -1158,9 +1184,14 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
     re-evaluate the whole UDF lineage on both sides — Catalyst does not
     reuse exchanges across differently-aliased subplans). Instead the
     (band, id, sig) rows — 16 bytes each, the only thing shuffled —
-    group by band bucket and intra-bucket pairs are emitted with one
-    nested-transform explode, then deduped across bands. Cost stays
-    O(sum bucket²) like the join form, minus one full UDF pass."""
+    group by band bucket and intra-bucket pairs are emitted from their
+    FIRST agreeing band only (bands are exact bit slices, so agreement
+    is one xor mask test): distinct by construction, no cross-band
+    dedup exchange. Cost stays O(sum bucket²) like the join form,
+    minus one full UDF pass. Cap corner: a pair whose first agreeing
+    band sits in an over-``max_bucket`` bucket is dropped even if a
+    later band's bucket is small (the oversized bucket is one
+    degenerate duplicate class — exact_dedup territory)."""
     n_bands = _SIMHASH_BITS // band_bits
     src = df.select(F.col(id_col).alias("__id"), F.col(text_col))
     # few-partition source (one parquet split, or a few-row-group file
@@ -1222,8 +1253,9 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
         # .tolist()/extend dominated the stage.
         c_ids = c_shs = None  # rows of a bucket spanning a batch boundary
         c_k = None
+        band_mask = np.uint64((1 << band_bits) - 1)
 
-        def triangles(idv, shv, starts, sizes):
+        def triangles(idv, shv, kb, starts, sizes):
             outs = []
             for m in np.unique(sizes):
                 st = starts[sizes == m]
@@ -1231,6 +1263,22 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
                 ia = (st[:, None] + iu[None, :]).ravel()
                 ib = (st[:, None] + ju[None, :]).ravel()
                 x = (shv[ia] ^ shv[ib]).astype(np.uint64)
+                # FIRST-COLLIDING-BAND emission (guide §2.4): the packed
+                # bucket key carries the band index, bands are EXACT bit
+                # slices (no hashing), and a pair agrees on band c iff
+                # that 16-bit slice of the xor is zero — so each pair is
+                # emitted only from its lowest agreeing band and the
+                # cross-band dropDuplicates exchange is gone. The
+                # bucket's own band always agrees by construction.
+                first = np.full(len(x), n_bands, dtype=np.int64)
+                for c in range(n_bands - 1, -1, -1):
+                    agree = ((x >> np.uint64(c * band_bits))
+                             & band_mask) == 0
+                    first = np.where(agree, c, first)
+                keep = first == kb[ia]
+                if not keep.any():
+                    continue
+                ia, ib, x = ia[keep], ib[keep], x[keep]
                 ham = (_POP16[(x & np.uint64(0xFFFF)).astype(np.int64)]
                        + _POP16[((x >> np.uint64(16)) & np.uint64(0xFFFF)).astype(np.int64)]
                        + _POP16[((x >> np.uint64(32)) & np.uint64(0xFFFF)).astype(np.int64)]
@@ -1258,14 +1306,18 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
             kv = pdf["__k"].to_numpy()
             idv = pdf["__id"].to_numpy()
             shv = pdf["__sh"].to_numpy().astype(np.int64)
+            kb = (kv >> band_bits).astype(np.int64)  # band of the bucket
             if c_k is not None:
                 if kv[0] == c_k:  # carry bucket continues into this batch
                     idv = np.concatenate([c_ids, idv])
                     shv = np.concatenate([c_shs, shv])
                     kv = np.concatenate(
                         [np.full(len(c_ids), c_k, dtype=kv.dtype), kv])
+                    kb = (kv >> band_bits).astype(np.int64)
                 elif 2 <= len(c_ids) <= max_bucket:
-                    out = triangles(c_ids, c_shs, np.array([0]),
+                    c_kb = np.full(len(c_ids), int(c_k) >> band_bits,
+                                   dtype=np.int64)
+                    out = triangles(c_ids, c_shs, c_kb, np.array([0]),
                                     np.array([len(c_ids)]))
                     if out is not None:
                         yield out
@@ -1280,16 +1332,18 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
             if keep.any():
                 for st_sl, sz_sl in _pair_bounded_slices(starts[keep],
                                                          sizes[keep]):
-                    out = triangles(idv, shv, st_sl, sz_sl)
+                    out = triangles(idv, shv, kb, st_sl, sz_sl)
                     if out is not None:
                         yield out
         if c_k is not None and 2 <= len(c_ids) <= max_bucket:
-            out = triangles(c_ids, c_shs, np.array([0]),
+            c_kb = np.full(len(c_ids), int(c_k) >> band_bits,
+                           dtype=np.int64)
+            out = triangles(c_ids, c_shs, c_kb, np.array([0]),
                             np.array([len(c_ids)]))
             if out is not None:
                 yield out
 
-    return (flat.mapInPandas(
-                bucket_pairs,
-                f"id_a {id_type}, id_b {id_type}, hamming long")
-            .dropDuplicates(["id_a", "id_b"]))
+    # distinct by construction (first-colliding-band emission) — no
+    # cross-band dropDuplicates exchange
+    return flat.mapInPandas(
+        bucket_pairs, f"id_a {id_type}, id_b {id_type}, hamming long")

@@ -115,6 +115,22 @@ def test_ngram_jaccard_broadcast_equals_posting_scan(spark, sf_dir):
     assert got_f and got_f == got_s
 
 
+def test_lsh_pairs_distinct_by_construction(spark, sf_dir):
+    """r6 removed the cross-band dropDuplicates: a pair is emitted only
+    from its FIRST truly-matching band, so the raw scan output must
+    already be distinct — for both the minhash and simhash pipelines —
+    on a corpus where many pairs collide in several bands."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mh = dedup.minhash_lsh_candidates(docs, "doc_id", "text",
+                                      n_hashes=32, bands=8,
+                                      hash_family="md5").collect()
+    assert len(mh) == len({(r.id_a, r.id_b) for r in mh})
+    sh = dedup.simhash_near_dups(docs, "doc_id", "text",
+                                 band_bits=16).collect()
+    assert len(sh) == len({(r.id_a, r.id_b) for r in sh})
+    assert mh and sh
+
+
 def test_near_dup_dense_verify_equals_posting_scan(spark, sf_dir,
                                                    monkeypatch):
     """The r6 dense-incidence exact-verify plan and the posting-triangle
