@@ -255,12 +255,15 @@ def q_exact_dedup(spark, sf):
 
 def q_text_stats(spark, sf):
     d = _t_wide(spark, sf, "documents")
+    # lazy checkpoint before orderBy (see q_minhash_near_dups): without
+    # it the sort's range sampler re-evaluates the regex projection over
+    # the whole corpus a second time
     return d.select(
         "doc_id",
         text.token_count("text").alias("n_tokens"),
         F.length("text").alias("n_chars2"),
         F.round(text.alpha_ratio("text"), 6).alias("alpha_ratio"),
-    ).orderBy("doc_id")
+    ).localCheckpoint(eager=False).orderBy("doc_id")
 
 
 def q_token_by_lang(spark, sf):
@@ -278,15 +281,18 @@ def q_token_by_lang(spark, sf):
 
 def q_fingerprint(spark, sf):
     d = _t_wide(spark, sf, "documents")
-    return d.select("doc_id", text.fingerprint("text").alias("fp")).orderBy("doc_id")
+    # lazy checkpoint before orderBy: see q_text_stats
+    return d.select("doc_id", text.fingerprint("text").alias("fp")) \
+        .localCheckpoint(eager=False).orderBy("doc_id")
 
 
 def q_quality(spark, sf):
     d = _t_wide(spark, sf, "documents")
+    # lazy checkpoint before orderBy: see q_text_stats
     return d.select(
         "doc_id",
         F.round(text.quality_score("text"), 6).alias("quality"),
-    ).orderBy("doc_id")
+    ).localCheckpoint(eager=False).orderBy("doc_id")
 
 
 def q_cosine_topk(spark, sf):
@@ -651,6 +657,8 @@ def q_decapsulate(spark, sf):
     from tenzir_spark.operators.packet import decapsulate
     from tenzir_spark.sources.pcap import read_pcap
     df = decapsulate(read_pcap(spark, "/root/repo/fixtures/example.pcap.gz"))
+    # lazy checkpoint before orderBy: see q_text_stats (the pcap decode
+    # would otherwise run again in the sort's range sampler; 0.94->0.30s)
     return df.select(
         F.col("ether.src").alias("ether_src"),
         F.col("ether.dst").alias("ether_dst"),
@@ -663,7 +671,8 @@ def q_decapsulate(spark, sf):
         F.col("community_id"),
         F.col("pcap.timestamp").alias("ts"),
         F.col("pcap.captured_packet_length").alias("cap_len"),
-    ).orderBy("ts", "src_port", "community_id", "cap_len")
+    ).localCheckpoint(eager=False) \
+        .orderBy("ts", "src_port", "community_id", "cap_len")
 
 
 def q_netflow(spark, sf):
@@ -681,9 +690,11 @@ def q_netflow(spark, sf):
                 "src_mask", "dst_mask"]
     for c in nullable:
         df = df.withColumn(c, F.coalesce(F.col(c), F.lit(-1)))
+    # lazy checkpoint before orderBy: see q_text_stats (0.79 -> 0.42 s)
     return (df.withColumn("exported_us",
                           F.unix_micros(F.col("exported_at")))
             .drop("exported_at")
+            .localCheckpoint(eager=False)
             .orderBy("version", "src_addr", "src_port"))
 
 
