@@ -27,6 +27,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _ckpt(df: DataFrame) -> DataFrame:
+    """Lazy pre-orderBy materialization barrier.
+
+    A global orderBy's range partitioner SAMPLES its child to pick
+    bounds; with no exchange between an expensive lineage and the sort,
+    that sampling pass re-executes the lineage (measured 2x-3x on the
+    near-dup and packet queries). The lazy (eager=False) checkpoint
+    materializes the lineage once INSIDE the timed action and the
+    sampler reads the stored partitions. A repartition barrier does not
+    work — CollapseRepartition removes it under a global sort.
+
+    TENZIR_SPARK_NO_CKPT=1 skips the barrier (results identical) so
+    plan audits can render the full lineage the checkpoint hides behind
+    a Scan ExistingRDD node. Neither bench.py nor the driver sets it."""
+    if os.environ.get("TENZIR_SPARK_NO_CKPT"):
+        return df
+    return df.localCheckpoint(eager=False)
+
+
 def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Like _t, but fans a CONCENTRATED scan out to all cores first.
 
@@ -255,7 +274,7 @@ def q_exact_dedup(spark, sf):
 
 def q_text_stats(spark, sf):
     d = _t_wide(spark, sf, "documents")
-    # lazy checkpoint before orderBy (see q_minhash_near_dups): without
+    # _ckpt barrier (see _ckpt): without
     # it the sort's range sampler re-evaluates the regex projection over
     # the whole corpus a second time
     return d.select(
@@ -263,7 +282,7 @@ def q_text_stats(spark, sf):
         text.token_count("text").alias("n_tokens"),
         F.length("text").alias("n_chars2"),
         F.round(text.alpha_ratio("text"), 6).alias("alpha_ratio"),
-    ).localCheckpoint(eager=False).orderBy("doc_id")
+    ).transform(_ckpt).orderBy("doc_id")
 
 
 def q_token_by_lang(spark, sf):
@@ -281,18 +300,18 @@ def q_token_by_lang(spark, sf):
 
 def q_fingerprint(spark, sf):
     d = _t_wide(spark, sf, "documents")
-    # lazy checkpoint before orderBy: see q_text_stats
+    # _ckpt barrier: see _ckpt
     return d.select("doc_id", text.fingerprint("text").alias("fp")) \
-        .localCheckpoint(eager=False).orderBy("doc_id")
+        .transform(_ckpt).orderBy("doc_id")
 
 
 def q_quality(spark, sf):
     d = _t_wide(spark, sf, "documents")
-    # lazy checkpoint before orderBy: see q_text_stats
+    # _ckpt barrier: see _ckpt
     return d.select(
         "doc_id",
         F.round(text.quality_score("text"), 6).alias("quality"),
-    ).localCheckpoint(eager=False).orderBy("doc_id")
+    ).transform(_ckpt).orderBy("doc_id")
 
 
 def q_cosine_topk(spark, sf):
@@ -310,15 +329,11 @@ def q_minhash_near_dups(spark, sf):
     # pushdown — identical result, far fewer pairs through the dedup)
     pairs = dedup.minhash_lsh_candidates(d, "doc_id", "text", n_hashes=32, bands=8,
                                          hash_family="md5", min_est=0.5)
-    # lazy checkpoint: the final orderBy's range partitioner SAMPLES its
-    # child to pick bounds, and with no exchange between the bucket scan
-    # and the sort (the r6 first-band emission removed the dedup
-    # exchange) that sampling pass would re-execute the whole scan. The
-    # checkpoint materializes once INSIDE the timed action (eager=False:
-    # nothing computes at construction), and the sort samples the
-    # materialized partitions. Same result, one scan instead of two.
+    # _ckpt: without the barrier the orderBy's range sampler would
+    # re-execute the whole bucket scan (the r6 first-band emission
+    # removed the exchange that used to sit in between) — see _ckpt
     return pairs.filter(F.col("est_jaccard") >= 0.5).select("id_a", "id_b") \
-        .localCheckpoint(eager=False).orderBy("id_a", "id_b")
+        .transform(_ckpt).orderBy("id_a", "id_b")
 
 
 def q_simhash(spark, sf):
@@ -327,19 +342,19 @@ def q_simhash(spark, sf):
     # pushdown — identical result, ~10x fewer pairs through the dedup)
     pairs = dedup.simhash_near_dups(d, "doc_id", "text", band_bits=16,
                                     max_hamming=8)
-    # lazy checkpoint before orderBy: see q_minhash_near_dups
+    # _ckpt barrier: see _ckpt
     return pairs.filter(F.col("hamming") <= 8) \
         .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming")) \
-        .localCheckpoint(eager=False).orderBy("id_a", "id_b")
+        .transform(_ckpt).orderBy("id_a", "id_b")
 
 
 def q_ngram_jaccard(spark, sf):
     d = _t(spark, sf, "documents")
     pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.6)
-    # lazy checkpoint before orderBy: see q_minhash_near_dups (the
+    # _ckpt barrier (see _ckpt; the
     # broadcast-index plan's block scan would otherwise run twice)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")) \
-        .localCheckpoint(eager=False).orderBy("id_a", "id_b")
+        .transform(_ckpt).orderBy("id_a", "id_b")
 
 
 def q_near_dup_composed(spark, sf):
@@ -351,9 +366,9 @@ def q_near_dup_composed(spark, sf):
     pairs = dedup.near_dup_pairs(d, "doc_id", "text", n_hashes=32, bands=8,
                                  shingle_k=5, threshold=0.5,
                                  hash_family="md5")
-    # lazy checkpoint before orderBy: see q_minhash_near_dups
+    # _ckpt barrier: see _ckpt
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")) \
-        .localCheckpoint(eager=False).orderBy("id_a", "id_b")
+        .transform(_ckpt).orderBy("id_a", "id_b")
 
 
 def q_ann_lsh(spark, sf):
@@ -657,7 +672,7 @@ def q_decapsulate(spark, sf):
     from tenzir_spark.operators.packet import decapsulate
     from tenzir_spark.sources.pcap import read_pcap
     df = decapsulate(read_pcap(spark, "/root/repo/fixtures/example.pcap.gz"))
-    # lazy checkpoint before orderBy: see q_text_stats (the pcap decode
+    # _ckpt barrier (see _ckpt; the pcap decode
     # would otherwise run again in the sort's range sampler; 0.94->0.30s)
     return df.select(
         F.col("ether.src").alias("ether_src"),
@@ -671,7 +686,7 @@ def q_decapsulate(spark, sf):
         F.col("community_id"),
         F.col("pcap.timestamp").alias("ts"),
         F.col("pcap.captured_packet_length").alias("cap_len"),
-    ).localCheckpoint(eager=False) \
+    ).transform(_ckpt) \
         .orderBy("ts", "src_port", "community_id", "cap_len")
 
 
@@ -690,11 +705,11 @@ def q_netflow(spark, sf):
                 "src_mask", "dst_mask"]
     for c in nullable:
         df = df.withColumn(c, F.coalesce(F.col(c), F.lit(-1)))
-    # lazy checkpoint before orderBy: see q_text_stats (0.79 -> 0.42 s)
+    # _ckpt barrier: see _ckpt (0.79 -> 0.42 s)
     return (df.withColumn("exported_us",
                           F.unix_micros(F.col("exported_at")))
             .drop("exported_at")
-            .localCheckpoint(eager=False)
+            .transform(_ckpt)
             .orderBy("version", "src_addr", "src_port"))
 
 

@@ -73,6 +73,10 @@ def plan_of(df) -> str:
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # render the full lineage: the r6 pre-orderBy lazy-checkpoint barrier
+    # (see __spark_entry__._ckpt) otherwise truncates the audited plan at
+    # a Scan ExistingRDD node (results identical either way)
+    os.environ["TENZIR_SPARK_NO_CKPT"] = "1"
     spark = get_spark("explain_audit", master="local[4]", shuffle_partitions=4)
     qs = entrymod.queries()
     out = ["# EXPLAIN audit — physical-plan properties of headline queries",
