@@ -237,7 +237,17 @@ def q_flatten_json(spark, sf):
 def q_join_agg(spark, sf):
     """Broadcast dims -> fact join (the reference has no joins; this is
     the engine's Spark-native extension, TPC-H Q5 shape)."""
-    li = _t(spark, sf, "lineitem")
+    # project the fact table to the three needed columns BEFORE the
+    # fan-out exchange (guide §2.3), then spread the row-group-bound
+    # scan over all cores: the three broadcast joins + partial agg run
+    # in as many tasks as the file has row groups otherwise (6 at
+    # sf1.0). The guard never fires for already-wide sources.
+    from tenzir_spark.functions.dedup import _needs_fanout
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    par = spark.sparkContext.defaultParallelism
+    if _needs_fanout(li, par):
+        li = li.repartition(par)
     o = _t(spark, sf, "orders")
     c = _t(spark, sf, "customer")
     n = _t(spark, sf, "nation")
