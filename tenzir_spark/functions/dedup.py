@@ -868,6 +868,7 @@ def ngram_jaccard_pairs(
     )
     id_type = df.schema[id_col].dataType.simpleString()
     cap = max_gram_docs
+    thr = threshold
 
     # ---- plan choice: broadcast index vs posting scan ----------------
     # total chars (from the probe above) upper-bounds the distinct gram
@@ -902,6 +903,17 @@ def ngram_jaccard_pairs(
                 ib = (st[:, None] + ju[None, :]).ravel()
                 ai, bj = idv[ia], idv[ib]
                 na, nb = nv[ia], nv[ib]
+                if thr > 0:
+                    # exact length-ratio pruning (see the broadcast
+                    # plan's block scan): a pair more size-skewed than
+                    # thr can never reach jac >= thr — drop its rows
+                    # before the pair-count shuffle. Consistent per
+                    # pair, so every instance drops together.
+                    kp = (np.minimum(na, nb)
+                          >= thr * np.maximum(na, nb) - 1)
+                    if not kp.any():
+                        continue
+                    ai, bj, na, nb = ai[kp], bj[kp], na[kp], nb[kp]
                 swap = bj < ai
                 cols_a.append(np.where(swap, bj, ai))
                 cols_b.append(np.where(swap, ai, bj))
@@ -1043,6 +1055,16 @@ def _ngram_jaccard_broadcast(spark, base: DataFrame, ex: DataFrame,
             others = c_docs[pos]
             mine = np.repeat(owner, seg_len)
             m = others > mine
+            if thr > 0:
+                # exact length-ratio pruning: jac = |A∩B|/|A∪B| <=
+                # min(nA,nB)/max(nA,nB), so a pair whose gram counts are
+                # more skewed than thr can never pass — drop its postings
+                # BEFORE the unique-count sort (one unit of slack guards
+                # the float boundary; the exact jac >= thr filter still
+                # runs after). ~2-3x fewer keys on uniform-length corpora.
+                na, nb = b_n[mine], b_n[others]
+                m &= (np.minimum(na, nb)
+                      >= thr * np.maximum(na, nb) - 1)
             if not m.any():
                 return None
             keys = mine[m] * ndv + others[m]
