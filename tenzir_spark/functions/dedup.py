@@ -473,7 +473,11 @@ def minhash_lsh_candidates(
             # together only by a 2^-64 xxhash64 bucket-key collision is
             # dropped, which is exactly the oracle's candidate definition
             # (its banded join compares the slices themselves).
-            eqb = eq.reshape(len(ia), bands, rows_per_band).all(axis=2)
+            # only the first bands*rows_per_band hashes participate in
+            # banding (a non-divisible n_hashes leaves a tail that still
+            # contributes to the estimate, but never to candidacy)
+            eqb = eq[:, :bands * rows_per_band] \
+                .reshape(len(ia), bands, rows_per_band).all(axis=2)
             once = eqb.any(axis=1) & (eqb.argmax(axis=1) == bandv[ia])
             if not once.any():
                 return None

@@ -131,6 +131,17 @@ def test_lsh_pairs_distinct_by_construction(spark, sf_dir):
     assert mh and sh
 
 
+def test_lsh_first_band_emission_nondivisible_hashes(docs):
+    """n_hashes not divisible by bands leaves tail hashes outside every
+    band; the first-band emission must band only the covered prefix (a
+    full-width reshape would crash). The exact dup must still pair."""
+    pairs = dedup.minhash_lsh_candidates(docs, "doc_id", "text",
+                                         n_hashes=30, bands=8).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in got
+    assert len(pairs) == len(got)
+
+
 def test_near_dup_dense_verify_equals_posting_scan(spark, sf_dir,
                                                    monkeypatch):
     """The r6 dense-incidence exact-verify plan and the posting-triangle
