@@ -242,11 +242,10 @@ def q_join_agg(spark, sf):
     # scan over all cores: the three broadcast joins + partial agg run
     # in as many tasks as the file has row groups otherwise (6 at
     # sf1.0). The guard never fires for already-wide sources.
-    from tenzir_spark.functions.dedup import _needs_fanout
     li = _t(spark, sf, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount")
     par = spark.sparkContext.defaultParallelism
-    if _needs_fanout(li, par):
+    if dedup._needs_fanout(li, par):
         li = li.repartition(par)
     o = _t(spark, sf, "orders")
     c = _t(spark, sf, "customer")

@@ -142,6 +142,31 @@ def test_lsh_first_band_emission_nondivisible_hashes(docs):
     assert len(pairs) == len(got)
 
 
+def test_simhash_first_band_cap_corner(spark):
+    """Pin the r6 cap-corner rule: a pair whose FIRST agreeing band sits
+    in an over-max_bucket bucket is dropped even when a later band's
+    bucket is small (the r5 emit-everywhere code would have emitted it
+    from the later band). Corpus engineered from single-token docs whose
+    simhash IS the token's md5-low-64 (majority vote of one token): six
+    tokens share the band-0 slice (low 16 bits 0x2a9); two of them also
+    share the band-1 slice."""
+    toks = ["tok6483", "tok34471", "tok62681", "tok65693",
+            "tok120238", "tok125337"]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(toks)])
+    # uncapped: the band-0 bucket (all six) emits every pair, including
+    # the band-1 pair (2, 3)
+    full = {(r.id_a, r.id_b) for r in dedup.simhash_near_dups(
+        df, "doc_id", "text", band_bits=16, max_bucket=100).collect()}
+    assert (2, 3) in full and len(full) == 15
+    # cap below the band-0 bucket: its 15 pairs all have band 0 as their
+    # first agreeing band, so even the (2, 3) pair — whose band-1 bucket
+    # has only two members — is dropped with it
+    capped = dedup.simhash_near_dups(
+        df, "doc_id", "text", band_bits=16, max_bucket=5).collect()
+    assert capped == []
+
+
 def test_near_dup_dense_verify_equals_posting_scan(spark, sf_dir,
                                                    monkeypatch):
     """The r6 dense-incidence exact-verify plan and the posting-triangle
