@@ -953,6 +953,32 @@ class LakeTable:
                     if sum(1 for x in fs if x.kind == "delta") > max_deltas]
             if not need:
                 return
+            if purge_deletes_below_lsn is None:
+                # METADATA-ONLY promotion for single-file buckets: a
+                # lone delta is already per-key resolved (every merge
+                # batch dedups to one row per key — the merge()
+                # contract / _prepare_mor's dedup), so "compacting" it
+                # is a kind re-tag, not a data rewrite — the Iceberg
+                # rewrite_data_files min-input-files analog. Safe under
+                # the commit/GC protocol: the path stays referenced
+                # (expire_snapshots GC is path-based over kept
+                # snapshots), content is unchanged so a concurrent
+                # merge computed from it stays valid, and older
+                # snapshots still resolve the file as a delta to the
+                # identical result. Tombstone purging always takes the
+                # rewrite path.
+                retag = [b for b in need if len(by_bucket[b]) == 1]
+                if retag:
+                    from dataclasses import replace as _dc_replace
+                    promoted = [_dc_replace(by_bucket[b][0], kind="base")
+                                for b in retag]
+                    self._commit_files(promoted, replace_buckets=retag,
+                                       epoch=None, epoch_stats=None,
+                                       base_files=base.files)
+                    need = [b for b in need if len(by_bucket[b]) > 1]
+                    if not need:
+                        return
+                    base = self.snapshot
             raw = self.read(buckets=need, resolve=False)
             key = self.snapshot.key_col
             others = [c for c in raw.columns if c != key]

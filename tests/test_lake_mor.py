@@ -64,6 +64,26 @@ def test_mor_compaction_preserves_state(table, spark):
     assert {r.url: r.v for r in table.read().collect()} == {"a": 12, "c": 30}
 
 
+def test_mor_compact_single_delta_is_metadata_only(table, spark):
+    """r6: a bucket holding ONE delta (one applied batch — per-key
+    unique by the merge contract) is compacted by re-tagging the file
+    base, not by rewriting it: same paths on disk, identical reads, and
+    a later merge + compact still resolves through the promoted base."""
+    _merge(table, spark, [(f"u{i}", "insert", i + 1, i) for i in range(16)], 0)
+    paths0 = {f.path for f in table.snapshot.files}
+    before = {r.url: r.v for r in table.read().collect()}
+    table.compact()
+    assert {f.path for f in table.snapshot.files} == paths0  # no rewrite
+    assert all(f.kind == "base" for f in table.snapshot.files)
+    assert {r.url: r.v for r in table.read().collect()} == before
+    _merge(table, spark, [("u1", "update", 100, 999),
+                          ("u2", "delete", 101, None)], 1)
+    table.compact()  # promoted base + new delta -> rewrite path
+    got = {r.url: r.v for r in table.read().collect()}
+    assert got["u1"] == 999 and "u2" not in got and len(got) == 15
+    assert all(f.kind == "base" for f in table.snapshot.files)
+
+
 def test_mor_watermark_from_footers(table, spark):
     entry = _merge(table, spark, [("a", "insert", 41, 1), ("b", "insert", 77, 2)], 0)
     assert entry["lsn_watermark"] == 77
