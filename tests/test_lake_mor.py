@@ -69,9 +69,12 @@ def test_mor_compact_single_delta_is_metadata_only(table, spark):
     unique by the merge contract) is compacted by re-tagging the file
     base, not by rewriting it: same paths on disk, identical reads, and
     a later merge + compact still resolves through the promoted base."""
-    _merge(table, spark, [(f"u{i}", "insert", i + 1, i) for i in range(16)], 0)
+    rows0 = [(f"u{i}", "insert", i + 1, i) for i in range(16)]
+    rows0.append(("gone", "delete", 99, None))  # tombstone rides the retag
+    _merge(table, spark, rows0, 0)
     paths0 = {f.path for f in table.snapshot.files}
     before = {r.url: r.v for r in table.read().collect()}
+    assert "gone" not in before
     table.compact()
     assert {f.path for f in table.snapshot.files} == paths0  # no rewrite
     assert all(f.kind == "base" for f in table.snapshot.files)
